@@ -1,0 +1,37 @@
+"""PySpark-native inverted-index build + BM25 query engine.
+
+A brand-new engine with the query/data-processing capabilities of the
+reference ``RonitTsysar/Search_Engine`` (see SURVEY.md §0: the reference
+snapshot was never materialized at ``/root/reference`` — BASELINE.json is
+the binding spec, and ``oracle/bm25_ref.py`` is the in-repo embodiment of
+the reference semantics).
+
+Layout
+------
+- :mod:`engine.tokenizer`   — regex word-split + stopwords + Porter stemming
+  (SURVEY.md §2.2 P1-P3), vectorized for pandas batches.
+- :mod:`engine.codec`       — delta-gap + varint posting compression
+  (SURVEY.md §2.6 Q6), pure numpy.
+- :mod:`engine.build`       — distributed index build (SURVEY.md §3.1):
+  tokenize → tf → salted term-bucket repartition → compressed posting
+  blocks + dictionary + doc stats + manifest, checkpoint-resumable.
+- :mod:`engine.query`       — BM25 top-k: exhaustive DataFrame path and
+  index-backed block-max WAND path (SURVEY.md §3.2, §2.6 Q5).
+- :mod:`engine.io`          — corpus source abstraction (Iceberg in prod,
+  parquet in sandbox) + driver-testdata adapter (SURVEY.md §1.4).
+- :mod:`engine.textops`     — training-data-pipeline text operators
+  (lang-id, quality, token counts, fingerprints).
+- :mod:`engine.dedup`       — exact / MinHash-LSH / SimHash / n-gram
+  Jaccard deduplication.
+- :mod:`engine.sim`         — embedding cosine top-k (brute force + LSH).
+"""
+
+__version__ = "0.1.0"
+
+# BM25 constants pinned by BASELINE.json:6 ("BM25 (k1=1.5, b=0.75)").
+BM25_K1 = 1.5
+BM25_B = 0.75
+
+# tf is capped at the reference's 2-byte posting encoding bound
+# (SURVEY.md §5.3(b): TUPLE_SIZE=6 → 2-byte tf, TF_MASK=2**16-1).
+TF_CAP = 65535

@@ -1,0 +1,111 @@
+"""Physical posting blocks: build/decode (SURVEY.md §1.3 physical layout).
+
+A posting list for (shard, term) is split into blocks of ``BLOCK_DOCS``
+postings. Per block we store three varint blobs — delta-gapped doc_ids,
+tfs, doc_lens — plus the block's doc_id range and the block-max BM25
+"score norm" for pruning.
+
+score_norm(tf, dl) = tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl))
+
+is the query-independent part of the BM25 term score (the full score is
+``qtf * idf * score_norm``), so ``block_max_norm`` (computed in float64
+at build time, SURVEY.md §7 hard part #3) gives an exact per-block
+upper bound once multiplied by the term's qtf*idf at query time.
+
+Storing dl per posting denormalizes doc length into the index: at
+10^12-doc scale a driver-side doc_id→doc_len broadcast map is
+impossible, and a shuffle join per query is absurd — +1..2 varint bytes
+per posting buys shard-local, join-free scoring.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from . import BM25_B, BM25_K1, TF_CAP
+from .codec import delta_decode, delta_encode, varint_decode, varint_encode
+
+BLOCK_DOCS = 128
+
+BLOCKS_SCHEMA = (
+    "shard int, term string, block_id int, n int, "
+    "first_doc_id long, last_doc_id long, "
+    "doc_ids_blob binary, tfs_blob binary, doc_lens_blob binary, "
+    "block_max_norm double, block_max_tf int"
+)
+
+
+def score_norm(tf: np.ndarray, dl: np.ndarray, avgdl: float) -> np.ndarray:
+    tf = tf.astype(np.float64)
+    denom = tf + BM25_K1 * (1.0 - BM25_B + BM25_B * dl.astype(np.float64) / avgdl)
+    return tf * (BM25_K1 + 1.0) / denom
+
+
+def build_blocks_for_term(
+    shard: int,
+    term: str,
+    doc_ids: np.ndarray,
+    tfs: np.ndarray,
+    doc_lens: np.ndarray,
+    avgdl: float,
+    block_docs: int = BLOCK_DOCS,
+) -> list[tuple]:
+    """Postings (UNSORTED ok) → list of block rows."""
+    order = np.argsort(doc_ids, kind="stable")
+    doc_ids = doc_ids[order]
+    tfs = np.minimum(tfs[order], TF_CAP)
+    doc_lens = doc_lens[order]
+    rows = []
+    for b, start in enumerate(range(0, len(doc_ids), block_docs)):
+        ids = doc_ids[start : start + block_docs]
+        t = tfs[start : start + block_docs]
+        dl = doc_lens[start : start + block_docs]
+        rows.append(
+            (
+                shard,
+                term,
+                b,
+                int(ids.size),
+                int(ids[0]),
+                int(ids[-1]),
+                delta_encode(ids),
+                varint_encode(t.astype(np.uint64)),
+                varint_encode(dl.astype(np.uint64)),
+                float(score_norm(t, dl, avgdl).max()),
+                int(t.max()),
+            )
+        )
+    return rows
+
+
+def decode_block(row) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Block row (pandas namedtuple/Series-like) → (doc_ids, tfs, dls)."""
+    n = int(row.n)
+    ids = delta_decode(bytes(row.doc_ids_blob), n)
+    tfs = varint_decode(bytes(row.tfs_blob), n).astype(np.int64)
+    dls = varint_decode(bytes(row.doc_lens_blob), n).astype(np.int64)
+    return ids, tfs, dls
+
+
+def blocks_pdf_for_group(pdf: pd.DataFrame, avgdl: float, block_docs: int) -> pd.DataFrame:
+    """applyInPandas kernel: one (shard, term) group of tokens → blocks."""
+    shard = int(pdf["shard"].iloc[0])
+    term = pdf["term"].iloc[0]
+    rows = build_blocks_for_term(
+        shard,
+        term,
+        pdf["doc_id"].to_numpy(np.int64),
+        pdf["tf"].to_numpy(np.int64),
+        pdf["doc_len"].to_numpy(np.int64),
+        avgdl,
+        block_docs,
+    )
+    return pd.DataFrame(
+        rows,
+        columns=[
+            "shard", "term", "block_id", "n", "first_doc_id", "last_doc_id",
+            "doc_ids_blob", "tfs_blob", "doc_lens_blob", "block_max_norm",
+            "block_max_tf",
+        ],
+    )

@@ -1,0 +1,55 @@
+from __future__ import annotations
+
+import json
+import pathlib
+
+import pytest
+
+REPO = pathlib.Path(__file__).resolve().parent.parent
+
+
+@pytest.fixture(scope="session")
+def spark():
+    from engine.session import get_spark
+
+    s = get_spark("tests", cores=4, shuffle_partitions=8)
+    yield s
+
+
+@pytest.fixture(scope="session")
+def tiny_corpus_pdf():
+    """200-doc deterministic corpus (FIXTURES.md 'tiny')."""
+    from fixtures.gen_corpus import gen_corpus
+
+    return gen_corpus(200)
+
+
+@pytest.fixture(scope="session")
+def tiny_corpus_path(tiny_corpus_pdf, tmp_path_factory):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tmp_path_factory.mktemp("corpus")
+    p = d / "corpus.parquet"
+    pq.write_table(pa.Table.from_pandas(tiny_corpus_pdf, preserve_index=False), str(p))
+    return str(p)
+
+
+@pytest.fixture(scope="session")
+def tiny_corpus(spark, tiny_corpus_path):
+    from engine.io import read_corpus, with_identity
+
+    return with_identity(read_corpus(spark, tiny_corpus_path)).cache()
+
+
+@pytest.fixture(scope="session")
+def tiny_docs(tiny_corpus):
+    """{doc_id: content} for the pure-Python oracle."""
+    rows = tiny_corpus.select("doc_id", "content").collect()
+    return {r["doc_id"]: r["content"] for r in rows}
+
+
+@pytest.fixture(scope="session")
+def queries():
+    with open(REPO / "fixtures" / "queries.json") as f:
+        return json.load(f)
