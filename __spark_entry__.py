@@ -1,38 +1,40 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Backed by engine/driver_queries.py: each `queries()` entry is an
+operator from SURVEY.md §2 expressed over the driver `documents`
+testdata (adapter: FIXTURES.md §4), paired with DuckDB oracle SQL in
+`oracle_sql()` where the semantics are ANSI-SQL-expressible
+(unstemmed tokenizer path; stemmed variants are rows-only and are
+rank-identity-tested against the in-repo oracle in pytest).
 """
 
 from __future__ import annotations
 
+import pathlib
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent))
+
+SF0001 = "/root/testdata/sf0.001"
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: stemmed BM25 top-10 for a fixed query on sf0.001."""
+    from engine.driver_queries import spark_queries
+
+    return spark_queries()["bm25_q_table_scan_stemmed"](spark, SF0001)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from engine.driver_queries import spark_queries
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return spark_queries()
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from engine.driver_queries import oracle_sqls
+
+    return oracle_sqls()

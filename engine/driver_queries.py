@@ -1,0 +1,211 @@
+"""Driver-contract query registry (__spark_entry__.py backend).
+
+Each entry pairs a Spark DataFrame callable with an ANSI-SQL string
+DuckDB runs on the same parquet (SURVEY.md §5.2.3). The SQL-checked
+entries use the UNSTEMMED tokenizer path — DuckDB has no offline
+stemmer (SURVEY.md §0) — while the stemmed path is oracle-verified in
+pytest and exposed here as rows-only entries.
+
+Float discipline: BM25 scores are ROUNDED to 6 decimals and the
+rounded value is the sort key on BOTH sides, so cross-engine float-sum
+ordering cannot flip ranks or change the top-k set (the driver compares
+order-insensitive value hashes — equal sets require equal rounded
+values AND equal rank columns).
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .build import corpus_stats_df, dictionary_df, doc_stats_df, tokens_df
+from .io import documents_as_corpus
+from .packaging import ensure_importable
+from .query import bm25_topk_exhaustive, idf_col
+from .stopwords import stopwords_sql_list
+from .tokenizer import TOKEN_PATTERN_RE2, tokenize
+
+ROUND = 6
+
+# Fixed free-text queries over the driver `documents` vocabulary.
+FIXED_QUERIES = {
+    "q_table_scan": "table scan fast",
+    "q_multi": "query join window group",
+    "q_hot_stop": "the value stream a",
+    "q_repeat": "sort sort merge",
+}
+POSTING_TERMS = ["table", "scan", "query", "window"]
+K = 10
+
+
+# ---------------------------------------------------------------- SQL side
+
+def _sql_pat() -> str:
+    return TOKEN_PATTERN_RE2.replace("'", "''")
+
+
+def _base_ctes() -> str:
+    return f"""
+tok AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '{_sql_pat()}')) AS term
+  FROM documents
+),
+ft AS (SELECT doc_id, term FROM tok WHERE term NOT IN {stopwords_sql_list()}),
+tfv AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM ft GROUP BY doc_id, term),
+dl AS (SELECT d.doc_id, coalesce(sum(tfv.tf), 0)::BIGINT AS doc_len
+       FROM documents d LEFT JOIN tfv USING (doc_id) GROUP BY d.doc_id),
+stats AS (SELECT count(*)::BIGINT AS n_docs, avg(doc_len)::DOUBLE AS avgdl FROM dl),
+dict AS (SELECT term, count(*)::BIGINT AS df,
+                sum(least(tf, 65535))::BIGINT AS cf
+         FROM tfv GROUP BY term)
+"""
+
+
+def _bm25_sql(query_text: str, k: int = K) -> str:
+    qtf = Counter(tokenize(query_text, use_stem=False))
+    if not qtf:
+        vals = "(SELECT NULL::VARCHAR AS term, NULL::BIGINT AS qtf WHERE false)"
+        qcte = f"q AS {vals}"
+    else:
+        rows = ", ".join(
+            f"('{t}', {c}::BIGINT)" for t, c in sorted(qtf.items())
+        )
+        qcte = f"q(term, qtf) AS (VALUES {rows})"
+    return f"""
+WITH {_base_ctes()},
+{qcte},
+scored AS (
+  SELECT tfv.doc_id,
+         q.qtf * ln(1.0 + (s.n_docs - dict.df + 0.5) / (dict.df + 0.5))
+               * least(tfv.tf, 65535) * 2.5
+               / (least(tfv.tf, 65535) + 1.5 * (1.0 - 0.75 + 0.75 * dl.doc_len / s.avgdl))
+           AS partial
+  FROM tfv JOIN q USING (term) JOIN dict USING (term) JOIN dl USING (doc_id)
+  CROSS JOIN stats s
+),
+agg AS (SELECT doc_id, round(sum(partial), {ROUND}) AS score FROM scored GROUP BY doc_id)
+SELECT row_number() OVER (ORDER BY score DESC, doc_id ASC)::INTEGER AS rank,
+       doc_id, score
+FROM agg ORDER BY score DESC, doc_id ASC LIMIT {k}
+"""
+
+
+# -------------------------------------------------------------- Spark side
+
+def _corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_importable(spark)
+    return documents_as_corpus(spark, sf_dir)
+
+
+def _q_tokenize_tf(spark, sf_dir):
+    return tokens_df(_corpus(spark, sf_dir), use_stem=False).select(
+        "doc_id", "term", "tf"
+    )
+
+
+def _q_dictionary(spark, sf_dir):
+    return dictionary_df(tokens_df(_corpus(spark, sf_dir), use_stem=False))
+
+
+def _q_doc_len(spark, sf_dir):
+    c = _corpus(spark, sf_dir)
+    return doc_stats_df(c, tokens_df(c, use_stem=False))
+
+
+def _q_corpus_stats(spark, sf_dir):
+    c = _corpus(spark, sf_dir)
+    st = corpus_stats_df(doc_stats_df(c, tokens_df(c, use_stem=False)))
+    return st.select("n_docs", F.round("avgdl", ROUND).alias("avgdl"))
+
+
+def _q_idf(spark, sf_dir):
+    c = _corpus(spark, sf_dir)
+    toks = tokens_df(c, use_stem=False)
+    d = dictionary_df(toks)
+    st = corpus_stats_df(doc_stats_df(c, toks))
+    return d.crossJoin(F.broadcast(st)).select(
+        "term",
+        "df",
+        F.round(
+            idf_col(F.col("df").cast("double"), F.col("n_docs").cast("double")), ROUND
+        ).alias("idf"),
+    )
+
+
+def _q_term_postings(spark, sf_dir):
+    toks = tokens_df(_corpus(spark, sf_dir), use_stem=False)
+    return toks.filter(F.col("term").isin(POSTING_TERMS)).select(
+        "term", "doc_id", "tf"
+    )
+
+
+def _q_sha256(spark, sf_dir):
+    c = _corpus(spark, sf_dir)
+    return c.select("doc_id", F.sha2(F.col("content"), 256).alias("content_sha256"))
+
+
+def _q_scan_project(spark, sf_dir):
+    c = _corpus(spark, sf_dir)
+    return c.filter(F.col("lang") == "en").select(
+        "doc_id", "lang", F.length("content").alias("n_chars")
+    )
+
+
+def _mk_bm25(text: str, *, use_stem: bool):
+    def run(spark, sf_dir):
+        return bm25_topk_exhaustive(
+            spark, _corpus(spark, sf_dir), text, K,
+            use_stem=use_stem, round_scores=ROUND,
+        )
+
+    return run
+
+
+def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    out: dict[str, Callable] = {
+        "tokenize_tf": _q_tokenize_tf,
+        "dictionary": _q_dictionary,
+        "doc_len": _q_doc_len,
+        "corpus_stats": _q_corpus_stats,
+        "idf": _q_idf,
+        "term_postings": _q_term_postings,
+        "sha256_invariant": _q_sha256,
+        "scan_project_filter": _q_scan_project,
+    }
+    for name, text in FIXED_QUERIES.items():
+        out[f"bm25_{name}"] = _mk_bm25(text, use_stem=False)
+        out[f"bm25_{name}_stemmed"] = _mk_bm25(text, use_stem=True)  # rows-only
+    return out
+
+
+def oracle_sqls() -> dict[str, str]:
+    base = _base_ctes()
+    out = {
+        "tokenize_tf": f"WITH {base} SELECT doc_id, term, tf FROM tfv",
+        "dictionary": f"WITH {base} SELECT term, df, cf FROM dict",
+        "doc_len": f"WITH {base} SELECT doc_id, doc_len FROM dl",
+        "corpus_stats": (
+            f"WITH {base} SELECT n_docs, round(avgdl, {ROUND}) AS avgdl FROM stats"
+        ),
+        "idf": (
+            f"WITH {base} SELECT term, df, "
+            f"round(ln(1.0 + ((SELECT n_docs FROM stats) - df + 0.5) / (df + 0.5)), "
+            f"{ROUND}) AS idf FROM dict"
+        ),
+        "term_postings": (
+            f"WITH {base} SELECT term, doc_id, tf FROM tfv WHERE term IN "
+            f"({', '.join(repr(t) for t in POSTING_TERMS)})"
+        ),
+        "sha256_invariant": "SELECT doc_id, sha256(text) AS content_sha256 FROM documents",
+        "scan_project_filter": (
+            "SELECT doc_id, lang, length(text)::INTEGER AS n_chars "
+            "FROM documents WHERE lang = 'en'"
+        ),
+    }
+    for name, text in FIXED_QUERIES.items():
+        out[f"bm25_{name}"] = _bm25_sql(text)
+        # the *_stemmed variants intentionally have no SQL (rows-only check)
+    return out

@@ -1,0 +1,294 @@
+"""Physical index: build, manifest/checkpoint, and query-side reader.
+
+Layout under ``<dir>/`` (parquet in sandbox; Iceberg tables in prod via
+the same writers — SURVEY.md §1.4):
+
+- ``tokens/shard=K/``    stage-1 checkpoint: (doc_id, term, tf, doc_len)
+- ``postings/shard=K/``  block rows (engine/postings.py BLOCKS_SCHEMA),
+  sorted by term within files → parquet row-group min/max pruning on
+  ``term`` replaces the reference's posting_locs seek (SURVEY.md §4)
+- ``doc_stats/``         (doc_id, doc_len, repo, path, content_sha256)
+- ``dictionary/``        (term, df, cf, n_blocks)
+- ``manifest.json``      stats + per-chunk checkpoint lineage + metrics
+
+Sharding = salting: shard = xxhash64(doc_id) % n_shards partitions the
+DOCUMENT space, so a hot term's postings split across all shards into
+independently-built, independently-scored sub-lists whose doc_id ranges
+interleave but whose blocks stay locally sorted — the salted
+repartitioning BASELINE.json:6 demands, with doc_id-based salt so
+sub-postings concatenate losslessly (SURVEY.md §7 hard part #2).
+
+Checkpoint/resume (BASELINE.json:14): shards are grouped into chunks;
+each chunk's postings are built+written in one job and recorded in the
+manifest with its metrics (token/posting counts). A killed build
+re-runs only incomplete chunks; a finished manifest short-circuits
+entirely. The corpus fingerprint guards against resuming onto
+different input.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .build import dictionary_df, doc_stats_df, tokens_df
+from .packaging import ensure_importable
+from .postings import BLOCK_DOCS, BLOCKS_SCHEMA, blocks_pdf_for_group
+from .query import idf_col
+from .tokenizer import tokenize
+
+MANIFEST = "manifest.json"
+
+
+def _write_manifest(out_dir: str, m: dict) -> None:
+    tmp = os.path.join(out_dir, MANIFEST + ".tmp")
+    with open(tmp, "w") as f:
+        json.dump(m, f, indent=1, sort_keys=True)
+    os.replace(tmp, os.path.join(out_dir, MANIFEST))
+
+
+def _read_manifest(out_dir: str) -> dict | None:
+    p = os.path.join(out_dir, MANIFEST)
+    if not os.path.exists(p):
+        return None
+    with open(p) as f:
+        return json.load(f)
+
+
+def corpus_fingerprint(corpus: DataFrame) -> dict:
+    """Cheap input identity: row count + sum of doc_ids + xor-ish sum of
+    the sha256 head — detects resuming onto different input and doubles
+    as the end-to-end sha256-invariant assertion surface."""
+    row = corpus.select(
+        F.count("*").alias("n"),
+        F.sum(F.col("doc_id") % F.lit(2**61 - 1)).alias("id_sum"),
+        F.sum(
+            F.conv(F.substring("content_sha256", 1, 15), 16, 10).cast("long")
+            % F.lit(2**61 - 1)
+        ).alias("sha_sum"),
+    ).collect()[0]
+    return {"n": row["n"], "id_sum": str(row["id_sum"]), "sha_sum": str(row["sha_sum"])}
+
+
+def build_index(
+    spark: SparkSession,
+    corpus: DataFrame,
+    out_dir: str,
+    *,
+    use_stem: bool = True,
+    n_shards: int = 16,
+    n_chunks: int = 4,
+    block_docs: int = BLOCK_DOCS,
+    resume: bool = True,
+) -> "IndexReader":
+    """Build (or resume building) the index for a corpus that already
+    carries ``doc_id`` and ``content_sha256`` (engine.io.with_identity)."""
+    ensure_importable(spark)
+    os.makedirs(out_dir, exist_ok=True)
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+
+    fp = corpus_fingerprint(corpus)
+    man = _read_manifest(out_dir) if resume else None
+    if man is None or man.get("fingerprint") != fp or man.get("config") != {
+        "use_stem": use_stem, "n_shards": n_shards, "block_docs": block_docs,
+    }:
+        man = {
+            "version": 1,
+            "config": {"use_stem": use_stem, "n_shards": n_shards, "block_docs": block_docs},
+            "fingerprint": fp,
+            "stages": {},
+            "chunks": {},
+            "created_unix": time.time(),
+        }
+
+    tokens_path = os.path.join(out_dir, "tokens")
+    doc_stats_path = os.path.join(out_dir, "doc_stats")
+    postings_path = os.path.join(out_dir, "postings")
+    dict_path = os.path.join(out_dir, "dictionary")
+
+    # ---- stage 1: tokens (sharded) + doc stats + global stats ----------
+    if man["stages"].get("tokens") != "done":
+        toks = tokens_df(corpus, use_stem=use_stem).withColumn(
+            "shard", F.pmod(F.xxhash64("doc_id"), F.lit(n_shards)).cast("int")
+        )
+        (
+            toks.repartition(n_shards, "shard")
+            .sortWithinPartitions("shard", "term", "doc_id")
+            .write.mode("overwrite")
+            .partitionBy("shard")
+            .parquet(tokens_path)
+        )
+        man["stages"]["tokens"] = "done"
+        _write_manifest(out_dir, man)
+
+    toks = spark.read.parquet(tokens_path)
+
+    if man["stages"].get("doc_stats") != "done":
+        ds = doc_stats_df(corpus, toks).join(
+            corpus.select("doc_id", "repo", "path", "content_sha256"), "doc_id"
+        )
+        ds.write.mode("overwrite").parquet(doc_stats_path)
+        st = spark.read.parquet(doc_stats_path).agg(
+            F.count("*").alias("n"), F.avg("doc_len").alias("avgdl")
+        ).collect()[0]
+        if st["n"] != fp["n"]:
+            raise AssertionError(
+                f"doc_stats rows {st['n']} != corpus rows {fp['n']} — "
+                "sha256/doc_id invariant violated in stage 1"
+            )
+        man["stats"] = {"n_docs": st["n"], "avgdl": float(st["avgdl"] or 0.0)}
+        man["stages"]["doc_stats"] = "done"
+        _write_manifest(out_dir, man)
+
+    avgdl = man["stats"]["avgdl"]
+
+    # ---- stage 2: posting blocks, chunk by chunk (checkpoint unit) -----
+    chunk_of = lambda shard: shard % n_chunks  # noqa: E731
+    for chunk in range(n_chunks):
+        key = str(chunk)
+        if man["chunks"].get(key, {}).get("status") == "done":
+            continue
+        shards = [s for s in range(n_shards) if chunk_of(s) == chunk]
+        part = toks.where(F.col("shard").isin(shards))
+        blocks = part.groupBy("shard", "term").applyInPandas(
+            lambda pdf, _avgdl=avgdl, _bd=block_docs: blocks_pdf_for_group(
+                pdf, _avgdl, _bd
+            ),
+            BLOCKS_SCHEMA,
+        )
+        (
+            blocks.repartition(len(shards), "shard")
+            .sortWithinPartitions("shard", "term", "block_id")
+            .write.mode("overwrite")
+            .partitionBy("shard")
+            .parquet(postings_path)
+        )
+        # per-partition metrics (BASELINE.json:14 'lineage + metrics')
+        written = spark.read.parquet(postings_path).where(F.col("shard").isin(shards))
+        mrow = written.agg(
+            F.count("*").alias("n_blocks"),
+            F.sum("n").alias("n_postings"),
+            F.countDistinct("term").alias("n_terms"),
+        ).collect()[0]
+        tokrow = part.agg(
+            F.count("*").alias("n_token_rows"), F.sum("tf").alias("n_tokens")
+        ).collect()[0]
+        man["chunks"][key] = {
+            "status": "done",
+            "shards": shards,
+            "metrics": {
+                "n_blocks": mrow["n_blocks"],
+                "n_postings": int(mrow["n_postings"] or 0),
+                "n_terms": mrow["n_terms"],
+                "n_token_rows": tokrow["n_token_rows"],
+                "n_tokens": int(tokrow["n_tokens"] or 0),
+            },
+            "finished_unix": time.time(),
+        }
+        _write_manifest(out_dir, man)
+
+    # posting/token conservation: Σ chunk postings == Σ token rows
+    tot_post = sum(c["metrics"]["n_postings"] for c in man["chunks"].values())
+    tot_tok = sum(c["metrics"]["n_token_rows"] for c in man["chunks"].values())
+    if tot_post != tot_tok:
+        raise AssertionError(f"posting rows {tot_post} != token rows {tot_tok}")
+
+    # ---- stage 3: global dictionary ------------------------------------
+    if man["stages"].get("dictionary") != "done":
+        blocks = spark.read.parquet(postings_path)
+        nb = blocks.groupBy("term").agg(F.count("*").alias("n_blocks"))
+        d = dictionary_df(toks).join(nb, "term", "left")
+        d.write.mode("overwrite").parquet(dict_path)
+        man["stages"]["dictionary"] = "done"
+        man["stages"]["complete"] = "done"
+        _write_manifest(out_dir, man)
+
+    return IndexReader(spark, out_dir)
+
+
+@dataclass
+class IndexReader:
+    """Query-side handle (SURVEY.md §3.2)."""
+
+    spark: SparkSession
+    dir: str
+    manifest: dict = field(init=False)
+
+    def __post_init__(self) -> None:
+        m = _read_manifest(self.dir)
+        if not m or m["stages"].get("complete") != "done":
+            raise ValueError(f"no complete index at {self.dir}")
+        self.manifest = m
+        ensure_importable(self.spark)
+
+    @property
+    def use_stem(self) -> bool:
+        return self.manifest["config"]["use_stem"]
+
+    def postings(self) -> DataFrame:
+        return self.spark.read.parquet(os.path.join(self.dir, "postings"))
+
+    def dictionary(self) -> DataFrame:
+        return self.spark.read.parquet(os.path.join(self.dir, "dictionary"))
+
+    def doc_stats(self) -> DataFrame:
+        return self.spark.read.parquet(os.path.join(self.dir, "doc_stats"))
+
+    def query_weights(self, query: str) -> dict[str, float]:
+        """term → qtf * idf for the query's terms (tiny driver-side
+        dict; the dictionary lookup is a pushed-down isin scan)."""
+        from collections import Counter
+
+        qtf = Counter(tokenize(query, use_stem=self.use_stem))
+        if not qtf:
+            return {}
+        n = self.manifest["stats"]["n_docs"]
+        rows = (
+            self.dictionary()
+            .where(F.col("term").isin(list(qtf)))
+            .select("term", idf_col(F.col("df").cast("double"), F.lit(float(n))).alias("idf"))
+            .collect()
+        )
+        return {r["term"]: qtf[r["term"]] * r["idf"] for r in rows}
+
+    def bm25_topk(
+        self, query: str, k: int = 10, *, prune: bool = True,
+        with_metadata: bool = False,
+    ) -> DataFrame:
+        """Top-k (rank, doc_id, score) via per-shard block-max pruned
+        scoring in applyInPandas + global TakeOrderedAndProject."""
+        import pandas as pd
+
+        weights = self.query_weights(query)
+        avgdl = self.manifest["stats"]["avgdl"]
+        spark = self.spark
+        if not weights:
+            empty = spark.createDataFrame([], "rank int, doc_id long, score double")
+            return empty
+
+        blocks = self.postings().where(F.col("term").isin(list(weights)))
+
+        def shard_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+            from .wand import topk_shard
+
+            ids, sc = topk_shard(pdf, weights, avgdl, k, prune=prune)
+            return pd.DataFrame({"doc_id": ids, "score": sc})
+
+        per_shard = blocks.groupBy("shard").applyInPandas(
+            shard_kernel, "doc_id long, score double"
+        )
+        topk = per_shard.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+        w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+        out = topk.withColumn("rank", F.row_number().over(w)).select(
+            "rank", "doc_id", "score"
+        )
+        if with_metadata:
+            out = out.join(
+                self.doc_stats().select("doc_id", "repo", "path"), "doc_id", "left"
+            ).orderBy("rank")
+        return out

@@ -1,0 +1,138 @@
+"""Block-max pruned top-k scoring kernel (BASELINE.json:6 "block-max
+WAND pruning inside mapInPandas"; SURVEY.md §2.6 Q5).
+
+Algorithm: block-max MaxScore, term-at-a-time — the rank-SAFE member of
+the WAND family that vectorizes cleanly in numpy (document-at-a-time
+WAND is a per-posting pointer chase; TAAT MaxScore does the same
+pruning with whole-array ops):
+
+1. Terms sorted by upper bound ub_t = w_t * max_block_norm desc
+   (w_t = qtf_t * idf_t; norm is the query-independent BM25 factor,
+   engine/postings.py).
+2. OR phase: merge-accumulate full posting lists while new documents
+   can still reach the current top-k floor θ (θ = k-th best partial
+   score — a LOWER bound of the k-th final score, so the switch is
+   conservative/rank-safe).
+3. AND phase (once Σ remaining ub < θ): no unseen doc can enter the
+   top-k, so only accumulator docs need finishing. Blocks are decoded
+   ONLY if (a) their doc_id range intersects the accumulator
+   (searchsorted on first/last_doc_id) AND (b) their block-max bound
+   could still matter: acc_max + w*block_max + Σ ub_after ≥ θ.
+4. After each AND-phase term, accumulator docs with
+   score + Σ ub_remaining < θ are dropped (they can no longer reach
+   the top-k; dropping them is rank-safe because θ only grows).
+
+All bounds are computed in float64 and compared with ≥ (SURVEY.md §7
+hard part #3). ``prune=False`` gives the exhaustive path used for the
+rank-safety cross-check.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from .postings import decode_block, score_norm
+
+
+def _merge_accumulate(
+    acc_ids: np.ndarray, acc_sc: np.ndarray, ids: np.ndarray, sc: np.ndarray
+):
+    if acc_ids.size == 0:
+        order = np.argsort(ids, kind="stable")
+        return ids[order], sc[order]
+    both = np.concatenate([acc_ids, ids])
+    scores = np.concatenate([acc_sc, sc])
+    uid, inv = np.unique(both, return_inverse=True)
+    out = np.zeros(uid.size, dtype=np.float64)
+    np.add.at(out, inv, scores)
+    return uid, out
+
+
+def _update_existing(
+    acc_ids: np.ndarray, acc_sc: np.ndarray, ids: np.ndarray, sc: np.ndarray
+):
+    """Add sc only for ids already present in acc (AND semantics)."""
+    pos = np.searchsorted(acc_ids, ids)
+    pos_c = np.clip(pos, 0, acc_ids.size - 1)
+    hit = acc_ids[pos_c] == ids
+    np.add.at(acc_sc, pos_c[hit], sc[hit])
+
+
+def _theta(acc_sc: np.ndarray, k: int) -> float:
+    if acc_sc.size < k:
+        return -np.inf
+    return float(np.partition(acc_sc, acc_sc.size - k)[acc_sc.size - k])
+
+
+def topk_shard(
+    blocks: pd.DataFrame,
+    weights: dict[str, float],
+    avgdl: float,
+    k: int,
+    *,
+    prune: bool = True,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Score one shard's blocks for one query → (doc_ids, scores) of the
+    shard-local top-k (unsorted). ``blocks`` has the BLOCKS_SCHEMA
+    columns for the query's terms only."""
+    by_term: dict[str, pd.DataFrame] = {
+        t: g for t, g in blocks.groupby("term", sort=False) if t in weights
+    }
+    if not by_term:
+        return np.empty(0, np.int64), np.empty(0, np.float64)
+
+    term_ub = {
+        t: weights[t] * float(g["block_max_norm"].max()) for t, g in by_term.items()
+    }
+    terms = sorted(term_ub, key=lambda t: -term_ub[t])
+    ubs = np.array([term_ub[t] for t in terms])
+    remaining_after = np.concatenate([np.cumsum(ubs[::-1])[::-1][1:], [0.0]])
+
+    acc_ids = np.empty(0, np.int64)
+    acc_sc = np.empty(0, np.float64)
+
+    for i, t in enumerate(terms):
+        w = weights[t]
+        g = by_term[t]
+        theta = _theta(acc_sc, k)
+        and_phase = prune and np.isfinite(theta) and (ubs[i] + remaining_after[i]) < theta
+
+        if not and_phase:
+            # OR phase: decode every block of t, merge-accumulate
+            parts_ids, parts_sc = [], []
+            for row in g.itertuples(index=False):
+                ids, tfs, dls = decode_block(row)
+                parts_ids.append(ids)
+                parts_sc.append(w * score_norm(tfs, dls, avgdl))
+            ids = np.concatenate(parts_ids)
+            sc = np.concatenate(parts_sc)
+            acc_ids, acc_sc = _merge_accumulate(acc_ids, acc_sc, ids, sc)
+        else:
+            if acc_ids.size == 0:
+                break
+            acc_max = float(acc_sc.max())
+            for row in g.itertuples(index=False):
+                lo = np.searchsorted(acc_ids, row.first_doc_id, side="left")
+                hi = np.searchsorted(acc_ids, row.last_doc_id, side="right")
+                if lo >= hi:
+                    continue  # no accumulator doc in this block's range
+                block_ub = w * row.block_max_norm
+                if acc_max + block_ub + remaining_after[i] < theta:
+                    continue  # even the best candidate cannot profit
+                ids, tfs, dls = decode_block(row)
+                _update_existing(acc_ids, acc_sc, ids, w * score_norm(tfs, dls, avgdl))
+            # prune accumulator docs that can no longer reach top-k
+            theta = _theta(acc_sc, k)
+            if np.isfinite(theta):
+                keep = acc_sc + remaining_after[i] >= theta
+                acc_ids, acc_sc = acc_ids[keep], acc_sc[keep]
+
+    if acc_ids.size > k:
+        idx = np.argpartition(acc_sc, acc_sc.size - k)[acc_sc.size - k :]
+        # θ-ties at the boundary: keep everything ≥ the k-th score so the
+        # global merge (score desc, doc_id asc) can break ties exactly
+        kth = acc_sc[idx].min()
+        keep = acc_sc >= kth
+        acc_ids, acc_sc = acc_ids[keep], acc_sc[keep]
+    return acc_ids, acc_sc
