@@ -1,0 +1,92 @@
+"""Per-round benchmark harness (driver contract).
+
+Runs the headline pipeline at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON
+line: {"metric", "value" (total sec), "unit", "queries" (per-step sec),
+"sf", ...extras}. Extras include index-build docs/sec and the
+corpus size so rounds are comparable.
+
+The N-vs-4N scaling-efficiency evidence (BASELINE.md protocol) is the
+separate, slower ``scripts/bench_scaling.py`` — this file stays fast
+enough to run every round.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+    from engine.session import get_spark
+    from engine.io import documents_as_corpus, with_identity
+    from engine.index import build_index
+    from engine.build import dictionary_df, tokens_df
+    from engine.query import bm25_topk_exhaustive
+
+    spark = get_spark("bench", cores=cpus)
+    corpus = documents_as_corpus(spark, sf_dir)
+    from engine.ids import sha256_col
+    from pyspark.sql import functions as F
+
+    corpus = corpus.withColumn("content_sha256", sha256_col(F.col("content")))
+
+    timings: dict[str, float] = {}
+    t_all = time.perf_counter()
+
+    n_docs = corpus.count()
+
+    idx_dir = tempfile.mkdtemp(prefix="bench_index_")
+    try:
+        t = time.perf_counter()
+        reader = build_index(
+            spark, corpus, idx_dir, use_stem=True, n_shards=16, n_chunks=2
+        )
+        timings["index_build"] = time.perf_counter() - t
+
+        t = time.perf_counter()
+        dictionary_df(tokens_df(corpus, use_stem=False)).count()
+        timings["tokenize_dictionary_unstemmed"] = time.perf_counter() - t
+
+        bm25_queries = {
+            "bm25_wand_table_scan": "table scan fast",
+            "bm25_wand_multi": "query join window group",
+            "bm25_wand_hot": "the value stream sort merge",
+            "bm25_wand_single": "customer",
+        }
+        for name, text in bm25_queries.items():
+            t = time.perf_counter()
+            reader.bm25_topk(text, 10, prune=True).collect()
+            timings[name] = time.perf_counter() - t
+
+        t = time.perf_counter()
+        bm25_topk_exhaustive(spark, corpus, "table scan fast", 10).collect()
+        timings["bm25_exhaustive_recompute"] = time.perf_counter() - t
+    finally:
+        shutil.rmtree(idx_dir, ignore_errors=True)
+
+    total = time.perf_counter() - t_all
+    out = {
+        "metric": "index_build_plus_bm25_suite",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": {k: round(v, 3) for k, v in timings.items()},
+        "sf": sf_dir,
+        "n_docs": n_docs,
+        "build_docs_per_sec": round(n_docs / timings["index_build"], 1),
+        "cpus": cpus,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -64,12 +64,14 @@ def corpus_fingerprint(corpus: DataFrame) -> dict:
     """Cheap input identity: row count + sum of doc_ids + xor-ish sum of
     the sha256 head — detects resuming onto different input and doubles
     as the end-to-end sha256-invariant assertion surface."""
+    # modulus small enough that the sum stays in int64 even at 10^12 rows
+    mod = 1_000_003
     row = corpus.select(
         F.count("*").alias("n"),
-        F.sum(F.col("doc_id") % F.lit(2**61 - 1)).alias("id_sum"),
+        F.sum(F.col("doc_id") % F.lit(mod)).alias("id_sum"),
         F.sum(
             F.conv(F.substring("content_sha256", 1, 15), 16, 10).cast("long")
-            % F.lit(2**61 - 1)
+            % F.lit(mod)
         ).alias("sha_sum"),
     ).collect()[0]
     return {"n": row["n"], "id_sum": str(row["id_sum"]), "sha_sum": str(row["sha_sum"])}
@@ -155,11 +157,14 @@ def build_index(
             continue
         shards = [s for s in range(n_shards) if chunk_of(s) == chunk]
         part = toks.where(F.col("shard").isin(shards))
+        def _make_kernel(_avgdl: float, _bd: int):
+            def kernel(pdf):
+                return blocks_pdf_for_group(pdf, _avgdl, _bd)
+
+            return kernel
+
         blocks = part.groupBy("shard", "term").applyInPandas(
-            lambda pdf, _avgdl=avgdl, _bd=block_docs: blocks_pdf_for_group(
-                pdf, _avgdl, _bd
-            ),
-            BLOCKS_SCHEMA,
+            _make_kernel(avgdl, block_docs), BLOCKS_SCHEMA
         )
         (
             blocks.repartition(len(shards), "shard")

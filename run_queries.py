@@ -1,0 +1,59 @@
+"""spark-submit entrypoint: batch query-set evaluation (SURVEY.md §3.3).
+
+    spark-submit --py-files ... run_queries.py --index /index/dir \
+        --queries fixtures/queries.json [--k 10] [--out results.parquet]
+
+Prints per-query top-k and (optionally) writes a tagged union parquet
+(query_id, rank, doc_id, score) — the golden-comparison shape
+(FIXTURES.md §3).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--index", required=True)
+    ap.add_argument("--queries", required=True)
+    ap.add_argument("--k", type=int, default=10)
+    ap.add_argument("--out", default=None)
+    ap.add_argument("--exhaustive", action="store_true")
+    ap.add_argument("--cores", default=None)
+    args = ap.parse_args()
+
+    from pyspark.sql import functions as F
+
+    from engine.session import get_spark
+    from engine.index import IndexReader
+
+    spark = get_spark("run_queries", cores=args.cores)
+    reader = IndexReader(spark, args.index)
+    with open(args.queries) as f:
+        queries = json.load(f)
+
+    results = []
+    for q in queries:
+        t = time.perf_counter()
+        df = reader.bm25_topk(q["text"], args.k, prune=not args.exhaustive)
+        rows = df.collect()
+        dt = time.perf_counter() - t
+        print(f"[{q['query_id']}] {q['text']!r} k={args.k} {dt*1e3:.0f}ms "
+              f"-> {[(r['doc_id'], round(r['score'], 4)) for r in rows[:3]]}...")
+        results.append(df.withColumn("query_id", F.lit(q["query_id"])))
+
+    if args.out and results:
+        union = results[0]
+        for r in results[1:]:
+            union = union.unionByName(r)
+        union.select("query_id", "rank", "doc_id", "score").write.mode(
+            "overwrite"
+        ).parquet(args.out)
+        print("wrote", args.out)
+
+
+if __name__ == "__main__":
+    main()

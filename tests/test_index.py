@@ -1,0 +1,129 @@
+"""M2/M3/M4 gates: physical index build → WAND == exhaustive == oracle;
+codec losslessness through the full index; checkpoint resume;
+determinism (SURVEY.md §5.2.4-5)."""
+
+import json
+import os
+import shutil
+
+import numpy as np
+import pytest
+
+from engine.index import MANIFEST, IndexReader, build_index
+from oracle.bm25_ref import OracleIndex
+
+K = 10
+
+
+@pytest.fixture(scope="module")
+def index_dir(spark, tiny_corpus, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("index"))
+    build_index(spark, tiny_corpus, d, use_stem=True, n_shards=4, n_chunks=2)
+    return d
+
+
+@pytest.fixture(scope="module")
+def reader(spark, index_dir):
+    return IndexReader(spark, index_dir)
+
+
+def test_manifest_lineage_and_metrics(index_dir):
+    with open(os.path.join(index_dir, MANIFEST)) as f:
+        man = json.load(f)
+    assert man["stages"]["complete"] == "done"
+    assert len(man["chunks"]) == 2
+    for c in man["chunks"].values():
+        assert c["status"] == "done"
+        m = c["metrics"]
+        assert m["n_postings"] == m["n_token_rows"] > 0
+        assert m["n_tokens"] >= m["n_postings"]
+        assert m["n_blocks"] >= 1
+
+
+def test_index_postings_lossless(reader, tiny_docs):
+    """Decode every block and rebuild term → postings; must equal the
+    oracle's postings exactly (codec + sharding are lossless)."""
+    from engine.postings import decode_block
+
+    oracle = OracleIndex(tiny_docs, use_stem=True)
+    got: dict[str, dict[int, int]] = {}
+    for row in reader.postings().collect():
+        ids, tfs, dls = decode_block(row)
+        assert np.all(np.diff(ids) > 0)  # strictly increasing within block
+        for d, t in zip(ids.tolist(), tfs.tolist()):
+            got.setdefault(row["term"], {})[d] = t
+    want = {t: dict(pl) for t, pl in oracle.postings.items()}
+    assert got == want
+
+
+def test_dictionary_matches_oracle(reader, tiny_docs):
+    oracle = OracleIndex(tiny_docs, use_stem=True)
+    rows = reader.dictionary().collect()
+    got = {r["term"]: (r["df"], r["cf"]) for r in rows}
+    assert got == {t: (oracle.df[t], oracle.cf[t]) for t in oracle.df}
+
+
+def test_wand_rank_identical_to_oracle(reader, tiny_docs, queries):
+    oracle = OracleIndex(tiny_docs, use_stem=True)
+    for q in queries:
+        want = oracle.bm25_topk(q["text"], K)
+        for prune in (True, False):
+            got = reader.bm25_topk(q["text"], K, prune=prune).collect()
+            got_ids = [r["doc_id"] for r in got]
+            assert got_ids == [d for d, _ in want], (
+                f"q{q['query_id']} prune={prune}: {got_ids} vs {want}"
+            )
+            for r, (_, s) in zip(got, want):
+                assert abs(r["score"] - s) <= 1e-6
+
+
+def test_metadata_join(reader):
+    out = reader.bm25_topk("inverted index compression", 5, with_metadata=True)
+    rows = out.collect()
+    assert rows and all(r["repo"] and r["path"] for r in rows)
+
+
+def test_resume_skips_done_and_completes_partial(spark, tiny_corpus, index_dir,
+                                                 tmp_path_factory, tiny_docs, queries):
+    # copy the built index, surgically mark chunk 1 incomplete + delete its shards
+    d2 = str(tmp_path_factory.mktemp("index_resume"))
+    shutil.copytree(index_dir, d2, dirs_exist_ok=True)
+    with open(os.path.join(d2, MANIFEST)) as f:
+        man = json.load(f)
+    victim = man["chunks"]["1"]
+    man["chunks"]["1"] = {"status": "pending"}
+    for stage in ("dictionary", "complete"):
+        man["stages"].pop(stage, None)
+    with open(os.path.join(d2, MANIFEST), "w") as f:
+        json.dump(man, f)
+    for s in victim["shards"]:
+        shutil.rmtree(os.path.join(d2, "postings", f"shard={s}"), ignore_errors=True)
+
+    r2 = build_index(spark, tiny_corpus, d2, use_stem=True, n_shards=4, n_chunks=2)
+    with open(os.path.join(d2, MANIFEST)) as f:
+        man2 = json.load(f)
+    assert man2["stages"]["complete"] == "done"
+    # chunk 0 untouched (same finish time), chunk 1 rebuilt
+    oracle = OracleIndex(tiny_docs, use_stem=True)
+    q = queries[0]
+    got = [r["doc_id"] for r in r2.bm25_topk(q["text"], K).collect()]
+    assert got == [d for d, _ in oracle.bm25_topk(q["text"], K)]
+
+
+def test_deterministic_rebuild(spark, tiny_corpus, index_dir, tmp_path_factory):
+    """Two independent builds → byte-identical logical content."""
+    d3 = str(tmp_path_factory.mktemp("index_rebuild"))
+    build_index(spark, tiny_corpus, d3, use_stem=True, n_shards=4, n_chunks=2)
+    a = IndexReader(spark, index_dir)
+    b = IndexReader(spark, d3)
+
+    def blocks_set(r):
+        return {
+            (row["shard"], row["term"], row["block_id"],
+             bytes(row["doc_ids_blob"]), bytes(row["tfs_blob"]),
+             bytes(row["doc_lens_blob"]))
+            for row in r.postings().collect()
+        }
+
+    assert blocks_set(a) == blocks_set(b)
+    assert a.manifest["stats"] == b.manifest["stats"]
