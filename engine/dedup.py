@@ -1,0 +1,347 @@
+"""Deduplication operators for a training-data pipeline.
+
+- exact: sha256 hash-groupBy — one shuffle on the hash, scales linearly.
+- n-gram Jaccard: exact pairwise similarity via an inverted shingle
+  join — correct but quadratic in the worst case; the small-scale
+  verifier for the two approximate methods below.
+- MinHash signatures + LSH banding: the 100 TB path — signature cost is
+  linear, banding turns pair discovery into an equi-join on band keys
+  (shuffle on band key; hot buckets are bounded by band width).
+- SimHash + pigeonhole banding: 60-bit simhash; pairs within Hamming
+  distance d are found EXACTLY by joining on (d+1) disjoint bit-bands
+  (≤d differing bits leave ≥1 band intact) — no quadratic cross-join.
+
+Everything is deterministic: the term/shingle hash is md5-based
+(cross-engine, engine/textops.py), MinHash coefficients are pinned
+literals, so each operator has an exact DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .stopwords import stopwords_sql_list
+from .textops import ROUND, term_hash_col, term_hash_sql, tokens_filtered_col
+from .tokenizer import TOKEN_PATTERN
+
+MH_P = 2_147_483_647  # 2^31-1
+MH_K = 16             # signature length
+MH_BAND_ROWS = 4      # → 4 bands
+SIM_BITS = 60
+SIM_BANDS = 4         # exact for hamming <= SIM_BANDS - 1
+SIM_HAMMING = 3
+JACCARD_MIN = 0.5
+
+
+def _mh_params() -> list[tuple[int, int, int]]:
+    """Pinned (j, a_j, b_j) MinHash coefficients (deterministic)."""
+    out = []
+    for j in range(MH_K):
+        a = (2654435761 * (j + 1)) % MH_P
+        if a == 0:
+            a = 1
+        b = (40503 * (j + 1) * (j + 1) + 17) % MH_P
+        out.append((j, a, b))
+    return out
+
+
+# ------------------------------------------------------------ exact dedup
+
+def exact_dedup(corpus: DataFrame) -> DataFrame:
+    """(content_sha256, n_dups, keeper_doc_id): group identical content,
+    keep the smallest doc_id."""
+    return corpus.groupBy(F.sha2(F.col("content"), 256).alias("content_sha256")).agg(
+        F.count("*").alias("n_dups"), F.min("doc_id").alias("keeper_doc_id")
+    )
+
+
+def exact_dedup_sql() -> str:
+    return (
+        "SELECT sha256(text) AS content_sha256, count(*)::BIGINT AS n_dups, "
+        "min(doc_id) AS keeper_doc_id FROM documents GROUP BY sha256(text)"
+    )
+
+
+# ------------------------------------------------------------- shingles
+
+def shingles_df(corpus: DataFrame, n: int = 3) -> DataFrame:
+    """(doc_id, shingle): DISTINCT n-gram token shingles (unstemmed,
+    stopword-filtered, order-preserving)."""
+    toks = corpus.select(
+        "doc_id",
+        F.posexplode(tokens_filtered_col(F.col("content"))).alias("pos", "term"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    sh = toks.select(
+        "doc_id",
+        F.concat_ws(
+            " ", F.col("term"), F.lead("term", 1).over(w), F.lead("term", 2).over(w)
+        ).alias("shingle"),
+        F.lead("term", 2).over(w).alias("_t2"),
+    ).where(F.col("_t2").isNotNull())
+    return sh.select("doc_id", "shingle").distinct()
+
+
+def _shingle_cte() -> str:
+    from .stopwords import ALL_STOPWORDS
+
+    pat = TOKEN_PATTERN.replace("'", "''")
+    stop_arr = (
+        "[" + ", ".join("'" + w.replace("'", "''") + "'" for w in sorted(ALL_STOPWORDS)) + "]"
+    )
+    return f"""
+tokf AS (
+  SELECT doc_id,
+         unnest(l) AS term,
+         unnest(range(1, len(l) + 1)) AS pos
+  FROM (
+    SELECT doc_id,
+           list_filter(regexp_extract_all(lower(text), '{pat}'),
+                       t -> NOT list_contains({stop_arr}, t)) AS l
+    FROM documents)
+),
+sh AS (
+  SELECT DISTINCT doc_id, shingle FROM (
+    SELECT doc_id,
+           term || ' ' || lead(term, 1) OVER w || ' ' || lead(term, 2) OVER w AS shingle,
+           lead(term, 2) OVER w AS _t2
+    FROM tokf WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+  ) WHERE _t2 IS NOT NULL
+)
+"""
+
+
+# ------------------------------------------------- exact n-gram Jaccard
+
+def ngram_jaccard_pairs(corpus: DataFrame, threshold: float = JACCARD_MIN) -> DataFrame:
+    """(doc_a, doc_b, jaccard): exact shingle-set Jaccard ≥ threshold via
+    inverted shingle join. Quadratic worst case — use MinHash-LSH at
+    scale; this is the ground-truth verifier."""
+    sh = shingles_df(corpus)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("i"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    j = (
+        inter.join(sa, "doc_a").join(sb, "doc_b")
+        .select(
+            "doc_a", "doc_b",
+            F.round(F.col("i") / (F.col("na") + F.col("nb") - F.col("i")), ROUND).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+    return j
+
+
+def ngram_jaccard_pairs_sql(threshold: float = JACCARD_MIN) -> str:
+    return f"""
+WITH {_shingle_cte()},
+sizes AS (SELECT doc_id, count(*)::BIGINT AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*)::BIGINT AS i
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT doc_a, doc_b,
+       round(i / (sa.n + sb.n - i)::DOUBLE, {ROUND}) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE round(i / (sa.n + sb.n - i)::DOUBLE, {ROUND}) >= {threshold}
+"""
+
+
+# --------------------------------------------------------- MinHash + LSH
+
+def minhash_signatures(corpus: DataFrame) -> DataFrame:
+    """(doc_id, j, minhash): k=16 permutation minima over the shingle
+    set — h_j(x) = (a_j * (H(shingle) % p) + b_j) % p."""
+    sh = shingles_df(corpus).withColumn(
+        "h", term_hash_col(F.col("shingle")) % MH_P
+    )
+    spark = corpus.sparkSession
+    params = spark.createDataFrame(_mh_params(), "j int, a long, b long")
+    return (
+        sh.crossJoin(F.broadcast(params))
+        .groupBy("doc_id", "j")
+        .agg(F.min((F.col("a") * F.col("h") + F.col("b")) % MH_P).alias("minhash"))
+    )
+
+
+def minhash_signatures_sql() -> str:
+    rows = ", ".join(f"({j}, {a}::BIGINT, {b}::BIGINT)" for j, a, b in _mh_params())
+    h = term_hash_sql("shingle")
+    return f"""
+WITH {_shingle_cte()},
+params(j, a, b) AS (VALUES {rows})
+SELECT doc_id, j, min((a * ({h} % {MH_P}) + b) % {MH_P}) AS minhash
+FROM sh CROSS JOIN params
+GROUP BY doc_id, j
+"""
+
+
+def minhash_candidate_pairs(corpus: DataFrame) -> DataFrame:
+    """(doc_a, doc_b, n_bands): LSH band-collision candidates — docs
+    agreeing on ALL rows of ≥1 band. The scale path: equi-join on
+    (band, band_key), never a cross-join."""
+    sig = minhash_signatures(corpus).withColumn(
+        "band", (F.col("j") / MH_BAND_ROWS).cast("int")
+    )
+    keys = sig.groupBy("doc_id", "band").agg(
+        F.concat_ws(
+            ",",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("j", "minhash"))),
+                lambda s: s["minhash"].cast("string"),
+            ),
+        ).alias("band_key")
+    )
+    a = keys.alias("a")
+    b = keys.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_bands"))
+    )
+
+
+def minhash_candidate_pairs_sql() -> str:
+    sig = minhash_signatures_sql().strip()
+    return f"""
+WITH sig AS ({sig}),
+keys AS (
+  SELECT doc_id, (j // {MH_BAND_ROWS})::INTEGER AS band,
+         string_agg(minhash::VARCHAR, ',' ORDER BY j) AS band_key
+  FROM sig GROUP BY doc_id, (j // {MH_BAND_ROWS})::INTEGER
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*)::BIGINT AS n_bands
+FROM keys a JOIN keys b
+  ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+GROUP BY a.doc_id, b.doc_id
+"""
+
+
+# ----------------------------------------------------------------- SimHash
+
+def simhash(corpus: DataFrame) -> DataFrame:
+    """(doc_id, simhash): 60-bit SimHash over tf-weighted term hashes."""
+    toks = corpus.select(
+        "doc_id", F.explode(tokens_filtered_col(F.col("content"))).alias("term")
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    tf = tf.withColumn("h", term_hash_col(F.col("term")))
+    bits = tf.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(SIM_BITS - 1))).alias("bit"),
+        "h",
+        "tf",
+    )
+    contrib = bits.withColumn(
+        "c", F.expr("CASE WHEN ((h >> bit) & 1) = 1 THEN tf ELSE -tf END")
+    )
+    return (
+        contrib.groupBy("doc_id", "bit")
+        .agg(F.sum("c").alias("s"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.when(F.col("s") > 0, F.expr("shiftleft(1L, bit)")).otherwise(0)
+            ).alias("simhash")
+        )
+    )
+
+
+def simhash_sql() -> str:
+    pat = TOKEN_PATTERN.replace("'", "''")
+    stop = stopwords_sql_list()
+    h = term_hash_sql("term")
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '{pat}')) AS term
+  FROM documents
+),
+tf AS (
+  SELECT doc_id, term, count(*)::BIGINT AS tf, {h} AS hh
+  FROM tok WHERE term NOT IN {stop} GROUP BY doc_id, term
+),
+bits AS (
+  SELECT tf.doc_id, b.bit,
+         sum(CASE WHEN (hh >> b.bit) & 1 = 1 THEN tf ELSE -tf END) AS s
+  FROM tf CROSS JOIN (SELECT unnest(range(0, {SIM_BITS})) AS bit) b
+  GROUP BY tf.doc_id, b.bit
+)
+SELECT doc_id,
+       sum(CASE WHEN s > 0 THEN (1::BIGINT << bit) ELSE 0 END)::BIGINT AS simhash
+FROM bits GROUP BY doc_id
+"""
+
+
+def simhash_dup_pairs(corpus: DataFrame, max_hamming: int = SIM_HAMMING) -> DataFrame:
+    """(doc_a, doc_b, hamming): pairs within Hamming distance d, found
+    EXACTLY via pigeonhole banding — (d+1)=4 disjoint 15-bit bands; ≤d
+    differing bits leave ≥1 band equal, so candidates come from 4
+    equi-joins, not a cross-join (the 100 TB-safe plan)."""
+    sh = simhash(corpus)
+    width = SIM_BITS // SIM_BANDS
+    bands = sh.select(
+        "doc_id",
+        "simhash",
+        F.explode(F.sequence(F.lit(0), F.lit(SIM_BANDS - 1))).alias("band"),
+    ).withColumn(
+        "band_val",
+        F.expr(f"(simhash >> (band * {width})) & {(1 << width) - 1}"),
+    )
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("ha"),
+            F.col("b.simhash").alias("hb"),
+        )
+        .distinct()
+    )
+    return cand.select(
+        "doc_a",
+        "doc_b",
+        F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))).alias("hamming"),
+    ).where(F.col("hamming") <= max_hamming)
+
+
+def simhash_dup_pairs_sql(max_hamming: int = SIM_HAMMING) -> str:
+    width = SIM_BITS // SIM_BANDS
+    return f"""
+WITH sh AS ({simhash_sql().strip()}),
+bands AS (
+  SELECT doc_id, simhash, b.band,
+         (simhash >> (b.band * {width})) & {(1 << width) - 1} AS band_val
+  FROM sh CROSS JOIN (SELECT unnest(range(0, {SIM_BANDS})) AS band) b
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         a.simhash AS ha, b.simhash AS hb
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.band_val = b.band_val AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, bit_count(xor(ha, hb))::INTEGER AS hamming
+FROM cand WHERE bit_count(xor(ha, hb)) <= {max_hamming}
+"""

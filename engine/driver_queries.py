@@ -164,6 +164,101 @@ def _mk_bm25(text: str, *, use_stem: bool):
     return run
 
 
+def _docs(spark, sf_dir):
+    """Raw documents table with doc_id + text → corpus-ish frame used by
+    the text/dedup operators (they tokenize via the JVM regex path)."""
+    ensure_importable(spark)
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return d.select("doc_id", F.col("text").alias("content"))
+
+
+def _q_token_stats(spark, sf_dir):
+    from .textops import token_stats
+
+    return token_stats(_docs(spark, sf_dir))
+
+
+def _q_lang_profile(spark, sf_dir):
+    from .textops import lang_profile
+
+    return lang_profile(_docs(spark, sf_dir))
+
+
+def _q_quality(spark, sf_dir):
+    from .textops import quality_score
+
+    return quality_score(_docs(spark, sf_dir))
+
+
+def _q_fingerprint(spark, sf_dir):
+    from .textops import doc_fingerprint
+
+    return doc_fingerprint(_docs(spark, sf_dir))
+
+
+def _q_dedup_exact(spark, sf_dir):
+    from .dedup import exact_dedup
+
+    return exact_dedup(_docs(spark, sf_dir))
+
+
+def _q_jaccard(spark, sf_dir):
+    from .dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(_docs(spark, sf_dir))
+
+
+def _q_minhash_sig(spark, sf_dir):
+    from .dedup import minhash_signatures
+
+    return minhash_signatures(_docs(spark, sf_dir))
+
+
+def _q_minhash_pairs(spark, sf_dir):
+    from .dedup import minhash_candidate_pairs
+
+    return minhash_candidate_pairs(_docs(spark, sf_dir))
+
+
+def _q_simhash(spark, sf_dir):
+    from .dedup import simhash
+
+    return simhash(_docs(spark, sf_dir))
+
+
+def _q_simhash_pairs(spark, sf_dir):
+    from .dedup import simhash_dup_pairs
+
+    return simhash_dup_pairs(_docs(spark, sf_dir))
+
+
+def _q_ann_cosine(spark, sf_dir):
+    from .sim import cosine_topk, load_embeddings, query_vector
+
+    return cosine_topk(load_embeddings(spark, sf_dir), query_vector(spark, sf_dir))
+
+
+def _q_ann_lsh(spark, sf_dir):
+    from .sim import load_embeddings, lsh_topk, query_vector
+
+    return lsh_topk(load_embeddings(spark, sf_dir), query_vector(spark, sf_dir))
+
+
+def _q_media_meta(spark, sf_dir):
+    from .multimodal import media_from_documents, media_meta
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return media_meta(media_from_documents(docs))
+
+
+def _q_media_features(spark, sf_dir):
+    from .multimodal import extract_features, media_from_documents
+
+    ensure_importable(spark)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return extract_features(media_from_documents(docs))
+
+
 def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out: dict[str, Callable] = {
         "tokenize_tf": _q_tokenize_tf,
@@ -174,6 +269,21 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "term_postings": _q_term_postings,
         "sha256_invariant": _q_sha256,
         "scan_project_filter": _q_scan_project,
+        # training-data pipeline operators
+        "token_stats": _q_token_stats,
+        "lang_profile": _q_lang_profile,
+        "quality_score": _q_quality,
+        "doc_fingerprint": _q_fingerprint,
+        "dedup_exact": _q_dedup_exact,
+        "ngram_jaccard_pairs": _q_jaccard,
+        "minhash_signatures": _q_minhash_sig,
+        "minhash_candidate_pairs": _q_minhash_pairs,
+        "simhash": _q_simhash,
+        "simhash_dup_pairs": _q_simhash_pairs,
+        "ann_cosine_topk": _q_ann_cosine,
+        "ann_lsh_topk": _q_ann_lsh,        # rows-only (bucketed recall)
+        "media_meta": _q_media_meta,
+        "media_features": _q_media_features,  # rows-only (stubbed codec)
     }
     for name, text in FIXED_QUERIES.items():
         out[f"bm25_{name}"] = _mk_bm25(text, use_stem=False)
@@ -205,6 +315,40 @@ def oracle_sqls() -> dict[str, str]:
             "FROM documents WHERE lang = 'en'"
         ),
     }
+    from .dedup import (
+        exact_dedup_sql,
+        minhash_candidate_pairs_sql,
+        minhash_signatures_sql,
+        ngram_jaccard_pairs_sql,
+        simhash_dup_pairs_sql,
+        simhash_sql,
+    )
+    from .multimodal import media_meta_sql
+    from .sim import cosine_topk_sql
+    from .textops import (
+        doc_fingerprint_sql,
+        lang_profile_sql,
+        quality_score_sql,
+        token_stats_sql,
+    )
+
+    out.update(
+        {
+            "token_stats": token_stats_sql(),
+            "lang_profile": lang_profile_sql(),
+            "quality_score": quality_score_sql(),
+            "doc_fingerprint": doc_fingerprint_sql(),
+            "dedup_exact": exact_dedup_sql(),
+            "ngram_jaccard_pairs": ngram_jaccard_pairs_sql(),
+            "minhash_signatures": minhash_signatures_sql(),
+            "minhash_candidate_pairs": minhash_candidate_pairs_sql(),
+            "simhash": simhash_sql(),
+            "simhash_dup_pairs": simhash_dup_pairs_sql(),
+            "ann_cosine_topk": cosine_topk_sql(),
+            "media_meta": media_meta_sql(),
+            # ann_lsh_topk, media_features: rows-only by design
+        }
+    )
     for name, text in FIXED_QUERIES.items():
         out[f"bm25_{name}"] = _bm25_sql(text)
         # the *_stemmed variants intentionally have no SQL (rows-only check)

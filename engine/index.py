@@ -222,6 +222,7 @@ class IndexReader:
 
     spark: SparkSession
     dir: str
+    cache: bool = False  # persist postings+dictionary for repeated queries
     manifest: dict = field(init=False)
 
     def __post_init__(self) -> None:
@@ -229,6 +230,8 @@ class IndexReader:
         if not m or m["stages"].get("complete") != "done":
             raise ValueError(f"no complete index at {self.dir}")
         self.manifest = m
+        self._postings: DataFrame | None = None
+        self._dictionary: DataFrame | None = None
         ensure_importable(self.spark)
 
     @property
@@ -236,10 +239,16 @@ class IndexReader:
         return self.manifest["config"]["use_stem"]
 
     def postings(self) -> DataFrame:
-        return self.spark.read.parquet(os.path.join(self.dir, "postings"))
+        if self._postings is None:
+            df = self.spark.read.parquet(os.path.join(self.dir, "postings"))
+            self._postings = df.cache() if self.cache else df
+        return self._postings
 
     def dictionary(self) -> DataFrame:
-        return self.spark.read.parquet(os.path.join(self.dir, "dictionary"))
+        if self._dictionary is None:
+            df = self.spark.read.parquet(os.path.join(self.dir, "dictionary"))
+            self._dictionary = df.cache() if self.cache else df
+        return self._dictionary
 
     def doc_stats(self) -> DataFrame:
         return self.spark.read.parquet(os.path.join(self.dir, "doc_stats"))

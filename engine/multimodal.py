@@ -1,0 +1,100 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+The image/audio codecs are NOT in this container, so the decode step is
+a deterministic fake behind ``decode_stub`` (clearly marked); the
+Spark-side plumbing — BinaryType schema, Arrow batch shape, mapInPandas
+signature, partition behavior — is real and tested. Swapping
+``decode_stub`` for PIL/ffmpeg is a one-function change.
+
+``media_from_documents`` manufactures a binary corpus from the driver
+``documents`` table (utf-8 payload) so the pipeline has real bytes to
+flow; ``media_meta``'s byte-level outputs (n_bytes, payload_md5) are
+DuckDB-checkable, while feature extraction is rows-only.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+FAKE_DIM = 8
+
+
+def media_from_documents(docs: DataFrame) -> DataFrame:
+    """documents → (doc_id, media_type, payload binary)."""
+    return docs.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 3 == 0, "image")
+        .when(F.col("doc_id") % 3 == 1, "audio")
+        .otherwise("video")
+        .alias("media_type"),
+        F.encode(F.col("text"), "utf-8").alias("payload"),
+    )
+
+
+def media_meta(media: DataFrame) -> DataFrame:
+    """(doc_id, media_type, n_bytes, payload_md5) — byte-level metadata,
+    pure column math (codegen), no UDF."""
+    return media.select(
+        "doc_id",
+        "media_type",
+        F.octet_length("payload").alias("n_bytes"),
+        F.md5("payload").alias("payload_md5"),
+    )
+
+
+def decode_stub(payload: bytes, media_type: str) -> np.ndarray:
+    """STUB decode: real codecs unavailable in this container.
+
+    Returns a deterministic FAKE feature vector derived from the bytes
+    (so downstream plumbing is testable end-to-end). Replace with e.g.
+    PIL.Image.open / soundfile.read in production.
+    """
+    arr = np.frombuffer(payload, dtype=np.uint8)
+    if arr.size == 0:
+        return np.zeros(FAKE_DIM, dtype=np.float32)
+    pad = (-arr.size) % FAKE_DIM
+    arr = np.pad(arr, (0, pad)).reshape(-1, FAKE_DIM)
+    return (arr.mean(axis=0) / 255.0).astype(np.float32)
+
+
+def extract_features(media: DataFrame, batch_hint: int = 256) -> DataFrame:
+    """mapInPandas feature extraction: (doc_id, media_type, feature
+    array<float>, n_bytes). Arrow-batched; per-batch numpy, no per-row
+    Python beyond the (stubbed) codec call."""
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            feats = [
+                decode_stub(bytes(p), t).tolist()
+                for p, t in zip(pdf["payload"], pdf["media_type"])
+            ]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media_type": pdf["media_type"],
+                    "feature": feats,
+                    "n_bytes": [len(bytes(p)) for p in pdf["payload"]],
+                }
+            )
+
+    return media.mapInPandas(
+        _batches, "doc_id long, media_type string, feature array<float>, n_bytes int"
+    )
+
+
+def media_meta_sql() -> str:
+    """DuckDB oracle for media_meta over the documents view."""
+    return """
+SELECT doc_id,
+       CASE WHEN doc_id % 3 = 0 THEN 'image'
+            WHEN doc_id % 3 = 1 THEN 'audio'
+            ELSE 'video' END AS media_type,
+       octet_length(encode(text))::INTEGER AS n_bytes,
+       md5(encode(text)) AS payload_md5
+FROM documents
+"""

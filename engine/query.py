@@ -46,7 +46,11 @@ def bm25_score_col(tf_col, doc_len_col, idf, avgdl_col, qtf_col):
 
 
 def bm25_scored_terms(
-    corpus: DataFrame, qterms: DataFrame, *, use_stem: bool = True
+    corpus: DataFrame,
+    qterms: DataFrame,
+    *,
+    use_stem: bool = True,
+    tokens: DataFrame | None = None,
 ) -> DataFrame:
     """Per-(doc, query-term) partial scores — the exhaustive A6 input.
 
@@ -54,8 +58,10 @@ def bm25_scored_terms(
     query-term join is a broadcast semi-filter applied BEFORE the
     per-doc math so only matching postings flow onward; dictionary and
     corpus stats are broadcast (they are tiny relative to tokens).
+    Pass a cached ``tokens`` DataFrame to amortize tokenization across
+    many queries (batch evaluation).
     """
-    toks = tokens_df(corpus, use_stem=use_stem)
+    toks = tokens if tokens is not None else tokens_df(corpus, use_stem=use_stem)
     # Filter to query terms FIRST — everything downstream is tiny.
     hits = toks.join(F.broadcast(qterms), "term")
     dict_q = dictionary_df(toks).join(F.broadcast(qterms.select("term")), "term")
@@ -86,6 +92,7 @@ def bm25_topk_exhaustive(
     *,
     use_stem: bool = True,
     round_scores: int | None = None,
+    tokens: DataFrame | None = None,
 ) -> DataFrame:
     """Top-k (doc_id, score[, rank]) by exhaustive OR scoring.
 
@@ -94,7 +101,7 @@ def bm25_topk_exhaustive(
     cannot flip ranks; pytest oracle checks use full precision).
     """
     qterms = query_terms_df(spark, query, use_stem=use_stem)
-    scored = bm25_scored_terms(corpus, qterms, use_stem=use_stem)
+    scored = bm25_scored_terms(corpus, qterms, use_stem=use_stem, tokens=tokens)
     agg = scored.groupBy("doc_id").agg(F.sum("partial_score").alias("score"))
     if round_scores is not None:
         agg = agg.select("doc_id", F.round("score", round_scores).alias("score"))

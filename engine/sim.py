@@ -1,0 +1,148 @@
+"""Embedding similarity search over `embeddings(vec_id, embedding
+float[], label)`.
+
+- brute-force cosine top-k: the exact baseline — one scan, per-row
+  column math (JVM codegen via F.aggregate/zip_with), global
+  TakeOrderedAndProject. Linear, shuffle-free except the final top-k.
+- LSH-bucketed variant (random-hyperplane signs): the scale path —
+  bucket on a deterministic b-bit sign signature, search only the
+  query's bucket (probing neighbors is a recall/latency dial).
+  Hyperplanes are pseudo-random but PINNED: plane p, dim d weight =
+  ((md5hash(p:d) % 2001) - 1000)/1000 ∈ [-1, 1], so Spark and DuckDB
+  (and any future engine) build identical buckets.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .ids import doc_id_py  # noqa: F401  (re-exported convenience)
+from .textops import ROUND
+
+LSH_PLANES = 8
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm(a):
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+
+
+def load_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def query_vector(spark: SparkSession, sf_dir: str) -> list[float]:
+    """The pinned query: embedding of the smallest vec_id."""
+    row = (
+        load_embeddings(spark, sf_dir)
+        .orderBy("vec_id")
+        .select("embedding")
+        .limit(1)
+        .collect()[0]
+    )
+    return list(row["embedding"])
+
+
+def cosine_topk(
+    emb: DataFrame, qvec: list[float], k: int = 20
+) -> DataFrame:
+    """(rank, vec_id, cos) — exact brute-force cosine top-k; rounded
+    cosine is the sort key (cross-engine determinism), vec_id tiebreak."""
+    q = F.lit([float(x) for x in qvec])
+    cos = _dot(F.col("embedding"), q) / (_norm(F.col("embedding")) * _norm(q))
+    scored = emb.select("vec_id", F.round(cos, ROUND).alias("cos"))
+    topk = scored.orderBy(F.desc("cos"), F.asc("vec_id")).limit(k)
+    w = Window.orderBy(F.desc("cos"), F.asc("vec_id"))
+    return topk.withColumn("rank", F.row_number().over(w)).select(
+        "rank", "vec_id", "cos"
+    )
+
+
+def cosine_topk_sql(k: int = 20) -> str:
+    """DuckDB equivalent; the query vector is the min-vec_id embedding,
+    fetched by scalar subquery so the SQL is self-contained."""
+    return f"""
+WITH q AS (
+  SELECT embedding AS qv FROM embeddings
+  ORDER BY vec_id LIMIT 1
+),
+scored AS (
+  SELECT e.vec_id,
+         round(
+           (SELECT sum(x.a::DOUBLE * x.b::DOUBLE)
+            FROM (SELECT unnest(e.embedding) AS a, unnest(q.qv) AS b) x)
+           / (sqrt((SELECT sum(y.a::DOUBLE * y.a::DOUBLE)
+                    FROM (SELECT unnest(e.embedding) AS a) y))
+              * sqrt((SELECT sum(z.b::DOUBLE * z.b::DOUBLE)
+                      FROM (SELECT unnest(q.qv) AS b) z))),
+           {ROUND}) AS cos
+  FROM embeddings e CROSS JOIN q
+)
+SELECT row_number() OVER (ORDER BY cos DESC, vec_id ASC)::INTEGER AS rank,
+       vec_id, cos
+FROM scored ORDER BY cos DESC, vec_id ASC LIMIT {k}
+"""
+
+
+def _plane_weight_col(plane: int, dim_col):
+    """Deterministic pseudo-random weight in [-1,1] for (plane, dim)."""
+    key = F.concat(F.lit(f"{plane}:"), dim_col.cast("string"))
+    h = F.conv(F.substring(F.md5(key), 1, 15), 16, 10).cast("long")
+    return ((h % 2001) - 1000) / 1000.0
+
+
+def lsh_buckets(emb: DataFrame, n_planes: int = LSH_PLANES) -> DataFrame:
+    """(vec_id, bucket): sign-of-projection bit signature."""
+    out = emb.select("vec_id", "embedding")
+    bucket = F.lit(0).cast("long")
+    for p in range(n_planes):
+        proj = F.aggregate(
+            F.zip_with(
+                F.col("embedding"),
+                F.transform(
+                    F.sequence(F.lit(0), F.size("embedding") - 1),
+                    lambda d: _plane_weight_col(p, d),
+                ),
+                lambda x, wgt: x.cast("double") * wgt,
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bucket = bucket + F.when(proj > 0, F.lit(1 << p)).otherwise(0)
+    return out.select("vec_id", bucket.alias("bucket"))
+
+
+def lsh_topk(
+    emb: DataFrame, qvec: list[float], k: int = 20, n_planes: int = LSH_PLANES
+) -> DataFrame:
+    """Approximate top-k: search only the query's LSH bucket (falls back
+    to brute force if the bucket has < k members is NOT done — recall
+    loss is the documented tradeoff; probe multiple buckets at scale)."""
+    import hashlib
+
+    def w(p: int, d: int) -> float:
+        h = int(hashlib.md5(f"{p}:{d}".encode()).hexdigest()[:15], 16)
+        return ((h % 2001) - 1000) / 1000.0
+
+    qbucket = 0
+    for p in range(n_planes):
+        proj = sum(float(x) * w(p, d) for d, x in enumerate(qvec))
+        if proj > 0:
+            qbucket |= 1 << p
+    buckets = lsh_buckets(emb, n_planes)
+    cand = emb.join(buckets.where(F.col("bucket") == qbucket), "vec_id")
+    return cosine_topk(cand, qvec, k)

@@ -1,0 +1,222 @@
+"""Text-analysis operators for a training-data pipeline: token stats,
+language-ID heuristic, quality scoring, document fingerprinting.
+
+These are JVM-side (whole-stage-codegen) implementations over the SAME
+token regex as the engine tokenizer: Java regex, RE2 (DuckDB) and
+Python ``re.ASCII`` agree byte-for-byte on the pattern (verified in
+tests/test_sql_parity.py), so each operator ships an exact DuckDB
+oracle. The BM25 build keeps its pandas-UDF tokenizer (stemming +
+BASELINE.json:15's Arrow-UDF mandate); here the hot path stays inside
+codegen because no stemming is needed — at 100 TB these scans are
+bottlenecked by tokenization throughput.
+
+All formulas are pinned here and mirrored 1:1 in the SQL strings
+(engine/driver_queries.py); floats are rounded before comparison.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .stopwords import ALL_STOPWORDS, stopwords_sql_list
+from .tokenizer import TOKEN_PATTERN
+
+ROUND = 6
+
+# tiny vendored function-word lists for the language-ID heuristic
+LANG_WORDS = {
+    "en": ["the", "and", "of", "to", "is", "in", "it", "you", "that", "was"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ich", "mit", "ein", "zu"],
+    "es": ["el", "los", "que", "es", "por", "con", "para", "una", "del", "las"],
+    "fr": ["le", "les", "et", "est", "pas", "pour", "que", "dans", "une", "sur"],
+}
+# deterministic tie priority (first wins ties)
+LANG_PRIORITY = ["en", "de", "es", "fr"]
+
+FP_MOD = 2_147_483_647  # 2^31-1: keeps acc*31+x inside int64 (ANSI-safe)
+FP_MULT = 31
+
+
+def tokens_all_col(content: Column) -> Column:
+    """Ordered regex tokens, NO stopword removal (array<string>)."""
+    return F.regexp_extract_all(F.lower(content), F.lit(TOKEN_PATTERN), 0)
+
+
+def tokens_filtered_col(content: Column) -> Column:
+    """Ordered regex tokens minus stopwords (order-preserving)."""
+    stop = F.lit(sorted(ALL_STOPWORDS))
+    return F.filter(tokens_all_col(content), lambda t: ~F.array_contains(stop, t))
+
+
+def term_hash_col(term: Column) -> Column:
+    """60-bit deterministic term hash: int(md5(term)[:15], 16) — the
+    cross-engine hash shared with DuckDB (engine/driver_queries.py)."""
+    return F.conv(F.substring(F.md5(term), 1, 15), 16, 10).cast("long")
+
+
+def term_hash_sql(expr: str) -> str:
+    return f"(('0x' || substr(md5({expr}), 1, 15))::bigint)"
+
+
+def token_stats(corpus: DataFrame) -> DataFrame:
+    """(doc_id, n_tokens, n_unique, n_stop, avg_token_len) per doc —
+    zero-token docs included with zeros/nulls→0."""
+    stop = F.lit(sorted(ALL_STOPWORDS))
+    toks = corpus.select(
+        "doc_id", F.explode_outer(tokens_all_col(F.col("content"))).alias("term")
+    )
+    return toks.groupBy("doc_id").agg(
+        F.count("term").alias("n_tokens"),
+        F.count_distinct("term").alias("n_unique"),
+        F.coalesce(
+            F.sum(F.when(F.array_contains(stop, F.col("term")), 1).otherwise(0)),
+            F.lit(0),
+        ).alias("n_stop"),
+        F.round(F.coalesce(F.avg(F.length("term")), F.lit(0.0)), 4).alias(
+            "avg_token_len"
+        ),
+    )
+
+
+def lang_profile(corpus: DataFrame) -> DataFrame:
+    """(doc_id, en_hits, de_hits, es_hits, fr_hits, lang_pred) — n-gram
+    (function-word) heuristic language ID."""
+    toks = corpus.select(
+        "doc_id", F.explode_outer(tokens_all_col(F.col("content"))).alias("term")
+    )
+    aggs = [
+        F.coalesce(
+            F.sum(F.when(F.array_contains(F.lit(LANG_WORDS[lang]), F.col("term")), 1).otherwise(0)),
+            F.lit(0),
+        ).alias(f"{lang}_hits")
+        for lang in LANG_PRIORITY
+    ]
+    hits = toks.groupBy("doc_id").agg(*aggs)
+    en, de, es, fr = (F.col(f"{lang}_hits") for lang in LANG_PRIORITY)
+    pred = (
+        F.when((en >= de) & (en >= es) & (en >= fr), "en")
+        .when((de >= es) & (de >= fr), "de")
+        .when(es >= fr, "es")
+        .otherwise("fr")
+    )
+    return hits.withColumn("lang_pred", pred)
+
+
+def quality_score(corpus: DataFrame) -> DataFrame:
+    """(doc_id, n_tokens, stop_ratio, quality) — pinned formula:
+    quality = round(least(n_tokens,200)/200 * (1 - |stop_ratio - 0.4|), 6)
+    (length credit saturating at 200 tokens × closeness of the stopword
+    ratio to a natural-text 0.4)."""
+    st = token_stats(corpus)
+    ratio = F.when(
+        F.col("n_tokens") > 0, F.col("n_stop") / F.col("n_tokens")
+    ).otherwise(F.lit(0.0))
+    q = (F.least(F.col("n_tokens"), F.lit(200)) / 200.0) * (
+        1.0 - F.abs(ratio - 0.4)
+    )
+    return st.select(
+        "doc_id",
+        "n_tokens",
+        F.round(ratio, ROUND).alias("stop_ratio"),
+        F.round(q, ROUND).alias("quality"),
+    )
+
+
+def doc_fingerprint(corpus: DataFrame) -> DataFrame:
+    """(doc_id, fingerprint) — rolling polynomial hash over the ordered
+    token sequence: fold(acc*31 + md5hash(term) % p) % p, p=2^31-1.
+    Order-sensitive (unlike a bag-of-words hash) → detects reorderings."""
+    hashes = F.transform(
+        tokens_all_col(F.col("content")), lambda t: term_hash_col(t) % FP_MOD
+    )
+    fp = F.aggregate(
+        hashes,
+        F.lit(0).cast("long"),
+        lambda acc, x: (acc * FP_MULT + x) % FP_MOD,
+    )
+    return corpus.select("doc_id", fp.alias("fingerprint"))
+
+
+# ------------------------------------------------------------------ SQL
+
+def _tok_all_cte() -> str:
+    pat = TOKEN_PATTERN.replace("'", "''")
+    return (
+        "tok_all AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), "
+        f"'{pat}')) AS term FROM documents)"
+    )
+
+
+def token_stats_sql() -> str:
+    stop = stopwords_sql_list()
+    return f"""
+WITH {_tok_all_cte()}
+SELECT d.doc_id,
+       count(t.term)::BIGINT AS n_tokens,
+       count(DISTINCT t.term)::BIGINT AS n_unique,
+       coalesce(sum(CASE WHEN t.term IN {stop} THEN 1 ELSE 0 END), 0)::BIGINT AS n_stop,
+       round(coalesce(avg(length(t.term)), 0.0), 4) AS avg_token_len
+FROM documents d LEFT JOIN tok_all t USING (doc_id)
+GROUP BY d.doc_id
+"""
+
+
+def lang_profile_sql() -> str:
+    cols = []
+    for lang in LANG_PRIORITY:
+        words = ", ".join(f"'{w}'" for w in LANG_WORDS[lang])
+        cols.append(
+            f"coalesce(sum(CASE WHEN t.term IN ({words}) THEN 1 ELSE 0 END), 0)"
+            f"::BIGINT AS {lang}_hits"
+        )
+    return f"""
+WITH {_tok_all_cte()},
+hits AS (
+  SELECT d.doc_id, {', '.join(cols)}
+  FROM documents d LEFT JOIN tok_all t USING (doc_id)
+  GROUP BY d.doc_id
+)
+SELECT *, CASE
+  WHEN en_hits >= de_hits AND en_hits >= es_hits AND en_hits >= fr_hits THEN 'en'
+  WHEN de_hits >= es_hits AND de_hits >= fr_hits THEN 'de'
+  WHEN es_hits >= fr_hits THEN 'es'
+  ELSE 'fr' END AS lang_pred
+FROM hits
+"""
+
+
+def quality_score_sql() -> str:
+    stop = stopwords_sql_list()
+    return f"""
+WITH {_tok_all_cte()},
+st AS (
+  SELECT d.doc_id,
+         count(t.term)::BIGINT AS n_tokens,
+         coalesce(sum(CASE WHEN t.term IN {stop} THEN 1 ELSE 0 END), 0)::BIGINT AS n_stop
+  FROM documents d LEFT JOIN tok_all t USING (doc_id)
+  GROUP BY d.doc_id
+)
+SELECT doc_id, n_tokens,
+       round(CASE WHEN n_tokens > 0 THEN n_stop / n_tokens::DOUBLE ELSE 0.0 END, {ROUND}) AS stop_ratio,
+       round((least(n_tokens, 200) / 200.0)
+             * (1.0 - abs(CASE WHEN n_tokens > 0 THEN n_stop / n_tokens::DOUBLE ELSE 0.0 END - 0.4)),
+             {ROUND}) AS quality
+FROM st
+"""
+
+
+def doc_fingerprint_sql() -> str:
+    pat = TOKEN_PATTERN.replace("'", "''")
+    h = term_hash_sql("t")
+    return f"""
+SELECT doc_id,
+  CASE WHEN len(regexp_extract_all(lower(text), '{pat}')) = 0 THEN 0::BIGINT
+  ELSE list_reduce(
+    list_prepend(0::BIGINT,
+      list_transform(regexp_extract_all(lower(text), '{pat}'),
+                     t -> {h} % {FP_MOD})),
+    (acc, x) -> (acc * {FP_MULT} + x) % {FP_MOD})
+  END AS fingerprint
+FROM documents
+"""

@@ -12,10 +12,13 @@ K = 10
 
 @pytest.mark.parametrize("use_stem", [True, False])
 def test_rank_identity_all_queries(spark, tiny_corpus, tiny_docs, queries, use_stem):
+    from engine.build import tokens_df
+
     oracle = OracleIndex(tiny_docs, use_stem=use_stem)
+    toks = tokens_df(tiny_corpus, use_stem=use_stem).cache()
     for q in queries:
         got = bm25_topk_exhaustive(
-            spark, tiny_corpus, q["text"], K, use_stem=use_stem
+            spark, tiny_corpus, q["text"], K, use_stem=use_stem, tokens=toks
         ).collect()
         want = oracle.bm25_topk(q["text"], K)
         got_ids = [r["doc_id"] for r in got]
@@ -24,6 +27,7 @@ def test_rank_identity_all_queries(spark, tiny_corpus, tiny_docs, queries, use_s
         for r, (_, s) in zip(got, want):
             assert abs(r["score"] - s) <= 1e-6, f"query {q['query_id']} score drift"
         assert [r["rank"] for r in got] == list(range(1, len(got) + 1))
+    toks.unpersist()
 
 
 def test_stats_match_oracle(spark, tiny_corpus, tiny_docs):

@@ -1,0 +1,136 @@
+"""Semantic checks for the training-data-pipeline operators (the exact
+cross-engine parity is covered by tests/test_driver_contract.py; these
+verify the operators do the right THING on constructed inputs)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog near the river bank"),
+        (2, "the quick brown fox jumps over the lazy dog near the river bank"),  # exact dup of 1
+        (3, "the quick brown fox jumps over the lazy dog near the river delta"),  # near dup
+        (4, "completely different content about spark shuffle partitions and joins"),
+        (5, "der hund ist nicht mit der katze und der maus"),  # German-ish
+        (6, ""),  # empty
+    ]
+    return spark.createDataFrame(rows, "doc_id long, content string")
+
+
+def test_exact_dedup(docs):
+    from engine.dedup import exact_dedup
+
+    out = {r["content_sha256"]: (r["n_dups"], r["keeper_doc_id"])
+           for r in exact_dedup(docs).collect()}
+    assert (2, 1) in out.values()  # docs 1+2 collapse, keeper = min id
+    assert sum(n for n, _ in out.values()) == 6
+
+
+def test_ngram_jaccard_finds_near_dup(docs):
+    from engine.dedup import ngram_jaccard_pairs
+
+    pairs = {(r["doc_a"], r["doc_b"]): r["jaccard"]
+             for r in ngram_jaccard_pairs(docs, threshold=0.5).collect()}
+    assert pairs[(1, 2)] == 1.0
+    assert (1, 3) in pairs and 0.5 <= pairs[(1, 3)] < 1.0
+    assert (1, 4) not in pairs
+
+
+def test_minhash_lsh_candidates(docs):
+    from engine.dedup import minhash_candidate_pairs, minhash_signatures
+
+    sigs = minhash_signatures(docs)
+    assert sigs.groupBy("doc_id").count().collect()[0]["count"] == 16
+    cands = {(r["doc_a"], r["doc_b"]) for r in minhash_candidate_pairs(docs).collect()}
+    assert (1, 2) in cands  # identical docs agree on every band
+
+
+def test_simhash_identity_and_banding(docs):
+    from engine.dedup import simhash, simhash_dup_pairs
+
+    sh = {r["doc_id"]: r["simhash"] for r in simhash(docs).collect()}
+    assert sh[1] == sh[2]
+    assert 0 <= sh[1] < 2**60
+    pairs = {(r["doc_a"], r["doc_b"]): r["hamming"]
+             for r in simhash_dup_pairs(docs).collect()}
+    assert pairs[(1, 2)] == 0
+
+
+def test_lang_profile(docs):
+    from engine.textops import lang_profile
+
+    out = {r["doc_id"]: r["lang_pred"] for r in lang_profile(docs).collect()}
+    assert out[1] == "en"
+    assert out[5] == "de"
+    assert out[6] == "en"  # zero hits everywhere → priority order
+
+
+def test_quality_and_token_stats(docs):
+    from engine.textops import quality_score, token_stats
+
+    st = {r["doc_id"]: r for r in token_stats(docs).collect()}
+    assert st[6]["n_tokens"] == 0 and st[6]["avg_token_len"] == 0.0
+    assert st[1]["n_tokens"] == 13 and st[1]["n_stop"] == 4  # the x3 + over
+    q = {r["doc_id"]: r["quality"] for r in quality_score(docs).collect()}
+    assert q[6] == 0.0 and 0 < q[1] <= 1.0
+
+
+def test_fingerprint_order_sensitive(spark):
+    from engine.textops import doc_fingerprint
+
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "gamma beta alpha"), (3, "alpha beta gamma")],
+        "doc_id long, content string",
+    )
+    fp = {r["doc_id"]: r["fingerprint"] for r in doc_fingerprint(df).collect()}
+    assert fp[1] == fp[3] != fp[2]
+
+
+def test_cosine_topk_self_first(spark):
+    from engine.sim import cosine_topk
+
+    emb = spark.createDataFrame(
+        [(1, [1.0, 0.0, 0.0]), (2, [0.9, 0.1, 0.0]), (3, [0.0, 1.0, 0.0]),
+         (4, [-1.0, 0.0, 0.0])],
+        "vec_id long, embedding array<float>",
+    )
+    out = cosine_topk(emb, [1.0, 0.0, 0.0], 3).collect()
+    assert [r["vec_id"] for r in out] == [1, 2, 3]
+    assert out[0]["cos"] == 1.0
+
+
+def test_lsh_bucket_groups_similar(spark):
+    from engine.sim import lsh_buckets, lsh_topk
+
+    emb = spark.createDataFrame(
+        [(i, [1.0 + 0.01 * i, 0.5, -0.2, 0.3]) for i in range(5)]
+        + [(10, [-1.0, -0.5, 0.2, -0.3])],
+        "vec_id long, embedding array<float>",
+    )
+    b = {r["vec_id"]: r["bucket"] for r in lsh_buckets(emb).collect()}
+    assert len({b[i] for i in range(5)}) == 1  # near-identical vecs share a bucket
+    assert b[10] != b[0]  # the antipode lands elsewhere
+    out = lsh_topk(emb, [1.0, 0.5, -0.2, 0.3], 3).collect()
+    assert 10 not in [r["vec_id"] for r in out]
+
+
+def test_multimodal_plumbing(spark):
+    from engine.multimodal import (
+        decode_stub, extract_features, media_from_documents, media_meta,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, "abc"), (1, "defg"), (2, "")], "doc_id long, text string"
+    )
+    media = media_from_documents(docs)
+    meta = {r["doc_id"]: r for r in media_meta(media).collect()}
+    assert meta[0]["media_type"] == "image" and meta[0]["n_bytes"] == 3
+    assert meta[2]["n_bytes"] == 0
+    feats = {r["doc_id"]: r for r in extract_features(media).collect()}
+    assert len(feats[1]["feature"]) == 8
+    assert feats[2]["feature"] == [0.0] * 8
+    # deterministic stub
+    import numpy as np
+    assert np.allclose(decode_stub(b"abc", "image"), decode_stub(b"abc", "audio"))

@@ -1,0 +1,77 @@
+"""Physical-plan audits: the plans the engine relies on at 100 TB must
+actually materialize at any scale — filter pushdown into parquet scans,
+broadcast joins for query terms, TakeOrderedAndProject for top-k,
+column pruning on the corpus scan. If Catalyst stops producing them, a
+scale regression has happened even if results stay correct."""
+
+import contextlib
+import io
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def plan_of(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+@pytest.fixture(scope="module")
+def index_dir(spark, tiny_corpus, tmp_path_factory):
+    from engine.index import build_index
+
+    d = str(tmp_path_factory.mktemp("index_plans"))
+    build_index(spark, tiny_corpus, d, use_stem=True, n_shards=4, n_chunks=2)
+    return d
+
+
+def test_postings_term_filter_pushdown(spark, index_dir):
+    from engine.index import IndexReader
+
+    r = IndexReader(spark, index_dir)
+    df = r.postings().where(F.col("term").isin(["queri", "engin"]))
+    p = plan_of(df)
+    assert "PushedFilters" in p and "In(term" in p, p
+
+
+def test_corpus_scan_column_pruned(tiny_corpus):
+    from engine.build import tokens_df
+
+    p = plan_of(tokens_df(tiny_corpus))
+    # the tokenize stage must read only doc_id+content, not all 7 columns
+    assert "content" in p
+    for col in ("repo", "path", "commit", "lang"):
+        assert f"ReadSchema" in p
+    read_schema = [ln for ln in p.splitlines() if "ReadSchema" in ln]
+    assert read_schema and all(
+        "repo" not in ln and "lang" not in ln for ln in read_schema
+    ), read_schema
+
+
+def test_topk_is_take_ordered(spark, tiny_corpus):
+    from engine.query import bm25_topk_exhaustive
+
+    df = bm25_topk_exhaustive(spark, tiny_corpus, "inverted index", 10)
+    p = plan_of(df)
+    assert "TakeOrderedAndProject" in p, p
+
+
+def test_query_term_join_is_broadcast(spark, tiny_corpus):
+    from engine.query import bm25_scored_terms, query_terms_df
+
+    q = query_terms_df(spark, "inverted index compression")
+    p = plan_of(bm25_scored_terms(tiny_corpus, q))
+    assert "BroadcastHashJoin" in p, p
+    assert "SortMergeJoin" not in p, p
+
+
+def test_wand_path_scans_prune_terms(spark, index_dir):
+    from engine.index import IndexReader
+
+    r = IndexReader(spark, index_dir)
+    df = r.bm25_topk("inverted index compression", 10)
+    p = plan_of(df)
+    assert "In(term" in p, p  # pushdown reached the postings scan
+    assert "TakeOrderedAndProject" in p, p
