@@ -95,6 +95,6 @@ SELECT doc_id,
             WHEN doc_id % 3 = 1 THEN 'audio'
             ELSE 'video' END AS media_type,
        octet_length(encode(text))::INTEGER AS n_bytes,
-       md5(encode(text)) AS payload_md5
+       md5(text) AS payload_md5
 FROM documents
 """
