@@ -259,6 +259,30 @@ def _q_media_features(spark, sf_dir):
     return extract_features(media_from_documents(docs))
 
 
+def _q_tfidf_cosine(spark, sf_dir):
+    from .ranking import tfidf_cosine_topk
+
+    return tfidf_cosine_topk(spark, _corpus(spark, sf_dir), FIXED_QUERIES["q_multi"])
+
+
+def _q_title_match(spark, sf_dir):
+    from .ranking import title_match_topk
+
+    return title_match_topk(spark, _corpus(spark, sf_dir), FIXED_QUERIES["q_table_scan"])
+
+
+def _q_fusion(spark, sf_dir):
+    from .ranking import fusion_topk
+
+    return fusion_topk(spark, _corpus(spark, sf_dir), FIXED_QUERIES["q_table_scan"])
+
+
+def _q_pagerank(spark, sf_dir):
+    from .ranking import pagerank
+
+    return pagerank(_docs(spark, sf_dir))
+
+
 def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out: dict[str, Callable] = {
         "tokenize_tf": _q_tokenize_tf,
@@ -284,6 +308,11 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": _q_ann_lsh,        # rows-only (bucketed recall)
         "media_meta": _q_media_meta,
         "media_features": _q_media_features,  # rows-only (stubbed codec)
+        # reference frontend's non-BM25 ranking surfaces (engine/ranking.py)
+        "tfidf_cosine_topk": _q_tfidf_cosine,
+        "title_match_topk": _q_title_match,
+        "fusion_topk": _q_fusion,
+        "pagerank": _q_pagerank,
     }
     for name, text in FIXED_QUERIES.items():
         out[f"bm25_{name}"] = _mk_bm25(text, use_stem=False)
@@ -347,6 +376,16 @@ def oracle_sqls() -> dict[str, str]:
             "ann_cosine_topk": cosine_topk_sql(),
             "media_meta": media_meta_sql(),
             # ann_lsh_topk, media_features: rows-only by design
+        }
+    )
+    from .ranking import fusion_sql, pagerank_sql, tfidf_cosine_sql, title_match_sql
+
+    out.update(
+        {
+            "tfidf_cosine_topk": tfidf_cosine_sql(FIXED_QUERIES["q_multi"]),
+            "title_match_topk": title_match_sql(FIXED_QUERIES["q_table_scan"]),
+            "fusion_topk": fusion_sql(FIXED_QUERIES["q_table_scan"]),
+            "pagerank": pagerank_sql(),
         }
     )
     for name, text in FIXED_QUERIES.items():

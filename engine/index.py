@@ -115,7 +115,16 @@ def build_index(
 
     # ---- stage 1: tokens (sharded) + doc stats + global stats ----------
     if man["stages"].get("tokens") != "done":
-        toks = tokens_df(corpus, use_stem=use_stem).withColumn(
+        # Tokenization parallelism is bounded by input splits. A real
+        # 100 TB table has thousands of files/row-groups; a single-file
+        # (or single-row-group) input would serialize the CPU-heaviest
+        # stage, so widen it first — gated, to avoid a pointless full
+        # shuffle of content bytes when the scan is already wide.
+        target = spark.sparkContext.defaultParallelism
+        tok_in = corpus
+        if corpus.rdd.getNumPartitions() < target:
+            tok_in = corpus.repartition(2 * target)
+        toks = tokens_df(tok_in, use_stem=use_stem).withColumn(
             "shard", F.pmod(F.xxhash64("doc_id"), F.lit(n_shards)).cast("int")
         )
         (
@@ -129,6 +138,21 @@ def build_index(
         _write_manifest(out_dir, man)
 
     toks = spark.read.parquet(tokens_path)
+
+    if "shard_token_metrics" not in man:
+        # one small agg job for ALL shards — chunk metrics sum from this
+        # table instead of re-scanning tokens once per chunk
+        rows = (
+            toks.groupBy("shard")
+            .agg(F.count("*").alias("rows"), F.sum("tf").alias("tokens"))
+            .collect()
+        )
+        man["shard_token_metrics"] = {
+            str(r["shard"]): {"rows": r["rows"], "tokens": int(r["tokens"] or 0)}
+            for r in rows
+        }
+        _write_manifest(out_dir, man)
+    shard_tok = man["shard_token_metrics"]
 
     if man["stages"].get("doc_stats") != "done":
         ds = doc_stats_df(corpus, toks).join(
@@ -166,6 +190,18 @@ def build_index(
         blocks = part.groupBy("shard", "term").applyInPandas(
             _make_kernel(avgdl, block_docs), BLOCKS_SCHEMA
         )
+        # per-partition metrics (BASELINE.json:14 'lineage + metrics')
+        # ride the write job via observe() — no extra scan; n_terms =
+        # count of first blocks (block_id == 0, one per (shard, term))
+        from pyspark.sql import Observation
+
+        obs = Observation(f"chunk_{chunk}")
+        blocks = blocks.observe(
+            obs,
+            F.count(F.lit(1)).alias("n_blocks"),
+            F.sum("n").alias("n_postings"),
+            F.sum(F.when(F.col("block_id") == 0, 1).otherwise(0)).alias("n_terms"),
+        )
         (
             blocks.repartition(len(shards), "shard")
             .sortWithinPartitions("shard", "term", "block_id")
@@ -173,25 +209,22 @@ def build_index(
             .partitionBy("shard")
             .parquet(postings_path)
         )
-        # per-partition metrics (BASELINE.json:14 'lineage + metrics')
-        written = spark.read.parquet(postings_path).where(F.col("shard").isin(shards))
-        mrow = written.agg(
-            F.count("*").alias("n_blocks"),
-            F.sum("n").alias("n_postings"),
-            F.countDistinct("term").alias("n_terms"),
-        ).collect()[0]
-        tokrow = part.agg(
-            F.count("*").alias("n_token_rows"), F.sum("tf").alias("n_tokens")
-        ).collect()[0]
+        mrow = obs.get
         man["chunks"][key] = {
             "status": "done",
             "shards": shards,
             "metrics": {
                 "n_blocks": mrow["n_blocks"],
                 "n_postings": int(mrow["n_postings"] or 0),
-                "n_terms": mrow["n_terms"],
-                "n_token_rows": tokrow["n_token_rows"],
-                "n_tokens": int(tokrow["n_tokens"] or 0),
+                "n_terms": int(mrow["n_terms"] or 0),
+                # token side from the independent stage-1 scan (keeps the
+                # posting/token conservation check two-source)
+                "n_token_rows": sum(
+                    shard_tok[str(s)]["rows"] for s in shards if str(s) in shard_tok
+                ),
+                "n_tokens": sum(
+                    shard_tok[str(s)]["tokens"] for s in shards if str(s) in shard_tok
+                ),
             },
             "finished_unix": time.time(),
         }

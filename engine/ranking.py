@@ -1,0 +1,397 @@
+"""The reference frontend's non-BM25 ranking surfaces, Spark-first.
+
+The reference family (SURVEY.md §2.6 Q3/Q4, §2.4 J4, §2.9 — public
+knowledge; /root/reference was empty, see SURVEY.md §0) serves four
+more query endpoints besides BM25: tf-idf cosine body search
+(`/search_body`), binary title/anchor match (`/search_title`,
+`/search_anchor`), weighted multi-signal fusion (`/search`), and
+PageRank scores (`/get_pagerank`). This module re-expresses each as a
+declarative DataFrame plan with a pinned, DuckDB-mirrorable semantics
+so a reference user can run every query they run today.
+
+Pinned semantics (SURVEY.md §5.3 discipline — the empty reference
+forces us to freeze them here; each is mirrored 1:1 in the *_sql()
+strings):
+
+- tf-idf weight  w(t,d) = (1 + log10(tf)) * log10(N / df)
+  query weight   w(t,q) = (1 + log10(qtf)) * log10(N / df)
+  cosine(d,q)    = Σ_t w(t,d)·w(t,q) / (||d|| · ||q||)
+  with FULL-document norms ||d|| (precomputed over all terms, as the
+  reference precomputes doc norms) and ||q|| over dictionary-matched
+  query terms only (unknown terms have no df).
+- title field   = first TITLE_TOKENS stopword-filtered tokens of the
+  content (the driver `documents` table has no title column; the
+  prefix is the deterministic title analog — for the code-corpus
+  schema the natural field would be `path`).
+  title score   = count of DISTINCT query terms in the title field.
+- fusion score  = 0.6 · bm25/max_bm25 + 0.4 · title_hits/|q_terms|
+  (max-normalized signals, full-outer-joined per doc, missing → 0).
+- PageRank: damping 0.85, PR_ITERS fixed iterations from uniform
+  1/N, over the deterministic 2-regular demo graph
+  rank(u) → (2·rank(u)+1) mod N and (3·rank(u)+2) mod N
+  (dense-rank based; every node has out-degree 2, so no dangling
+  mass). At 10^12-doc scale the dense rank would be replaced by the
+  corpus link table itself — the iteration body (join + groupBy-sum
+  per step) is the part that carries over.
+
+All scores are rounded to ROUND decimals and the rounded value is the
+sort key on both engines (see engine/driver_queries.py float
+discipline). Scale notes: every join against query-derived frames is
+a broadcast; the only wide exchanges are the per-doc aggregations,
+which shuffle on doc_id exactly once per operator.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .build import corpus_stats_df, dictionary_df, doc_stats_df, tokens_df
+from .query import query_terms_df
+from .stopwords import ALL_STOPWORDS
+from .textops import ROUND, tokens_filtered_col
+from .tokenizer import TOKEN_PATTERN
+
+TITLE_TOKENS = 12
+FUSE_W_BODY = 0.6
+FUSE_W_TITLE = 0.4
+PR_DAMP = 0.85
+PR_ITERS = 5
+
+
+def _ranked(df: DataFrame, score: str, k: int) -> DataFrame:
+    """desc-score / asc-doc_id top-k with a rank column; the global
+    window runs AFTER limit(k) so it only ever sees k rows."""
+    topk = df.orderBy(F.desc(score), F.asc("doc_id")).limit(k)
+    w = Window.orderBy(F.desc(score), F.asc("doc_id"))
+    return topk.withColumn("rank", F.row_number().over(w)).select(
+        "rank", "doc_id", score
+    )
+
+
+# ------------------------------------------------- tf-idf cosine (Q3)
+
+def tfidf_cosine_topk(
+    spark: SparkSession,
+    corpus: DataFrame,
+    query: str,
+    k: int = 10,
+    *,
+    use_stem: bool = False,
+) -> DataFrame:
+    """(rank, doc_id, cos) — reference `/search_body` analog."""
+    toks = tokens_df(corpus, use_stem=use_stem)
+    d = dictionary_df(toks)
+    n_docs = corpus_stats_df(doc_stats_df(corpus, toks)).select("n_docs")
+    qterms = query_terms_df(spark, query, use_stem=use_stem)
+
+    wtd = (1.0 + F.log10("tf")) * F.log10(F.col("n_docs") / F.col("df"))
+    weights = (
+        toks.join(F.broadcast(d.select("term", "df")), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select("doc_id", "term", wtd.alias("w"))
+    )
+    norms = weights.groupBy("doc_id").agg(
+        F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("dnorm")
+    )
+    qw = (
+        qterms.join(d.select("term", "df"), "term")
+        .crossJoin(n_docs)
+        .select(
+            "term",
+            ((1.0 + F.log10("qtf")) * F.log10(F.col("n_docs") / F.col("df"))).alias("qw"),
+        )
+    )
+    qnorm = qw.agg(F.sqrt(F.sum(F.col("qw") * F.col("qw"))).alias("qnorm"))
+    scored = (
+        weights.join(F.broadcast(qw), "term")
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("w") * F.col("qw")).alias("dot"))
+        .join(norms, "doc_id")
+        .crossJoin(F.broadcast(qnorm))
+        .select(
+            "doc_id",
+            F.round(
+                F.when(
+                    (F.col("dnorm") > 0) & (F.col("qnorm") > 0),
+                    F.col("dot") / (F.col("dnorm") * F.col("qnorm")),
+                ).otherwise(0.0),
+                ROUND,
+            ).alias("cos"),
+        )
+        .where(F.col("cos") > 0)
+    )
+    return _ranked(scored, "cos", k)
+
+
+# --------------------------------------------- binary title match (Q4)
+
+def title_terms_df(corpus: DataFrame) -> DataFrame:
+    """(doc_id, term) DISTINCT terms of the title field (first
+    TITLE_TOKENS filtered tokens)."""
+    title = F.slice(tokens_filtered_col(F.col("content")), 1, TITLE_TOKENS)
+    return (
+        corpus.select("doc_id", F.explode(title).alias("term")).distinct()
+    )
+
+
+def title_match_topk(
+    spark: SparkSession, corpus: DataFrame, query: str, k: int = 100
+) -> DataFrame:
+    """(rank, doc_id, n_hits) — reference `/search_title` analog:
+    docs ranked by count of distinct query terms in the title field."""
+    qterms = query_terms_df(spark, query, use_stem=False).select("term").distinct()
+    hits = (
+        title_terms_df(corpus)
+        .join(F.broadcast(qterms), "term")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_hits"))
+    )
+    return _ranked(hits, "n_hits", k)
+
+
+# ----------------------------------------------------- score fusion (J4)
+
+def fusion_topk(
+    spark: SparkSession, corpus: DataFrame, query: str, k: int = 10
+) -> DataFrame:
+    """(rank, doc_id, score) — reference `/search` analog: weighted sum
+    of max-normalized BM25 body score and title hit-ratio."""
+    from .query import bm25_scored_terms
+
+    qterms = query_terms_df(spark, query, use_stem=False)
+    n_q = qterms.count()
+    if n_q == 0:
+        return spark.createDataFrame([], "rank int, doc_id long, score double")
+
+    body = (
+        bm25_scored_terms(corpus, qterms, use_stem=False)
+        .groupBy("doc_id")
+        .agg(F.sum("partial_score").alias("bm25"))
+    )
+    body_max = body.agg(F.max("bm25").alias("max_bm25"))
+    body_n = body.crossJoin(F.broadcast(body_max)).select(
+        "doc_id", (F.col("bm25") / F.col("max_bm25")).alias("body_score")
+    )
+    title = (
+        title_terms_df(corpus)
+        .join(F.broadcast(qterms.select("term").distinct()), "term")
+        .groupBy("doc_id")
+        .agg((F.count("*") / F.lit(float(n_q))).alias("title_score"))
+    )
+    fused = (
+        body_n.join(title, "doc_id", "full_outer")
+        .select(
+            "doc_id",
+            F.round(
+                FUSE_W_BODY * F.coalesce("body_score", F.lit(0.0))
+                + FUSE_W_TITLE * F.coalesce("title_score", F.lit(0.0)),
+                ROUND,
+            ).alias("score"),
+        )
+    )
+    return _ranked(fused, "score", k)
+
+
+# ----------------------------------------------------------- PageRank
+
+def pagerank(corpus: DataFrame, *, iters: int = PR_ITERS) -> DataFrame:
+    """(doc_id, pr) — fixed-iteration PageRank over the deterministic
+    demo graph (module docstring). The iteration body — contributions =
+    pr/outdeg joined to edges, grouped by destination — is the
+    production shape; only the edge derivation is demo-specific."""
+    w = Window.orderBy("doc_id")
+    ranked = corpus.select("doc_id").withColumn(
+        "r", F.row_number().over(w) - 1
+    )
+    n_row = ranked.agg(F.count("*").alias("n")).collect()[0]
+    n = int(n_row["n"])
+    if n == 0:
+        return ranked.select("doc_id", F.lit(0.0).alias("pr"))
+
+    dst1 = (F.col("r") * 2 + 1) % n
+    dst2 = (F.col("r") * 3 + 2) % n
+    edges = (
+        ranked.select(F.col("r").alias("src_r"), dst1.alias("dst_r"))
+        .unionAll(ranked.select(F.col("r").alias("src_r"), dst2.alias("dst_r")))
+    )
+    pr = ranked.select("r", F.lit(1.0 / n).alias("pr"))
+    for _ in range(iters):
+        contrib = (
+            edges.join(pr, edges.src_r == pr.r)
+            .select("dst_r", (F.col("pr") / 2.0).alias("c"))
+            .groupBy("dst_r")
+            .agg(F.sum("c").alias("c"))
+        )
+        pr = ranked.select("r").join(
+            contrib, ranked.r == contrib.dst_r, "left"
+        ).select(
+            "r",
+            (F.lit((1.0 - PR_DAMP) / n) + PR_DAMP * F.coalesce("c", F.lit(0.0))).alias("pr"),
+        )
+    return (
+        ranked.join(pr, "r")
+        .select("doc_id", F.round("pr", ROUND).alias("pr"))
+    )
+
+
+# ------------------------------------------------------------------ SQL
+# DuckDB mirrors; `documents` view has (doc_id, text, ...).
+
+def _stop_arr() -> str:
+    return (
+        "[" + ", ".join("'" + w.replace("'", "''") + "'" for w in sorted(ALL_STOPWORDS)) + "]"
+    )
+
+
+def _tfv_cte() -> str:
+    from .stopwords import stopwords_sql_list
+
+    pat = TOKEN_PATTERN.replace("'", "''")
+    return f"""
+tok AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '{pat}')) AS term
+        FROM documents),
+ft AS (SELECT doc_id, term FROM tok WHERE term NOT IN {stopwords_sql_list()}),
+tfv AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM ft GROUP BY doc_id, term),
+dict AS (SELECT term, count(*)::BIGINT AS df FROM tfv GROUP BY term),
+stats AS (SELECT count(*)::BIGINT AS n_docs FROM documents)
+"""
+
+
+def _q_values_cte(query: str) -> tuple[str, int]:
+    from collections import Counter
+
+    from .tokenizer import tokenize
+
+    qtf = Counter(tokenize(query, use_stem=False))
+    rows = ", ".join(f"('{t}', {c}::BIGINT)" for t, c in sorted(qtf.items()))
+    return f"q(term, qtf) AS (VALUES {rows})", len(qtf)
+
+
+def tfidf_cosine_sql(query: str, k: int = 10) -> str:
+    qcte, _ = _q_values_cte(query)
+    return f"""
+WITH {_tfv_cte()},
+{qcte},
+weights AS (
+  SELECT tfv.doc_id, tfv.term,
+         (1.0 + log10(tfv.tf)) * log10(s.n_docs / dict.df::DOUBLE) AS w
+  FROM tfv JOIN dict USING (term) CROSS JOIN stats s
+),
+norms AS (SELECT doc_id, sqrt(sum(w * w)) AS dnorm FROM weights GROUP BY doc_id),
+qw AS (
+  SELECT q.term, (1.0 + log10(q.qtf)) * log10(s.n_docs / dict.df::DOUBLE) AS qw
+  FROM q JOIN dict USING (term) CROSS JOIN stats s
+),
+qn AS (SELECT sqrt(sum(qw * qw)) AS qnorm FROM qw),
+scored AS (
+  SELECT w.doc_id,
+         round(CASE WHEN n.dnorm > 0 AND qn.qnorm > 0
+                    THEN sum(w.w * qw.qw) / (n.dnorm * qn.qnorm)
+                    ELSE 0.0 END, {ROUND}) AS cos
+  FROM weights w JOIN qw USING (term) JOIN norms n ON w.doc_id = n.doc_id
+  CROSS JOIN qn
+  GROUP BY w.doc_id, n.dnorm, qn.qnorm
+)
+SELECT row_number() OVER (ORDER BY cos DESC, doc_id ASC)::INTEGER AS rank, doc_id, cos
+FROM scored WHERE cos > 0 ORDER BY cos DESC, doc_id ASC LIMIT {k}
+"""
+
+
+def _title_cte() -> str:
+    pat = TOKEN_PATTERN.replace("'", "''")
+    return f"""
+title AS (
+  SELECT DISTINCT doc_id, unnest(list_slice(
+    list_filter(regexp_extract_all(lower(text), '{pat}'),
+                t -> NOT list_contains({_stop_arr()}, t)),
+    1, {TITLE_TOKENS})) AS term
+  FROM documents)
+"""
+
+
+def title_match_sql(query: str, k: int = 100) -> str:
+    qcte, _ = _q_values_cte(query)
+    return f"""
+WITH {_title_cte()},
+{qcte},
+hits AS (
+  SELECT doc_id, count(*)::BIGINT AS n_hits
+  FROM title JOIN (SELECT DISTINCT term FROM q) qq USING (term)
+  GROUP BY doc_id
+)
+SELECT row_number() OVER (ORDER BY n_hits DESC, doc_id ASC)::INTEGER AS rank,
+       doc_id, n_hits
+FROM hits ORDER BY n_hits DESC, doc_id ASC LIMIT {k}
+"""
+
+
+def fusion_sql(query: str, k: int = 10) -> str:
+    # Inlines the same pinned BM25 scored/agg shape as
+    # driver_queries._bm25_sql, but un-truncated (fusion normalizes by
+    # the global max before taking top-k).
+    qcte, n_q = _q_values_cte(query)
+    return f"""
+WITH {_tfv_cte()},
+dl AS (SELECT d.doc_id, coalesce(sum(tfv.tf), 0)::BIGINT AS doc_len
+       FROM documents d LEFT JOIN tfv USING (doc_id) GROUP BY d.doc_id),
+st2 AS (SELECT count(*)::BIGINT AS n_docs, avg(doc_len)::DOUBLE AS avgdl FROM dl),
+{qcte},
+scored AS (
+  SELECT tfv.doc_id,
+         q.qtf * ln(1.0 + (s.n_docs - dict.df + 0.5) / (dict.df + 0.5))
+               * least(tfv.tf, 65535) * 2.5
+               / (least(tfv.tf, 65535) + 1.5 * (1.0 - 0.75 + 0.75 * dl.doc_len / s.avgdl))
+           AS partial
+  FROM tfv JOIN q USING (term) JOIN dict USING (term) JOIN dl USING (doc_id)
+  CROSS JOIN st2 s
+),
+body AS (SELECT doc_id, sum(partial) AS bm25 FROM scored GROUP BY doc_id),
+body_n AS (SELECT doc_id, bm25 / (SELECT max(bm25) FROM body) AS body_score FROM body),
+{_title_cte().strip().rstrip()},
+tscore AS (
+  SELECT doc_id, count(*) / {float(n_q)} AS title_score
+  FROM title JOIN (SELECT DISTINCT term FROM q) qq USING (term)
+  GROUP BY doc_id
+),
+fused AS (
+  SELECT coalesce(b.doc_id, t.doc_id) AS doc_id,
+         round({FUSE_W_BODY} * coalesce(b.body_score, 0.0)
+             + {FUSE_W_TITLE} * coalesce(t.title_score, 0.0), {ROUND}) AS score
+  FROM body_n b FULL OUTER JOIN tscore t ON b.doc_id = t.doc_id
+)
+SELECT row_number() OVER (ORDER BY score DESC, doc_id ASC)::INTEGER AS rank,
+       doc_id, score
+FROM fused ORDER BY score DESC, doc_id ASC LIMIT {k}
+"""
+
+
+def pagerank_sql(*, iters: int = PR_ITERS) -> str:
+    prev = "pr0"
+    iter_ctes = []
+    for i in range(1, iters + 1):
+        iter_ctes.append(f"""
+pr{i} AS (
+  SELECT rk.r,
+         (1.0 - {PR_DAMP}) / (SELECT n FROM nn)
+         + {PR_DAMP} * coalesce(sum(p.pr / 2.0), 0.0) AS pr
+  FROM rk LEFT JOIN edges e ON e.dst_r = rk.r
+          LEFT JOIN {prev} p ON p.r = e.src_r
+  GROUP BY rk.r
+)""")
+        prev = f"pr{i}"
+    return f"""
+WITH rk AS (
+  SELECT doc_id, row_number() OVER (ORDER BY doc_id) - 1 AS r FROM documents
+),
+nn AS (SELECT count(*)::BIGINT AS n FROM rk),
+edges AS (
+  SELECT r AS src_r, (r * 2 + 1) % (SELECT n FROM nn) AS dst_r FROM rk
+  UNION ALL
+  SELECT r AS src_r, (r * 3 + 2) % (SELECT n FROM nn) AS dst_r FROM rk
+),
+pr0 AS (SELECT r, 1.0 / (SELECT n FROM nn) AS pr FROM rk),
+{','.join(iter_ctes)}
+SELECT rk.doc_id, round(p.pr, {ROUND}) AS pr
+FROM rk JOIN {prev} p USING (r)
+"""

@@ -82,8 +82,12 @@ def main() -> None:
     d = tempfile.mkdtemp(prefix="scaling_corpus_")
     corpus_path = os.path.join(d, "corpus.parquet")
     print(f"generating {args.docs} docs ...", flush=True)
+    # row_group_size keeps the file splittable — pyarrow's default (1M
+    # rows) would hand Spark a single unsplittable row group
     pq.write_table(
-        pa.Table.from_pandas(gen_corpus(args.docs), preserve_index=False), corpus_path
+        pa.Table.from_pandas(gen_corpus(args.docs), preserve_index=False),
+        corpus_path,
+        row_group_size=4096,
     )
 
     results = {}

@@ -36,18 +36,26 @@ def test_postings_term_filter_pushdown(spark, index_dir):
     assert "PushedFilters" in p and "In(term" in p, p
 
 
-def test_corpus_scan_column_pruned(tiny_corpus):
-    from engine.build import tokens_df
+def test_corpus_scan_column_pruned(spark, tiny_corpus_path, tmp_path):
+    import shutil
 
-    p = plan_of(tokens_df(tiny_corpus))
-    # the tokenize stage must read only doc_id+content, not all 7 columns
-    assert "content" in p
-    for col in ("repo", "path", "commit", "lang"):
-        assert f"ReadSchema" in p
+    from engine.build import tokens_df
+    from engine.io import read_corpus, with_identity
+
+    # audit a raw file scan: the cached tiny_corpus (or any plan that
+    # matches it by path — CacheManager matches logical plans, not DF
+    # objects) would hide pruning inside InMemoryRelation, so scan a
+    # copy at a fresh path
+    p2 = str(tmp_path / "corpus_copy.parquet")
+    shutil.copy(tiny_corpus_path, p2)
+    corpus = with_identity(read_corpus(spark, p2))
+    p = plan_of(tokens_df(corpus))
+    # the tokenize stage needs content plus the doc_id inputs
+    # (repo/path/commit feed the hash in with_identity); columns that
+    # feed nothing — lang — must be pruned out of the parquet scan
     read_schema = [ln for ln in p.splitlines() if "ReadSchema" in ln]
-    assert read_schema and all(
-        "repo" not in ln and "lang" not in ln for ln in read_schema
-    ), read_schema
+    assert read_schema and all("content" in ln for ln in read_schema), p
+    assert all("lang" not in ln for ln in read_schema), read_schema
 
 
 def test_topk_is_take_ordered(spark, tiny_corpus):
@@ -71,7 +79,20 @@ def test_wand_path_scans_prune_terms(spark, index_dir):
     from engine.index import IndexReader
 
     r = IndexReader(spark, index_dir)
-    df = r.bm25_topk("inverted index compression", 10)
+    # query two terms guaranteed present in THIS index's dictionary so
+    # the isin filter stays a multi-value In (one term would fold to
+    # EqualTo and prove nothing about multi-term pruning)
+    from engine.tokenizer import tokenize
+
+    candidates = [
+        row["term"]
+        for row in r.dictionary().orderBy(F.desc("df"), "term").limit(20).collect()
+    ]
+    # dictionary terms are stems; keep only stem-fixed-points so the
+    # query tokenizer maps them back onto themselves
+    terms = [t for t in candidates if tokenize(t, use_stem=True) == [t]][:2]
+    assert len(terms) == 2
+    df = r.bm25_topk(" ".join(terms), 10)
     p = plan_of(df)
     assert "In(term" in p, p  # pushdown reached the postings scan
     assert "TakeOrderedAndProject" in p, p
