@@ -71,6 +71,23 @@ def main() -> None:
         t = time.perf_counter()
         bm25_topk_exhaustive(spark, corpus, "table scan fast", 10).collect()
         timings["bm25_exhaustive_recompute"] = time.perf_counter() - t
+
+        # training-data-pipeline + ranking breadth (one representative
+        # op per family; value-parity for these is the driver's
+        # CORRECTNESS check — here we time them)
+        from engine import driver_queries as dq
+
+        for name in (
+            "minhash_candidate_pairs",
+            "simhash_dup_pairs",
+            "ann_cosine_topk",
+            "tfidf_cosine_topk",
+            "fusion_topk",
+            "pagerank",
+        ):
+            t = time.perf_counter()
+            dq.spark_queries()[name](spark, sf_dir).count()
+            timings[name] = time.perf_counter() - t
     finally:
         shutil.rmtree(idx_dir, ignore_errors=True)
 

@@ -21,23 +21,81 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .tokenizer import batch_doc_terms
+from .tokenizer import batch_doc_terms, batch_doc_token_arrays
 
 TOKENS_SCHEMA = "doc_id long, term string, tf long, doc_len long"
+DOC_TOKENS_SCHEMA = (
+    "doc_id long, terms array<string>, tfs array<long>, doc_len long"
+)
 
 
-def tokens_df(corpus: DataFrame, *, use_stem: bool = True) -> DataFrame:
+def tokens_df(
+    corpus: DataFrame, *, use_stem: bool = True, passthrough: list[str] | None = None
+) -> DataFrame:
     """(doc_id, content) → (doc_id, term, tf, doc_len); one row per
     distinct (doc, term). Docs whose content yields zero tokens emit no
-    rows — doc-stat helpers must left-join against the corpus ids."""
+    rows — doc-stat helpers must left-join against the corpus ids.
+
+    ``passthrough`` names extra per-doc columns to replicate onto every
+    output row (e.g. a precomputed ``shard``) — carrying them through
+    the UDF preserves the input's partitioning so the caller can write
+    partitioned output with NO post-tokenize shuffle."""
+    extra = list(passthrough or [])
 
     def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            yield batch_doc_terms(
+            out = batch_doc_terms(
                 pdf["doc_id"].to_numpy(), pdf["content"], use_stem=use_stem
             )
+            if extra:
+                lookup = pdf.set_index("doc_id")
+                for c in extra:
+                    out[c] = lookup[c].reindex(out["doc_id"]).to_numpy()
+            yield out
 
-    return corpus.select("doc_id", "content").mapInPandas(_batches, TOKENS_SCHEMA)
+    schema = TOKENS_SCHEMA
+    if extra:
+        dtypes = dict(zip(corpus.schema.names, [f.dataType.simpleString() for f in corpus.schema.fields]))
+        schema = TOKENS_SCHEMA + ", " + ", ".join(f"{c} {dtypes[c]}" for c in extra)
+    return corpus.select("doc_id", "content", *extra).mapInPandas(_batches, schema)
+
+
+def doc_tokens_df(
+    corpus: DataFrame, *, use_stem: bool = True, passthrough: list[str] | None = None
+) -> DataFrame:
+    """Array-form tokens, one row per doc (the build checkpoint shape —
+    see engine/tokenizer.batch_doc_token_arrays). Emits EVERY corpus
+    doc, including zero-token ones."""
+    extra = list(passthrough or [])
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = batch_doc_token_arrays(
+                pdf["doc_id"].to_numpy(), pdf["content"], use_stem=use_stem
+            )
+            for c in extra:
+                out[c] = pdf[c].to_numpy()
+            yield out
+
+    schema = DOC_TOKENS_SCHEMA
+    if extra:
+        dtypes = dict(
+            zip(corpus.schema.names, [f.dataType.simpleString() for f in corpus.schema.fields])
+        )
+        schema = DOC_TOKENS_SCHEMA + ", " + ", ".join(f"{c} {dtypes[c]}" for c in extra)
+    return corpus.select("doc_id", "content", *extra).mapInPandas(_batches, schema)
+
+
+def explode_doc_tokens(doc_tokens: DataFrame) -> DataFrame:
+    """Array form → exploded (doc_id, term, tf, doc_len) rows (JVM-side
+    explode; used by the dictionary aggregate)."""
+    z = F.explode(F.arrays_zip("terms", "tfs")).alias("e")
+    return doc_tokens.select("doc_id", "doc_len", z).select(
+        "doc_id",
+        F.col("e.terms").alias("term"),
+        F.col("e.tfs").alias("tf"),
+        "doc_len",
+    )
 
 
 def doc_stats_df(corpus: DataFrame, tokens: DataFrame) -> DataFrame:

@@ -1,0 +1,135 @@
+"""Flask serving layer — the reference frontend's HTTP surface (S5).
+
+The reference family serves its engine through a Flask app
+(`search_frontend.py` [REF? H], SURVEY.md §2.1 S5 / §3.2) with routes
+`/search`, `/search_body`, `/search_title`, `/search_anchor`,
+`/get_pagerank`, `/get_pageview`. This module reproduces that API over
+the Spark-native engine so a reference user can switch without
+changing clients:
+
+- `/search`        → weighted fusion (engine/ranking.py J4)
+- `/search_body`   → tf-idf cosine (Q3)
+- `/search_title`  → binary title match (Q4)
+- `/search_anchor` → alias of title match (the driver corpus has no
+                     anchor text; the reference scores anchors with the
+                     same distinct-term-count semantics)
+- `/get_pagerank`  → fixed-iteration PageRank lookups (POST json ids)
+- `/get_pageview`  → served from an optional (doc_id, views) parquet;
+                     0 for unknown ids (the reference loads a pickled
+                     counter the sandbox doesn't have)
+
+Serving-layer notes, not engine semantics: results are
+`(doc_id, repo/path)` pairs like the reference's `(doc_id, title)`;
+one Spark job per request (interactive latency on a warm session —
+the reference served pickled dicts from RAM; our per-request work is
+a broadcast-join + TakeOrdered plan over the cached index).
+PageRank is computed ONCE lazily and cached driver-side — it is
+query-independent, exactly like the reference's precomputed pickle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .index import IndexReader
+from .ranking import fusion_topk, pagerank, tfidf_cosine_topk, title_match_topk
+
+
+class SearchService:
+    """Query-side facade binding a SparkSession, a built index, and the
+    corpus DataFrame (for the recompute-path ranking surfaces)."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        corpus: DataFrame,
+        index_dir: str | None = None,
+        pageviews: DataFrame | None = None,
+    ) -> None:
+        self.spark = spark
+        self.corpus = corpus
+        self.reader = IndexReader(spark, index_dir) if index_dir else None
+        self._meta = corpus.select("doc_id", "repo", "path")
+        self._pagerank: dict[int, float] | None = None
+        self._pageviews = pageviews
+
+    # ---- result shaping -------------------------------------------------
+    def _with_meta(self, df: DataFrame, score_col: str) -> list[tuple]:
+        rows = df.join(self._meta, "doc_id", "left").orderBy("rank").collect()
+        return [
+            (r["doc_id"], f"{r['repo']}:{r['path']}" if r["repo"] else None, r[score_col])
+            for r in rows
+        ]
+
+    # ---- endpoints ------------------------------------------------------
+    def search(self, query: str, k: int = 10) -> list[tuple]:
+        if self.reader is not None:
+            df = self.reader.bm25_topk(query, k)
+            return self._with_meta(df, "score")
+        return self._with_meta(fusion_topk(self.spark, self.corpus, query, k), "score")
+
+    def search_body(self, query: str, k: int = 10) -> list[tuple]:
+        return self._with_meta(
+            tfidf_cosine_topk(self.spark, self.corpus, query, k), "cos"
+        )
+
+    def search_title(self, query: str, k: int = 100) -> list[tuple]:
+        return self._with_meta(
+            title_match_topk(self.spark, self.corpus, query, k), "n_hits"
+        )
+
+    def get_pagerank(self, doc_ids: list[int]) -> list[float]:
+        if self._pagerank is None:
+            rows = pagerank(self.corpus).collect()
+            self._pagerank = {r["doc_id"]: r["pr"] for r in rows}
+        return [self._pagerank.get(int(d), 0.0) for d in doc_ids]
+
+    def get_pageview(self, doc_ids: list[int]) -> list[int]:
+        if self._pageviews is None:
+            return [0 for _ in doc_ids]
+        rows = (
+            self._pageviews.where(F.col("doc_id").isin([int(d) for d in doc_ids]))
+            .collect()
+        )
+        got = {r["doc_id"]: int(r["views"]) for r in rows}
+        return [got.get(int(d), 0) for d in doc_ids]
+
+
+def create_app(service: SearchService):
+    """Reference-shaped Flask app; import is deferred so the engine has
+    no hard Flask dependency."""
+    from flask import Flask, jsonify, request
+
+    app = Flask(__name__)
+
+    def _query() -> str:
+        return request.args.get("query", "")
+
+    @app.route("/search")
+    def search():  # pragma: no cover - thin shim, logic tested via service
+        return jsonify(service.search(_query()))
+
+    @app.route("/search_body")
+    def search_body():
+        return jsonify(service.search_body(_query()))
+
+    @app.route("/search_title")
+    def search_title():
+        return jsonify(service.search_title(_query()))
+
+    @app.route("/search_anchor")
+    def search_anchor():
+        return jsonify(service.search_title(_query()))
+
+    @app.route("/get_pagerank", methods=["POST"])
+    def get_pagerank():
+        ids = (request.get_json(silent=True) or {}).get("json", [])
+        return jsonify(service.get_pagerank(ids))
+
+    @app.route("/get_pageview", methods=["POST"])
+    def get_pageview():
+        ids = (request.get_json(silent=True) or {}).get("json", [])
+        return jsonify(service.get_pageview(ids))
+
+    return app

@@ -3,7 +3,9 @@
 Layout under ``<dir>/`` (parquet in sandbox; Iceberg tables in prod via
 the same writers — SURVEY.md §1.4):
 
-- ``tokens/shard=K/``    stage-1 checkpoint: (doc_id, term, tf, doc_len)
+- ``tokens/shard=K/``    stage-1 checkpoint, ARRAY form: one row per doc
+  (doc_id, terms: array, tfs: array, doc_len) — ~3x fewer bytes and
+  ~50x fewer rows than the exploded (doc, term, tf) stream, zstd
 - ``postings/shard=K/``  block rows (engine/postings.py BLOCKS_SCHEMA),
   sorted by term within files → parquet row-group min/max pruning on
   ``term`` replaces the reference's posting_locs seek (SURVEY.md §4)
@@ -36,9 +38,9 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from .build import dictionary_df, doc_stats_df, tokens_df
+from .build import dictionary_df, doc_tokens_df, explode_doc_tokens
 from .packaging import ensure_importable
-from .postings import BLOCK_DOCS, BLOCKS_SCHEMA, blocks_pdf_for_group
+from .postings import BLOCK_DOCS, BLOCKS_SCHEMA, blocks_batches_for_partition
 from .query import idf_col
 from .tokenizer import tokenize
 
@@ -94,7 +96,10 @@ def build_index(
     os.makedirs(out_dir, exist_ok=True)
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
 
+    stage_t: dict[str, float] = {}
+    t0 = time.perf_counter()
     fp = corpus_fingerprint(corpus)
+    stage_t["fingerprint"] = round(time.perf_counter() - t0, 2)
     man = _read_manifest(out_dir) if resume else None
     if man is None or man.get("fingerprint") != fp or man.get("config") != {
         "use_stem": use_stem, "n_shards": n_shards, "block_docs": block_docs,
@@ -113,51 +118,69 @@ def build_index(
     postings_path = os.path.join(out_dir, "postings")
     dict_path = os.path.join(out_dir, "dictionary")
 
+    man.setdefault("stage_times", {}).update(stage_t)
+
     # ---- stage 1: tokens (sharded) + doc stats + global stats ----------
     if man["stages"].get("tokens") != "done":
-        # Tokenization parallelism is bounded by input splits. A real
-        # 100 TB table has thousands of files/row-groups; a single-file
-        # (or single-row-group) input would serialize the CPU-heaviest
-        # stage, so widen it first — gated, to avoid a pointless full
-        # shuffle of content bytes when the scan is already wide.
-        target = spark.sparkContext.defaultParallelism
-        tok_in = corpus
-        if corpus.rdd.getNumPartitions() < target:
-            tok_in = corpus.repartition(2 * target)
-        toks = tokens_df(tok_in, use_stem=use_stem).withColumn(
+        t0 = time.perf_counter()
+        # Shuffle the COMPACT representation: shard-partition the corpus
+        # (one ~KB row per doc) BEFORE tokenizing, so the exploded
+        # tokens (~50-150 rows/doc) are born co-partitioned by shard and
+        # the checkpoint write needs no second exchange. Shuffling after
+        # tokenize would move ~4-5x the bytes — the difference between a
+        # corpus-sized and a postings-sized shuffle at 100 TB. This also
+        # fixes tokenize parallelism for few-split inputs (a single
+        # pyarrow file is one row group = one task otherwise).
+        sharded = corpus.withColumn(
             "shard", F.pmod(F.xxhash64("doc_id"), F.lit(n_shards)).cast("int")
+        ).repartition(n_shards, "shard")
+        # checkpoint in ARRAY form — one row per doc (terms/tfs lists):
+        # the exploded stream is ~50-150 rows/doc and writing it row-wise
+        # was the largest single I/O of the build. Doc metadata + the
+        # sha256 invariant ride along so doc_stats needs no second
+        # corpus scan (sha256 would otherwise be recomputed there).
+        toks = doc_tokens_df(
+            sharded,
+            use_stem=use_stem,
+            passthrough=["shard", "repo", "path", "content_sha256"],
         )
         (
-            toks.repartition(n_shards, "shard")
-            .sortWithinPartitions("shard", "term", "doc_id")
+            toks.sortWithinPartitions("shard", "doc_id")
             .write.mode("overwrite")
             .partitionBy("shard")
+            .option("compression", "zstd")
             .parquet(tokens_path)
         )
         man["stages"]["tokens"] = "done"
+        man["stage_times"]["tokens"] = round(time.perf_counter() - t0, 2)
         _write_manifest(out_dir, man)
 
     toks = spark.read.parquet(tokens_path)
 
     if "shard_token_metrics" not in man:
+        t0 = time.perf_counter()
         # one small agg job for ALL shards — chunk metrics sum from this
         # table instead of re-scanning tokens once per chunk
         rows = (
             toks.groupBy("shard")
-            .agg(F.count("*").alias("rows"), F.sum("tf").alias("tokens"))
+            .agg(
+                F.sum(F.size("terms")).alias("rows"),
+                F.sum("doc_len").alias("tokens"),
+            )
             .collect()
         )
         man["shard_token_metrics"] = {
             str(r["shard"]): {"rows": r["rows"], "tokens": int(r["tokens"] or 0)}
             for r in rows
         }
+        man["stage_times"]["shard_metrics"] = round(time.perf_counter() - t0, 2)
         _write_manifest(out_dir, man)
     shard_tok = man["shard_token_metrics"]
 
     if man["stages"].get("doc_stats") != "done":
-        ds = doc_stats_df(corpus, toks).join(
-            corpus.select("doc_id", "repo", "path", "content_sha256"), "doc_id"
-        )
+        t0 = time.perf_counter()
+        # array checkpoint carries doc_len AND metadata — pure projection
+        ds = toks.select("doc_id", "doc_len", "repo", "path", "content_sha256")
         ds.write.mode("overwrite").parquet(doc_stats_path)
         st = spark.read.parquet(doc_stats_path).agg(
             F.count("*").alias("n"), F.avg("doc_len").alias("avgdl")
@@ -169,6 +192,7 @@ def build_index(
             )
         man["stats"] = {"n_docs": st["n"], "avgdl": float(st["avgdl"] or 0.0)}
         man["stages"]["doc_stats"] = "done"
+        man["stage_times"]["doc_stats"] = round(time.perf_counter() - t0, 2)
         _write_manifest(out_dir, man)
 
     avgdl = man["stats"]["avgdl"]
@@ -179,37 +203,55 @@ def build_index(
         key = str(chunk)
         if man["chunks"].get(key, {}).get("status") == "done":
             continue
+        t0 = time.perf_counter()
         shards = [s for s in range(n_shards) if chunk_of(s) == chunk]
-        part = toks.where(F.col("shard").isin(shards))
-        def _make_kernel(_avgdl: float, _bd: int):
-            def kernel(pdf):
-                return blocks_pdf_for_group(pdf, _avgdl, _bd)
+        # Shuffle-free block build: stage 1 wrote exactly one file per
+        # shard, so a file-per-partition read hands each task whole
+        # shards and the kernel needs no exchange. openCostInBytes =
+        # maxPartitionBytes stops the reader from packing many files
+        # into one partition; maxPartitionBytes must exceed the largest
+        # shard file or a split would hand two tasks halves of a shard
+        # (the dictionary stage asserts against duplicate blocks).
+        prev_mpb = spark.conf.get("spark.sql.files.maxPartitionBytes")
+        prev_ocb = spark.conf.get("spark.sql.files.openCostInBytes")
+        spark.conf.set("spark.sql.files.maxPartitionBytes", str(2 << 30))
+        spark.conf.set("spark.sql.files.openCostInBytes", str(2 << 30))
+        try:
+            part = spark.read.parquet(tokens_path).where(F.col("shard").isin(shards))
 
-            return kernel
+            def _make_kernel(_avgdl: float, _bd: int):
+                def kernel(it):
+                    return blocks_batches_for_partition(it, _avgdl, _bd)
 
-        blocks = part.groupBy("shard", "term").applyInPandas(
-            _make_kernel(avgdl, block_docs), BLOCKS_SCHEMA
-        )
-        # per-partition metrics (BASELINE.json:14 'lineage + metrics')
-        # ride the write job via observe() — no extra scan; n_terms =
-        # count of first blocks (block_id == 0, one per (shard, term))
-        from pyspark.sql import Observation
+                return kernel
 
-        obs = Observation(f"chunk_{chunk}")
-        blocks = blocks.observe(
-            obs,
-            F.count(F.lit(1)).alias("n_blocks"),
-            F.sum("n").alias("n_postings"),
-            F.sum(F.when(F.col("block_id") == 0, 1).otherwise(0)).alias("n_terms"),
-        )
-        (
-            blocks.repartition(len(shards), "shard")
-            .sortWithinPartitions("shard", "term", "block_id")
-            .write.mode("overwrite")
-            .partitionBy("shard")
-            .parquet(postings_path)
-        )
-        mrow = obs.get
+            blocks = part.mapInPandas(_make_kernel(avgdl, block_docs), BLOCKS_SCHEMA)
+            # per-partition metrics (BASELINE.json:14 'lineage + metrics')
+            # ride the write job via observe() — no extra scan; n_terms =
+            # count of first blocks (block_id == 0, one per (shard, term))
+            from pyspark.sql import Observation
+
+            obs = Observation(f"chunk_{chunk}")
+            blocks = blocks.observe(
+                obs,
+                F.count(F.lit(1)).alias("n_blocks"),
+                F.sum("n").alias("n_postings"),
+                F.sum(F.when(F.col("block_id") == 0, 1).otherwise(0)).alias("n_terms"),
+            )
+            # kernel output is shard-grouped and term-sorted per shard
+            # (np.unique) — partitionBy write needs no repartition/sort,
+            # keeping stage 2 fully exchange-free while parquet row-group
+            # min/max pruning on term still bites
+            (
+                blocks.write.mode("overwrite")
+                .option("compression", "zstd")
+                .partitionBy("shard")
+                .parquet(postings_path)
+            )
+            mrow = obs.get
+        finally:
+            spark.conf.set("spark.sql.files.maxPartitionBytes", prev_mpb)
+            spark.conf.set("spark.sql.files.openCostInBytes", prev_ocb)
         man["chunks"][key] = {
             "status": "done",
             "shards": shards,
@@ -228,6 +270,7 @@ def build_index(
             },
             "finished_unix": time.time(),
         }
+        man["stage_times"][f"chunk_{key}"] = round(time.perf_counter() - t0, 2)
         _write_manifest(out_dir, man)
 
     # posting/token conservation: Σ chunk postings == Σ token rows
@@ -238,12 +281,35 @@ def build_index(
 
     # ---- stage 3: global dictionary ------------------------------------
     if man["stages"].get("dictionary") != "done":
+        t0 = time.perf_counter()
+        from pyspark.sql import Observation
+
         blocks = spark.read.parquet(postings_path)
-        nb = blocks.groupBy("term").agg(F.count("*").alias("n_blocks"))
-        d = dictionary_df(toks).join(nb, "term", "left")
-        d.write.mode("overwrite").parquet(dict_path)
+        # n_blocks per term + the shuffle-free stage-2 invariant in ONE
+        # job: a split shard file would duplicate (shard, term,
+        # block_id) rows, making count(*) != count(distinct ...)
+        nb = blocks.groupBy("term").agg(
+            F.count("*").alias("n_blocks"),
+            F.count_distinct("shard", "block_id").alias("_n_distinct"),
+        )
+        d = dictionary_df(explode_doc_tokens(toks)).join(nb, "term", "left")
+        dobs = Observation("dictionary")
+        d = d.observe(
+            dobs,
+            F.sum(
+                F.when(F.col("n_blocks") != F.col("_n_distinct"), 1).otherwise(0)
+            ).alias("dup_terms"),
+        )
+        d.drop("_n_distinct").write.mode("overwrite").parquet(dict_path)
+        if int(dobs.get["dup_terms"] or 0) != 0:
+            raise AssertionError(
+                "duplicate posting blocks — a shard file was split across "
+                "read partitions; raise maxPartitionBytes in stage 2 or "
+                "increase n_shards"
+            )
         man["stages"]["dictionary"] = "done"
         man["stages"]["complete"] = "done"
+        man["stage_times"]["dictionary"] = round(time.perf_counter() - t0, 2)
         _write_manifest(out_dir, man)
 
     return IndexReader(spark, out_dir)

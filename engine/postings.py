@@ -88,6 +88,13 @@ def decode_block(row) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     return ids, tfs, dls
 
 
+BLOCK_COLUMNS = [
+    "shard", "term", "block_id", "n", "first_doc_id", "last_doc_id",
+    "doc_ids_blob", "tfs_blob", "doc_lens_blob", "block_max_norm",
+    "block_max_tf",
+]
+
+
 def blocks_pdf_for_group(pdf: pd.DataFrame, avgdl: float, block_docs: int) -> pd.DataFrame:
     """applyInPandas kernel: one (shard, term) group of tokens → blocks."""
     shard = int(pdf["shard"].iloc[0])
@@ -101,11 +108,123 @@ def blocks_pdf_for_group(pdf: pd.DataFrame, avgdl: float, block_docs: int) -> pd
         avgdl,
         block_docs,
     )
-    return pd.DataFrame(
-        rows,
-        columns=[
-            "shard", "term", "block_id", "n", "first_doc_id", "last_doc_id",
-            "doc_ids_blob", "tfs_blob", "doc_lens_blob", "block_max_norm",
-            "block_max_tf",
-        ],
-    )
+    return pd.DataFrame(rows, columns=BLOCK_COLUMNS)
+
+
+def blocks_pdf_for_shard(pdf: pd.DataFrame, avgdl: float, block_docs: int) -> pd.DataFrame:
+    """applyInPandas kernel: one WHOLE SHARD of tokens → blocks for all
+    its terms. Grouping per (shard, term) would materialize one Arrow
+    batch per term (per-group overhead × vocabulary size — the dominant
+    cost at high shard counts); one shard-sized group amortizes it, and
+    a single lexsort by (term, doc_id) hands every term its doc-sorted
+    postings via slice boundaries. Shard size is the memory unit —
+    size n_shards so a shard's tokens fit an executor (the reference's
+    124-bucket knob, SURVEY.md §4)."""
+    shard = int(pdf["shard"].iloc[0])
+    terms = pdf["term"].to_numpy()
+    doc_ids = pdf["doc_id"].to_numpy(np.int64)
+    tfs = pdf["tf"].to_numpy(np.int64)
+    dls = pdf["doc_len"].to_numpy(np.int64)
+    order = np.lexsort((doc_ids, terms))
+    terms, doc_ids, tfs, dls = terms[order], doc_ids[order], tfs[order], dls[order]
+    uniq, starts = np.unique(terms, return_index=True)
+    bounds = np.append(starts, terms.size)
+    rows: list[tuple] = []
+    for i, term in enumerate(uniq):
+        lo, hi = bounds[i], bounds[i + 1]
+        rows.extend(
+            _blocks_for_sorted_term(
+                shard, term, doc_ids[lo:hi], tfs[lo:hi], dls[lo:hi], avgdl, block_docs
+            )
+        )
+    return pd.DataFrame(rows, columns=BLOCK_COLUMNS)
+
+
+def blocks_pdf_for_shard_arrays(
+    pdf: pd.DataFrame, avgdl: float, block_docs: int
+) -> pd.DataFrame:
+    """applyInPandas kernel over the ARRAY-form checkpoint (one row per
+    doc: terms/tfs lists): explode in numpy, then the same
+    lexsort-by-(term, doc_id) slice walk as blocks_pdf_for_shard."""
+    shard = int(pdf["shard"].iloc[0])
+    lens = pdf["terms"].map(len).to_numpy(np.int64)
+    if int(lens.sum()) == 0:
+        return pd.DataFrame([], columns=BLOCK_COLUMNS)
+    doc_ids = np.repeat(pdf["doc_id"].to_numpy(np.int64), lens)
+    dls = np.repeat(pdf["doc_len"].to_numpy(np.int64), lens)
+    terms = np.concatenate([np.asarray(t, dtype=object) for t in pdf["terms"]])
+    tfs = np.concatenate([np.asarray(t, dtype=np.int64) for t in pdf["tfs"]])
+    order = np.lexsort((doc_ids, terms))
+    terms, doc_ids, tfs, dls = terms[order], doc_ids[order], tfs[order], dls[order]
+    uniq, starts = np.unique(terms, return_index=True)
+    bounds = np.append(starts, terms.size)
+    rows: list[tuple] = []
+    for i, term in enumerate(uniq):
+        lo, hi = bounds[i], bounds[i + 1]
+        rows.extend(
+            _blocks_for_sorted_term(
+                shard, term, doc_ids[lo:hi], tfs[lo:hi], dls[lo:hi], avgdl, block_docs
+            )
+        )
+    return pd.DataFrame(rows, columns=BLOCK_COLUMNS)
+
+
+def blocks_batches_for_partition(
+    it, avgdl: float, block_docs: int
+):
+    """mapInPandas kernel: iterate a partition of the ARRAY-form token
+    checkpoint, group rows by shard in-memory, and yield one block
+    frame per shard.
+
+    Shuffle-free stage 2: stage 1's hash partitioning puts EVERY row of
+    a shard into one task, which (with parquet partitionBy and no
+    maxRecordsPerFile rollover) writes exactly ONE file per shard; the
+    chunk read is configured file-per-partition (see build_index), so a
+    partition always holds whole shards and this kernel never sees a
+    partial one. The dictionary stage asserts no duplicate
+    (shard, term, block_id) as a guard on that invariant."""
+    import pandas as pd
+
+    buf: dict[int, list] = {}
+    for pdf in it:
+        for s, g in pdf.groupby("shard", sort=False):
+            buf.setdefault(int(s), []).append(g)
+    for s, parts in buf.items():
+        pdf = parts[0] if len(parts) == 1 else pd.concat(parts, ignore_index=True)
+        out = blocks_pdf_for_shard_arrays(pdf, avgdl, block_docs)
+        if len(out):
+            yield out
+
+
+def _blocks_for_sorted_term(
+    shard: int,
+    term: str,
+    doc_ids: np.ndarray,
+    tfs: np.ndarray,
+    doc_lens: np.ndarray,
+    avgdl: float,
+    block_docs: int,
+) -> list[tuple]:
+    """Blocks for one term whose postings are ALREADY doc_id-sorted."""
+    tfs = np.minimum(tfs, TF_CAP)
+    rows = []
+    for b, start in enumerate(range(0, len(doc_ids), block_docs)):
+        ids = doc_ids[start : start + block_docs]
+        t = tfs[start : start + block_docs]
+        dl = doc_lens[start : start + block_docs]
+        rows.append(
+            (
+                shard,
+                term,
+                b,
+                int(ids.size),
+                int(ids[0]),
+                int(ids[-1]),
+                delta_encode(ids),
+                varint_encode(t.astype(np.uint64)),
+                varint_encode(dl.astype(np.uint64)),
+                float(score_norm(t, dl, avgdl).max()),
+                int(t.max()),
+            )
+        )
+    return rows

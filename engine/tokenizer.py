@@ -72,12 +72,34 @@ def tokenize_series(texts: pd.Series, *, use_stem: bool = True) -> pd.Series:
 
 
 def term_frequencies(texts: pd.Series, *, use_stem: bool = True) -> list[dict[str, int]]:
-    """Per-document term→tf dicts for a batch (build-path helper)."""
+    """Per-document term→tf dicts for a batch (build-path helper).
+
+    Counts RAW tokens in C (collections.Counter) and applies
+    stopword-drop + stemming per DISTINCT raw token via a batch-level
+    memo — the Python-side loop runs over distinct tokens per doc
+    (~half the total) instead of every token, and stemming runs once
+    per distinct raw token per batch. Semantics identical to
+    ``Counter(tokenize(text))``."""
+    from collections import Counter
+
+    found = texts.str.lower().str.findall(RE_WORD)
+    memo: dict[str, str | None] = {}
     res: list[dict[str, int]] = []
-    for toks in tokenize_series(texts, use_stem=use_stem):
+    for toks in found:
         d: dict[str, int] = {}
-        for t in toks:
-            d[t] = d.get(t, 0) + 1
+        for raw, n in Counter(toks).items():
+            if raw in memo:
+                k = memo[raw]
+            else:
+                if raw in ALL_STOPWORDS:
+                    k = None
+                elif use_stem:
+                    k = porter_stem(raw)
+                else:
+                    k = raw
+                memo[raw] = k
+            if k is not None:
+                d[k] = d.get(k, 0) + n
         res.append(d)
     return res
 
@@ -109,5 +131,31 @@ def batch_doc_terms(
             "term": terms,
             "tf": np.asarray(tfs, dtype=np.int64),
             "doc_len": np.asarray(dls, dtype=np.int64),
+        }
+    )
+
+
+def batch_doc_token_arrays(
+    doc_ids: np.ndarray, texts: pd.Series, *, use_stem: bool = True
+) -> pd.DataFrame:
+    """Document-ordered array form of ``batch_doc_terms``: one row per
+    doc — (doc_id, terms: list[str], tfs: list[int], doc_len).
+
+    This is the index build's checkpoint representation: the exploded
+    (doc, term, tf) stream is ~50-150 rows/doc, and writing it row-wise
+    makes the stage-1 checkpoint the largest I/O of the whole build;
+    per-doc arrays carry the same information in ~3x fewer bytes and
+    50x fewer rows (doc_id/doc_len stored once per doc). Zero-token
+    docs ARE emitted (empty arrays, doc_len=0) so doc stats need no
+    corpus anti-join."""
+    tf_dicts = term_frequencies(texts, use_stem=use_stem)
+    terms = [list(d.keys()) for d in tf_dicts]
+    tfs = [list(d.values()) for d in tf_dicts]
+    return pd.DataFrame(
+        {
+            "doc_id": np.asarray(doc_ids, dtype=np.int64),
+            "terms": terms,
+            "tfs": tfs,
+            "doc_len": np.asarray([sum(v) for v in tfs], dtype=np.int64),
         }
     )

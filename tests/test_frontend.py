@@ -1,0 +1,68 @@
+"""Reference-API frontend (engine/frontend.py): route shapes and
+service behavior over the fixture corpus, via the Flask test client
+(no network)."""
+
+from __future__ import annotations
+
+import pytest
+
+
+@pytest.fixture(scope="module")
+def service(spark, tiny_corpus, tmp_path_factory):
+    from engine.frontend import SearchService
+    from engine.index import build_index
+
+    d = str(tmp_path_factory.mktemp("frontend_idx"))
+    build_index(spark, tiny_corpus, d, use_stem=True, n_shards=4, n_chunks=2)
+    return SearchService(spark, tiny_corpus, index_dir=d)
+
+
+@pytest.fixture(scope="module")
+def client(service):
+    flask = pytest.importorskip("flask")  # noqa: F841
+    from engine.frontend import create_app
+
+    app = create_app(service)
+    app.config["TESTING"] = True
+    return app.test_client()
+
+
+QUERY = "index merge segment"
+
+
+def test_search_returns_ranked_triples(client):
+    r = client.get("/search", query_string={"query": QUERY})
+    assert r.status_code == 200
+    body = r.get_json()
+    assert body and len(body) <= 10
+    doc_id, title, score = body[0]
+    assert isinstance(doc_id, int) and ":" in title and score > 0
+    scores = [row[2] for row in body]
+    assert scores == sorted(scores, reverse=True)
+
+
+def test_search_body_and_title_and_anchor(client):
+    for route in ("/search_body", "/search_title", "/search_anchor"):
+        r = client.get(route, query_string={"query": QUERY})
+        assert r.status_code == 200, route
+        assert isinstance(r.get_json(), list), route
+    # anchor is the title surface: identical results by construction
+    a = client.get("/search_anchor", query_string={"query": QUERY}).get_json()
+    t = client.get("/search_title", query_string={"query": QUERY}).get_json()
+    assert a == t
+
+
+def test_pagerank_and_pageview_endpoints(client, service, tiny_corpus):
+    ids = [r["doc_id"] for r in tiny_corpus.select("doc_id").limit(3).collect()]
+    r = client.post("/get_pagerank", json={"json": ids + [999999999]})
+    vals = r.get_json()
+    assert len(vals) == 4
+    assert all(v > 0 for v in vals[:3]) and vals[3] == 0.0
+    pv = client.post("/get_pageview", json={"json": ids}).get_json()
+    assert pv == [0, 0, 0]
+
+
+def test_empty_query_routes_do_not_throw(client):
+    for route in ("/search", "/search_body", "/search_title"):
+        r = client.get(route, query_string={"query": "the of and"})
+        assert r.status_code == 200 and r.get_json() == [], route
