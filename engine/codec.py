@@ -17,40 +17,39 @@ from __future__ import annotations
 import numpy as np
 
 
-def varint_encode(values: np.ndarray) -> bytes:
-    """LEB128-encode a uint64/int64 array (values must be >= 0)."""
+def varint_encode_with_lengths(values: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """LEB128-encode an array; returns (bytes_u8_array, bytes_per_value).
+
+    The per-value byte lengths let a caller encode a large concatenated
+    run ONCE and slice out sub-ranges by cumulative offset — the bytes
+    for values [i:j] are exactly out[cum[i]:cum[j]] (LEB128 is
+    self-delimiting per value, no cross-value state)."""
     v = np.asarray(values, dtype=np.uint64)
     if v.size == 0:
-        return b""
-    # bytes needed per value: ceil(bitlength/7), min 1
-    nbits = np.zeros(v.shape, dtype=np.int64)
+        return np.empty(0, dtype=np.uint8), np.empty(0, dtype=np.int64)
+    # bytes per value = number of 7-bit groups = 1 + #(v >= 2^(7k))
+    thresholds = np.uint64(1) << (np.uint64(7) * np.arange(1, 10, dtype=np.uint64))
+    nb = 1 + (v[:, None] >= thresholds[None, :]).sum(axis=1, dtype=np.int64)
+    # fill an (n×10) uint8 byte matrix column-by-column (10 passes over
+    # n-sized arrays — no n×10 uint64 temporaries), then flatten the
+    # used prefix of each row: row-major order IS value-major byte order
+    max_nb = int(nb.max())
+    mat = np.empty((v.size, max_nb), dtype=np.uint8)
     tmp = v.copy()
-    # bit length via 4 halving steps would be branchy; use frexp-free loop
-    # over the 10 possible 7-bit groups instead:
-    nb = np.ones(v.shape, dtype=np.int64)
-    tmp = v >> np.uint64(7)
-    while tmp.any():
-        nb += (tmp > 0).astype(np.int64)
+    for j in range(max_nb):
+        mat[:, j] = (tmp & np.uint64(0x7F)).astype(np.uint8)
         tmp >>= np.uint64(7)
-    del nbits
-    total = int(nb.sum())
-    out = np.empty(total, dtype=np.uint8)
-    # start offset of each value's byte run
-    starts = np.zeros(v.shape, dtype=np.int64)
-    np.cumsum(nb[:-1], out=starts[1:])
-    shifted = v.copy()
-    remaining = nb.copy()
-    pos = starts.copy()
-    for _ in range(10):
-        mask = remaining > 0
-        if not mask.any():
-            break
-        b = (shifted[mask] & np.uint64(0x7F)).astype(np.uint8)
-        cont = (remaining[mask] > 1).astype(np.uint8) << 7
-        out[pos[mask]] = b | cont
-        shifted[mask] >>= np.uint64(7)
-        pos[mask] += 1
-        remaining[mask] -= 1
+    cols = np.arange(max_nb, dtype=np.int64)[None, :]
+    np.bitwise_or(
+        mat, np.where(cols < (nb - 1)[:, None], np.uint8(0x80), np.uint8(0)), out=mat
+    )
+    out = mat[cols < nb[:, None]]
+    return out, nb
+
+
+def varint_encode(values: np.ndarray) -> bytes:
+    """LEB128-encode a uint64/int64 array (values must be >= 0)."""
+    out, _ = varint_encode_with_lengths(values)
     return out.tobytes()
 
 

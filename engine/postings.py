@@ -24,7 +24,7 @@ import numpy as np
 import pandas as pd
 
 from . import BM25_B, BM25_K1, TF_CAP
-from .codec import delta_decode, delta_encode, varint_decode, varint_encode
+from .codec import delta_decode, delta_encode, varint_decode, varint_encode, varint_encode_with_lengths
 
 BLOCK_DOCS = 128
 
@@ -154,16 +154,72 @@ def blocks_pdf_for_shard_arrays(
     dls = np.repeat(pdf["doc_len"].to_numpy(np.int64), lens)
     terms = np.concatenate([np.asarray(t, dtype=object) for t in pdf["terms"]])
     tfs = np.concatenate([np.asarray(t, dtype=np.int64) for t in pdf["tfs"]])
-    order = np.lexsort((doc_ids, terms))
-    terms, doc_ids, tfs, dls = terms[order], doc_ids[order], tfs[order], dls[order]
-    uniq, starts = np.unique(terms, return_index=True)
-    bounds = np.append(starts, terms.size)
+    # sort by (term, doc_id) without object comparisons: factorize terms
+    # in C, rank only the DISTINCT terms lexically (vocab-sized sort),
+    # then one int64 lexsort — np.lexsort over an object array would
+    # compare Python strings per element
+    codes, uniques = pd.factorize(terms, sort=False)
+    uniq_arr = uniques.to_numpy() if hasattr(uniques, "to_numpy") else np.asarray(uniques, dtype=object)
+    order_u = np.argsort(uniq_arr)
+    n_terms = len(order_u)
+    rank = np.empty(n_terms, dtype=np.int64)
+    rank[order_u] = np.arange(n_terms)
+    keys = rank[codes]
+    order = np.lexsort((doc_ids, keys))
+    keys, doc_ids, tfs, dls = keys[order], doc_ids[order], tfs[order], dls[order]
+    starts = np.searchsorted(keys, np.arange(n_terms), side="left")
+    bounds = np.append(starts, keys.size)
+    uniq_sorted = uniq_arr[order_u]
+
+    # --- vectorized across ALL blocks of the shard -------------------
+    # block boundaries: every term segment split at block_docs strides
+    seg_len = bounds[1:] - bounds[:-1]
+    nblk = (seg_len + block_docs - 1) // block_docs
+    tot = int(nblk.sum())
+    first_blk = np.concatenate(([0], np.cumsum(nblk)[:-1]))
+    term_of_blk = np.repeat(np.arange(n_terms), nblk)
+    k_within = np.arange(tot) - first_blk[term_of_blk]
+    blk_start = bounds[:-1][term_of_blk] + k_within * block_docs
+    blk_end = np.minimum(blk_start + block_docs, bounds[1:][term_of_blk])
+
+    tfs_c = np.minimum(tfs, TF_CAP)
+    # delta gaps with an ABSOLUTE doc_id at each block start (blocks are
+    # independently decodable); term boundaries are always block starts,
+    # so cross-term diffs never survive
+    gaps = np.empty(keys.size, dtype=np.int64)
+    gaps[0] = doc_ids[0]
+    gaps[1:] = np.diff(doc_ids)
+    gaps[blk_start] = doc_ids[blk_start]
+    norms = score_norm(tfs_c, dls, avgdl)
+    bmax_norm = np.maximum.reduceat(norms, blk_start)
+    bmax_tf = np.maximum.reduceat(tfs_c, blk_start)
+
+    # ONE varint encode per column per shard; per-block bytes sliced by
+    # cumulative length (LEB128 is self-delimiting — byte-identical to
+    # per-block encoding)
+    ids_b, ids_nb = varint_encode_with_lengths(gaps.astype(np.uint64))
+    tf_b, tf_nb = varint_encode_with_lengths(tfs_c.astype(np.uint64))
+    dl_b, dl_nb = varint_encode_with_lengths(dls.astype(np.uint64))
+    ids_off = np.concatenate(([0], np.cumsum(ids_nb)))
+    tf_off = np.concatenate(([0], np.cumsum(tf_nb)))
+    dl_off = np.concatenate(([0], np.cumsum(dl_nb)))
+
     rows: list[tuple] = []
-    for i, term in enumerate(uniq):
-        lo, hi = bounds[i], bounds[i + 1]
-        rows.extend(
-            _blocks_for_sorted_term(
-                shard, term, doc_ids[lo:hi], tfs[lo:hi], dls[lo:hi], avgdl, block_docs
+    for i in range(tot):
+        s, e = int(blk_start[i]), int(blk_end[i])
+        rows.append(
+            (
+                shard,
+                uniq_sorted[term_of_blk[i]],
+                int(k_within[i]),
+                e - s,
+                int(doc_ids[s]),
+                int(doc_ids[e - 1]),
+                ids_b[ids_off[s]:ids_off[e]].tobytes(),
+                tf_b[tf_off[s]:tf_off[e]].tobytes(),
+                dl_b[dl_off[s]:dl_off[e]].tobytes(),
+                float(bmax_norm[i]),
+                int(bmax_tf[i]),
             )
         )
     return pd.DataFrame(rows, columns=BLOCK_COLUMNS)
