@@ -126,6 +126,7 @@ def main() -> None:
     ap.add_argument("--docs", type=int, default=600_000)
     ap.add_argument("--shards", type=int, default=256)
     ap.add_argument("--chunks", type=int, default=2)
+    ap.add_argument("--repeats", type=int, default=2)
     ap.add_argument("--pair", default="8,32",
                     help="N,4N core counts, e.g. 4,16 or 8,32")
     ap.add_argument("--child", action="store_true")
@@ -154,12 +155,19 @@ def main() -> None:
 
     lo, hi = (int(x) for x in args.pair.split(","))
     assert hi == 4 * lo, "pair must be N,4N"
+    # interleave repeats and keep each level's FASTEST run: the host VM
+    # shows sporadic one-sided steal/contention events (identical
+    # configs measured 0.50-0.73 efficiency run-to-run); min-time per
+    # level removes one-sided noise without favoring either level
     results = {}
     try:
-        for cores in (lo, hi):
-            print(f"building at local[{cores}] ...", flush=True)
-            results[cores] = run_child(cores, corpus_path, args.shards, args.chunks)
-            print(f"local[{cores}]: {results[cores]}", flush=True)
+        for rep in range(args.repeats):
+            for cores in (lo, hi):
+                print(f"building at local[{cores}] (rep {rep}) ...", flush=True)
+                r = run_child(cores, corpus_path, args.shards, args.chunks)
+                print(f"local[{cores}] rep{rep}: {r}", flush=True)
+                if cores not in results or r["build_sec"] < results[cores]["build_sec"]:
+                    results[cores] = r
     finally:
         shutil.rmtree(d, ignore_errors=True)
 
