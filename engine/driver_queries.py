@@ -244,6 +244,18 @@ def _q_ann_lsh(spark, sf_dir):
     return lsh_topk(load_embeddings(spark, sf_dir), query_vector(spark, sf_dir))
 
 
+def _q_emb_dup(spark, sf_dir):
+    from .sim import embedding_dup_pairs, load_embeddings
+
+    return embedding_dup_pairs(load_embeddings(spark, sf_dir))
+
+
+def _q_emb_dup_lsh(spark, sf_dir):
+    from .sim import embedding_dup_pairs_lsh, load_embeddings
+
+    return embedding_dup_pairs_lsh(load_embeddings(spark, sf_dir))
+
+
 def _q_media_meta(spark, sf_dir):
     from .multimodal import media_from_documents, media_meta
 
@@ -306,6 +318,8 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_dup_pairs": _q_simhash_pairs,
         "ann_cosine_topk": _q_ann_cosine,
         "ann_lsh_topk": _q_ann_lsh,        # rows-only (bucketed recall)
+        "embedding_dup_pairs": _q_emb_dup,
+        "embedding_dup_pairs_lsh": _q_emb_dup_lsh,
         "media_meta": _q_media_meta,
         "media_features": _q_media_features,  # rows-only (stubbed codec)
         # reference frontend's non-BM25 ranking surfaces (engine/ranking.py)
@@ -353,7 +367,11 @@ def oracle_sqls() -> dict[str, str]:
         simhash_sql,
     )
     from .multimodal import media_meta_sql
-    from .sim import cosine_topk_sql
+    from .sim import (
+        cosine_topk_sql,
+        embedding_dup_pairs_lsh_sql,
+        embedding_dup_pairs_sql,
+    )
     from .textops import (
         doc_fingerprint_sql,
         lang_profile_sql,
@@ -374,6 +392,8 @@ def oracle_sqls() -> dict[str, str]:
             "simhash": simhash_sql(),
             "simhash_dup_pairs": simhash_dup_pairs_sql(),
             "ann_cosine_topk": cosine_topk_sql(),
+            "embedding_dup_pairs": embedding_dup_pairs_sql(),
+            "embedding_dup_pairs_lsh": embedding_dup_pairs_lsh_sql(),
             "media_meta": media_meta_sql(),
             # ann_lsh_topk, media_features: rows-only by design
         }

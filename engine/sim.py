@@ -146,3 +146,114 @@ def lsh_topk(
     buckets = lsh_buckets(emb, n_planes)
     cand = emb.join(buckets.where(F.col("bucket") == qbucket), "vec_id")
     return cosine_topk(cand, qvec, k)
+
+
+# -------------------------------------------- embedding near-dup pairs
+
+DUP_COS = 0.4  # driver-check threshold: the synthetic embeddings have no
+               # true dups (max pairwise cos ≈ 0.51), so the contract
+               # query uses a low τ to exercise the operator; production
+               # near-dup dedup runs the same plan with τ ≈ 0.95
+
+
+def _pair_cos():
+    return _dot(F.col("a.embedding"), F.col("b.embedding")) / (
+        _norm(F.col("a.embedding")) * _norm(F.col("b.embedding"))
+    )
+
+
+def embedding_dup_pairs(emb: DataFrame, min_cos: float = DUP_COS) -> DataFrame:
+    """(vec_a, vec_b, cos) — EXACT all-pairs cosine ≥ τ via self-join.
+    Quadratic: the small-scale verifier for the LSH-bucketed scale path
+    below (same relationship as ngram_jaccard_pairs vs MinHash-LSH)."""
+    a, b = emb.alias("a"), emb.alias("b")
+    return (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.round(_pair_cos(), ROUND).alias("cos"),
+        )
+        .where(F.col("cos") >= min_cos)
+    )
+
+
+def embedding_dup_pairs_lsh(
+    emb: DataFrame, min_cos: float = DUP_COS, n_planes: int = LSH_PLANES
+) -> DataFrame:
+    """Scale path: candidate pairs only within the same sign-LSH bucket
+    (linear bucketing + per-bucket join), then exact cosine filter.
+    Recall < 1 by construction (pairs split by any plane are missed) —
+    the recall/cost dial is n_planes and multi-probe."""
+    bk = lsh_buckets(emb, n_planes)
+    e = emb.join(bk, "vec_id")
+    a, b = e.alias("a"), e.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.round(_pair_cos(), ROUND).alias("cos"),
+        )
+        .where(F.col("cos") >= min_cos)
+    )
+
+
+def _cos_sql(a: str, b: str) -> str:
+    return f"""(
+      (SELECT sum(x.u::DOUBLE * x.v::DOUBLE)
+       FROM (SELECT unnest({a}.embedding) u, unnest({b}.embedding) v) x)
+      / (sqrt((SELECT sum(y.u::DOUBLE * y.u::DOUBLE)
+               FROM (SELECT unnest({a}.embedding) u) y))
+       * sqrt((SELECT sum(z.v::DOUBLE * z.v::DOUBLE)
+               FROM (SELECT unnest({b}.embedding) v) z)))
+    )"""
+
+
+def embedding_dup_pairs_sql(min_cos: float = DUP_COS) -> str:
+    return f"""
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       round({_cos_sql('a', 'b')}, {ROUND}) AS cos
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE round({_cos_sql('a', 'b')}, {ROUND}) >= {min_cos}
+"""
+
+
+def _bucket_cte_sql(n_planes: int = LSH_PLANES) -> str:
+    """DuckDB twin of lsh_buckets: identical md5-derived plane weights."""
+    w = "((('0x' || substr(md5(p.p || ':' || (d.i - 1)), 1, 15))::bigint % 2001 - 1000) / 1000.0)"
+    return f"""
+dims AS (
+  SELECT vec_id, unnest(embedding) AS x,
+         generate_subscripts(embedding, 1) AS i
+  FROM embeddings
+),
+proj AS (
+  SELECT d.vec_id, p.p, sum(d.x::DOUBLE * {w}) AS proj
+  FROM dims d CROSS JOIN (SELECT unnest(range(0, {n_planes})) AS p) p
+  GROUP BY d.vec_id, p.p
+),
+buckets AS (
+  SELECT vec_id,
+         sum(CASE WHEN proj > 0 THEN (1::BIGINT << p) ELSE 0 END)::BIGINT AS bucket
+  FROM proj GROUP BY vec_id
+)"""
+
+
+def embedding_dup_pairs_lsh_sql(
+    min_cos: float = DUP_COS, n_planes: int = LSH_PLANES
+) -> str:
+    return f"""
+WITH {_bucket_cte_sql(n_planes)}
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       round({_cos_sql('a', 'b')}, {ROUND}) AS cos
+FROM embeddings a JOIN buckets ba ON a.vec_id = ba.vec_id
+JOIN buckets bb ON true
+JOIN embeddings b ON b.vec_id = bb.vec_id
+WHERE ba.bucket = bb.bucket AND a.vec_id < b.vec_id
+  AND round({_cos_sql('a', 'b')}, {ROUND}) >= {min_cos}
+"""
