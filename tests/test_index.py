@@ -127,3 +127,18 @@ def test_deterministic_rebuild(spark, tiny_corpus, index_dir, tmp_path_factory):
 
     assert blocks_set(a) == blocks_set(b)
     assert a.manifest["stats"] == b.manifest["stats"]
+
+
+def test_changed_input_triggers_full_rebuild(spark, tiny_corpus, index_dir,
+                                             tmp_path_factory):
+    """Resuming onto DIFFERENT input must not reuse stale checkpoints:
+    the corpus fingerprint mismatch resets the manifest and the index
+    reflects the new corpus only."""
+    d4 = str(tmp_path_factory.mktemp("index_changed"))
+    shutil.copytree(index_dir, d4, dirs_exist_ok=True)
+    smaller = tiny_corpus.orderBy("doc_id").limit(50).cache()
+    r = build_index(spark, smaller, d4, use_stem=True, n_shards=4, n_chunks=2)
+    assert r.manifest["stats"]["n_docs"] == 50
+    ids = {row["doc_id"] for row in r.doc_stats().select("doc_id").collect()}
+    keep = {row["doc_id"] for row in smaller.select("doc_id").collect()}
+    assert ids == keep
