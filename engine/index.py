@@ -369,6 +369,90 @@ class IndexReader:
         )
         return {r["term"]: qtf[r["term"]] * r["idf"] for r in rows}
 
+    def bm25_topk_batch(
+        self, queries: dict[str, str], k: int = 10, *, prune: bool = True
+    ) -> DataFrame:
+        """All queries in ONE job → (query_id, rank, doc_id, score).
+
+        Single-query latency is dominated by fixed Spark job-launch cost
+        (~1 s); batch evaluation (SURVEY.md §3.3) amortizes it — one
+        pruned postings scan over the UNION of all query terms, one
+        mapInPandas pass scoring every query per shard, one
+        partitioned-window rank. Throughput scales with queries/job,
+        which is the number that matters for a batch engine."""
+        import pandas as pd
+
+        from pyspark.sql import Window
+
+        from collections import Counter
+
+        # ONE dictionary scan for the union of all query terms (a
+        # per-query query_weights() call would launch one driver job
+        # per query and dominate the batch wall-clock)
+        qtfs = {
+            qid: Counter(tokenize(q, use_stem=self.use_stem))
+            for qid, q in queries.items()
+        }
+        union_terms = sorted({t for c in qtfs.values() for t in c})
+        n = self.manifest["stats"]["n_docs"]
+        idf = {}
+        if union_terms:
+            for r in (
+                self.dictionary()
+                .where(F.col("term").isin(union_terms))
+                .select(
+                    "term",
+                    idf_col(F.col("df").cast("double"), F.lit(float(n))).alias("idf"),
+                )
+                .collect()
+            ):
+                idf[r["term"]] = r["idf"]
+        weights = {
+            qid: {t: c * idf[t] for t, c in qtf.items() if t in idf}
+            for qid, qtf in qtfs.items()
+        }
+        weights = {qid: w for qid, w in weights.items() if w}
+        spark = self.spark
+        if not weights:
+            return spark.createDataFrame(
+                [], "query_id string, rank int, doc_id long, score double"
+            )
+        all_terms = sorted({t for w in weights.values() for t in w})
+        avgdl = self.manifest["stats"]["avgdl"]
+        blocks = self.postings().where(F.col("term").isin(all_terms))
+
+        def shard_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+            from .wand import topk_shard
+
+            outs = []
+            for qid, w in weights.items():
+                sub = pdf[pdf["term"].isin(w)]
+                if not len(sub):
+                    continue
+                ids, sc = topk_shard(sub, w, avgdl, k, prune=prune)
+                outs.append(
+                    pd.DataFrame({"query_id": qid, "doc_id": ids, "score": sc})
+                )
+            if not outs:
+                return pd.DataFrame(
+                    {"query_id": pd.Series([], dtype=str),
+                     "doc_id": pd.Series([], dtype="int64"),
+                     "score": pd.Series([], dtype="float64")}
+                )
+            return pd.concat(outs, ignore_index=True)
+
+        per_shard = blocks.groupBy("shard").applyInPandas(
+            shard_kernel, "query_id string, doc_id long, score double"
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.desc("score"), F.asc("doc_id")
+        )
+        return (
+            per_shard.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("query_id", "rank", "doc_id", "score")
+        )
+
     def bm25_topk(
         self, query: str, k: int = 10, *, prune: bool = True,
         with_metadata: bool = False,

@@ -22,6 +22,8 @@ def main() -> None:
     ap.add_argument("--k", type=int, default=10)
     ap.add_argument("--out", default=None)
     ap.add_argument("--exhaustive", action="store_true")
+    ap.add_argument("--batch", action="store_true",
+                    help="evaluate the whole query set in one Spark job")
     ap.add_argument("--cores", default=None)
     args = ap.parse_args()
 
@@ -34,6 +36,23 @@ def main() -> None:
     reader = IndexReader(spark, args.index)
     with open(args.queries) as f:
         queries = json.load(f)
+
+    if args.batch:
+        # one job for the whole set (SURVEY.md §3.3) — amortizes the
+        # fixed per-job cost that dominates single-query latency
+        qmap = {str(q["query_id"]): q["text"] for q in queries}
+        t = time.perf_counter()
+        df = reader.bm25_topk_batch(qmap, args.k, prune=not args.exhaustive)
+        n = df.count()
+        dt = time.perf_counter() - t
+        print(
+            f"batch: {len(qmap)} queries in {dt:.2f}s "
+            f"({len(qmap)/dt:.1f} q/s), {n} result rows"
+        )
+        if args.out:
+            df.write.mode("overwrite").parquet(args.out)
+            print("wrote", args.out)
+        return
 
     results = []
     for q in queries:

@@ -142,3 +142,24 @@ def test_changed_input_triggers_full_rebuild(spark, tiny_corpus, index_dir,
     ids = {row["doc_id"] for row in r.doc_stats().select("doc_id").collect()}
     keep = {row["doc_id"] for row in smaller.select("doc_id").collect()}
     assert ids == keep
+
+
+def test_batch_matches_single_query(spark, index_dir, queries):
+    """One-job batch evaluation must be rank-identical to per-query
+    evaluation for every fixture query."""
+    r = IndexReader(spark, index_dir)
+    qmap = {f"q{i}": q["text"] for i, q in enumerate(queries[:8])}
+    batch = r.bm25_topk_batch(qmap, 10)
+    rows = batch.collect()
+    by_q = {}
+    for row in rows:
+        by_q.setdefault(row["query_id"], []).append(
+            (row["rank"], row["doc_id"], round(row["score"], 9))
+        )
+    for qid, text in qmap.items():
+        single = [
+            (row["rank"], row["doc_id"], round(row["score"], 9))
+            for row in r.bm25_topk(text, 10).collect()
+        ]
+        got = sorted(by_q.get(qid, []))
+        assert got == sorted(single), qid

@@ -96,3 +96,40 @@ def test_wand_path_scans_prune_terms(spark, index_dir):
     p = plan_of(df)
     assert "In(term" in p, p  # pushdown reached the postings scan
     assert "TakeOrderedAndProject" in p, p
+
+def test_stage2_block_build_is_shuffle_free(spark, index_dir):
+    """The chunk-stage plan (file-per-partition read of the sharded
+    checkpoint → mapInPandas kernel) must contain NO Exchange — the
+    single-shuffle architecture invariant (BENCH/BASELINE.md)."""
+    from pyspark.sql import functions as F
+    from engine.postings import BLOCKS_SCHEMA, blocks_batches_for_partition
+
+    toks = spark.read.parquet(f"{index_dir}/tokens")
+    blocks = toks.where(F.col("shard").isin([0, 2])).mapInPandas(
+        lambda it: blocks_batches_for_partition(it, 100.0, 128), BLOCKS_SCHEMA
+    )
+    p = plan_of(blocks)
+    assert "Exchange" not in p, p
+    assert "FlatMapGroupsInPandas" not in p  # no grouped shuffle either
+
+
+def test_hot_term_salted_across_shards(spark, index_dir):
+    """Skew contract (BASELINE.json:6): a hot term's postings must be
+    SPLIT across document shards (doc-hash salting), not concentrated
+    in one group — and concatenating the per-shard sub-lists must cover
+    the full posting list exactly once."""
+    from pyspark.sql import functions as F
+    from engine.index import IndexReader
+    from engine.postings import decode_block
+
+    r = IndexReader(spark, index_dir)
+    hot = (
+        r.dictionary().orderBy(F.desc("df")).limit(1).collect()[0]
+    )
+    rows = r.postings().where(F.col("term") == hot["term"]).collect()
+    shards = {row["shard"] for row in rows}
+    assert len(shards) > 1, "hot term not salted across shards"
+    ids = []
+    for row in rows:
+        ids.extend(decode_block(row)[0].tolist())
+    assert len(ids) == len(set(ids)) == hot["df"]
