@@ -70,6 +70,9 @@ class SearchService:
         return self._with_meta(fusion_topk(self.spark, self.corpus, query, k), "score")
 
     def search_body(self, query: str, k: int = 10) -> list[tuple]:
+        if self.reader is not None:
+            # index-backed path: build-time doc norms, no corpus recompute
+            return self._with_meta(self.reader.tfidf_topk(query, k), "cos")
         return self._with_meta(
             tfidf_cosine_topk(self.spark, self.corpus, query, k), "cos"
         )

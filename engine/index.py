@@ -308,8 +308,28 @@ def build_index(
                 "increase n_shards"
             )
         man["stages"]["dictionary"] = "done"
-        man["stages"]["complete"] = "done"
         man["stage_times"]["dictionary"] = round(time.perf_counter() - t0, 2)
+        _write_manifest(out_dir, man)
+
+    # ---- stage 4: per-doc tf-idf norms (search_body serving, Q3) -------
+    if man["stages"].get("doc_norms") != "done":
+        t0 = time.perf_counter()
+        n_docs = man["stats"]["n_docs"]
+        ex = explode_doc_tokens(toks)
+        d = spark.read.parquet(dict_path).select("term", "df")
+        wtd = (1.0 + F.log10("tf")) * F.log10(F.lit(float(n_docs)) / F.col("df"))
+        norms = (
+            ex.join(d, "term")  # broadcast for small vocab, shuffle join at scale (AQE)
+            .groupBy("doc_id")
+            .agg(F.sqrt(F.sum(wtd * wtd)).alias("dnorm"))
+        )
+        norms.write.mode("overwrite").parquet(os.path.join(out_dir, "doc_norms"))
+        man["stages"]["doc_norms"] = "done"
+        man["stage_times"]["doc_norms"] = round(time.perf_counter() - t0, 2)
+        _write_manifest(out_dir, man)
+
+    if man["stages"].get("complete") != "done":
+        man["stages"]["complete"] = "done"
         _write_manifest(out_dir, man)
 
     return IndexReader(spark, out_dir)
@@ -351,6 +371,87 @@ class IndexReader:
 
     def doc_stats(self) -> DataFrame:
         return self.spark.read.parquet(os.path.join(self.dir, "doc_stats"))
+
+    def doc_norms(self) -> DataFrame:
+        return self.spark.read.parquet(os.path.join(self.dir, "doc_norms"))
+
+    def tfidf_topk(self, query: str, k: int = 10) -> DataFrame:
+        """Index-backed `/search_body` (Q3): tf-idf cosine top-k using
+        BUILD-TIME doc norms — the recompute-from-corpus path
+        (engine/ranking.tfidf_cosine_topk) is the oracle for this.
+
+        Plan: one dictionary scan for (df, idf-weights), one pruned
+        postings scan; per-shard kernel computes COMPLETE per-doc dot
+        products (a doc lives in exactly one shard), then a doc_id join
+        against the norms table and TakeOrderedAndProject."""
+        import math
+
+        import pandas as pd
+
+        from collections import Counter
+
+        from pyspark.sql import Window
+
+        spark = self.spark
+        empty = spark.createDataFrame([], "rank int, doc_id long, cos double")
+        qtf = Counter(tokenize(query, use_stem=self.use_stem))
+        if not qtf:
+            return empty
+        n = float(self.manifest["stats"]["n_docs"])
+        dfs = {
+            r["term"]: r["df"]
+            for r in self.dictionary()
+            .where(F.col("term").isin(list(qtf)))
+            .select("term", "df")
+            .collect()
+        }
+        if not dfs:
+            return empty
+        qw = {
+            t: (1.0 + math.log10(c)) * math.log10(n / dfs[t])
+            for t, c in qtf.items()
+            if t in dfs
+        }
+        qnorm = math.sqrt(sum(w * w for w in qw.values()))
+        if qnorm <= 0:
+            return empty
+        idf10 = {t: math.log10(n / df) for t, df in dfs.items()}
+        blocks = self.postings().where(F.col("term").isin(list(qw)))
+
+        def shard_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+            import numpy as np
+
+            from .postings import decode_block
+
+            acc: dict[int, float] = {}
+            for row in pdf.itertuples(index=False):
+                w_q = qw[row.term]
+                ids, tfs, _ = decode_block(row)
+                w_td = (1.0 + np.log10(tfs)) * idf10[row.term]
+                for doc, w in zip(ids.tolist(), (w_td * w_q).tolist()):
+                    acc[doc] = acc.get(doc, 0.0) + w
+            return pd.DataFrame(
+                {"doc_id": list(acc.keys()), "dot": list(acc.values())}
+            )
+
+        dots = blocks.groupBy("shard").applyInPandas(
+            shard_kernel, "doc_id long, dot double"
+        )
+        scored = (
+            dots.join(self.doc_norms(), "doc_id")
+            .select(
+                "doc_id",
+                F.round(
+                    F.col("dot") / (F.col("dnorm") * F.lit(qnorm)), 6
+                ).alias("cos"),
+            )
+            .where(F.col("cos") > 0)
+        )
+        topk = scored.orderBy(F.desc("cos"), F.asc("doc_id")).limit(k)
+        w = Window.orderBy(F.desc("cos"), F.asc("doc_id"))
+        return topk.withColumn("rank", F.row_number().over(w)).select(
+            "rank", "doc_id", "cos"
+        )
 
     def query_weights(self, query: str) -> dict[str, float]:
         """term → qtf * idf for the query's terms (tiny driver-side

@@ -195,15 +195,28 @@ def fusion_topk(
 
 # ----------------------------------------------------------- PageRank
 
+def _dense_rank_by_doc_id(corpus: DataFrame) -> DataFrame:
+    """(doc_id, r) with r = 0-based global rank by doc_id — WITHOUT a
+    single-partition Window (a global `row_number()` moves every row to
+    one task). Range-repartition + local sort gives a globally sorted
+    RDD; zipWithIndex then assigns contiguous indices with one extra
+    count job. Scales to any table size."""
+    spark = corpus.sparkSession
+    p = max(2, spark.sparkContext.defaultParallelism)
+    ordered = (
+        corpus.select("doc_id").repartitionByRange(p, "doc_id")
+        .sortWithinPartitions("doc_id")
+    )
+    rdd = ordered.rdd.map(lambda row: row[0]).zipWithIndex()
+    return spark.createDataFrame(rdd, "doc_id long, r long")
+
+
 def pagerank(corpus: DataFrame, *, iters: int = PR_ITERS) -> DataFrame:
     """(doc_id, pr) — fixed-iteration PageRank over the deterministic
     demo graph (module docstring). The iteration body — contributions =
     pr/outdeg joined to edges, grouped by destination — is the
     production shape; only the edge derivation is demo-specific."""
-    w = Window.orderBy("doc_id")
-    ranked = corpus.select("doc_id").withColumn(
-        "r", F.row_number().over(w) - 1
-    )
+    ranked = _dense_rank_by_doc_id(corpus)
     n_row = ranked.agg(F.count("*").alias("n")).collect()[0]
     n = int(n_row["n"])
     if n == 0:

@@ -163,3 +163,23 @@ def test_batch_matches_single_query(spark, index_dir, queries):
         ]
         got = sorted(by_q.get(qid, []))
         assert got == sorted(single), qid
+
+
+def test_index_tfidf_matches_recompute(spark, tiny_corpus, index_dir, queries):
+    """Index-backed /search_body (build-time doc norms) must be
+    rank- and value-identical to the recompute-from-corpus path."""
+    from engine.ranking import tfidf_cosine_topk
+
+    r = IndexReader(spark, index_dir)
+    for q in queries[:4]:
+        got = [
+            (row["rank"], row["doc_id"], row["cos"])
+            for row in r.tfidf_topk(q["text"], 10).collect()
+        ]
+        want = [
+            (row["rank"], row["doc_id"], row["cos"])
+            for row in tfidf_cosine_topk(
+                spark, tiny_corpus, q["text"], 10, use_stem=True
+            ).collect()
+        ]
+        assert got == want, q["text"]
