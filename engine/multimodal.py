@@ -98,3 +98,68 @@ SELECT doc_id,
        md5(text) AS payload_md5
 FROM documents
 """
+
+
+def _fake_pixels(payload: bytes, h: int, w: int) -> np.ndarray:
+    """Deterministic stand-in for decode+resize (no image libs in this
+    container): bytes are tiled into an h*w grid of [0,1] means. The
+    production seam is ONLY this function (PIL `Image.open(...).resize`)
+    — schema, batching, and partitioning around it are real."""
+    arr = np.frombuffer(payload, dtype=np.uint8)
+    if arr.size == 0:
+        return np.zeros(h * w, dtype=np.float32)
+    pad = (-arr.size) % (h * w)
+    arr = np.pad(arr, (0, pad)).reshape(-1, h * w)
+    return (arr.mean(axis=0) / 255.0).astype(np.float32)
+
+
+def resize_images(media: DataFrame, height: int = 8, width: int = 8) -> DataFrame:
+    """(doc_id, height, width, pixels array<float>) for image rows —
+    decode+resize as a mapInPandas stage; non-image rows are filtered
+    JVM-side so only image payloads cross into Python."""
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "height": height,
+                    "width": width,
+                    "pixels": [
+                        _fake_pixels(bytes(p), height, width).tolist()
+                        for p in pdf["payload"]
+                    ],
+                }
+            )
+
+    return (
+        media.where(F.col("media_type") == "image")
+        .select("doc_id", "payload")
+        .mapInPandas(_batches, "doc_id long, height int, width int, pixels array<float>")
+    )
+
+
+def sample_frames(media: DataFrame, n_frames: int = 4) -> DataFrame:
+    """(doc_id, frame_idx, feature array<float>) for video rows — the
+    frame-sampling shape: one output row per sampled frame, features
+    via the stubbed codec on deterministic byte slices (production
+    seam: ffmpeg keyframe extraction)."""
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = {"doc_id": [], "frame_idx": [], "feature": []}
+            for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(p)
+                step = max(1, len(b) // n_frames)
+                for i in range(n_frames):
+                    chunk = b[i * step : (i + 1) * step] or b[-step:]
+                    rows["doc_id"].append(doc_id)
+                    rows["frame_idx"].append(i)
+                    rows["feature"].append(decode_stub(chunk, "video").tolist())
+            yield pd.DataFrame(rows)
+
+    return (
+        media.where(F.col("media_type") == "video")
+        .select("doc_id", "payload")
+        .mapInPandas(_batches, "doc_id long, frame_idx int, feature array<float>")
+    )

@@ -134,3 +134,24 @@ def test_multimodal_plumbing(spark):
     # deterministic stub
     import numpy as np
     assert np.allclose(decode_stub(b"abc", "image"), decode_stub(b"abc", "audio"))
+
+def test_multimodal_resize_and_frames(spark):
+    from engine.multimodal import media_from_documents, resize_images, sample_frames
+    from engine.packaging import ensure_importable
+
+    ensure_importable(spark)
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    media = media_from_documents(docs)
+    px = resize_images(media, 4, 4)
+    rows = px.limit(5).collect()
+    assert rows and all(len(r["pixels"]) == 16 for r in rows)
+    assert all(0.0 <= v <= 1.0 for r in rows for v in r["pixels"])
+    fr = sample_frames(media, 3)
+    n_videos = media.where("media_type = 'video'").count()
+    assert fr.count() == 3 * n_videos
+    one = fr.where(fr.doc_id == fr.select("doc_id").first()["doc_id"]).collect()
+    assert sorted(r["frame_idx"] for r in one) == [0, 1, 2]
+    # determinism
+    a = sorted(map(tuple, resize_images(media, 4, 4).limit(3).collect()))
+    b = sorted(map(tuple, resize_images(media, 4, 4).limit(3).collect()))
+    assert [r[0] for r in a] == [r[0] for r in b]
