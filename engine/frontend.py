@@ -78,6 +78,8 @@ class SearchService:
         )
 
     def search_title(self, query: str, k: int = 100) -> list[tuple]:
+        if self.reader is not None:
+            return self._with_meta(self.reader.title_topk(query, k), "n_hits")
         return self._with_meta(
             title_match_topk(self.spark, self.corpus, query, k), "n_hits"
         )

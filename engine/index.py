@@ -328,6 +328,20 @@ def build_index(
         man["stage_times"]["doc_norms"] = round(time.perf_counter() - t0, 2)
         _write_manifest(out_dir, man)
 
+    # ---- stage 5: title-terms table (search_title/anchor serving, Q4) --
+    if man["stages"].get("title_terms") != "done":
+        t0 = time.perf_counter()
+        from .ranking import title_terms_df
+
+        (
+            title_terms_df(corpus)
+            .write.mode("overwrite")
+            .parquet(os.path.join(out_dir, "title_terms"))
+        )
+        man["stages"]["title_terms"] = "done"
+        man["stage_times"]["title_terms"] = round(time.perf_counter() - t0, 2)
+        _write_manifest(out_dir, man)
+
     if man["stages"].get("complete") != "done":
         man["stages"]["complete"] = "done"
         _write_manifest(out_dir, man)
@@ -374,6 +388,33 @@ class IndexReader:
 
     def doc_norms(self) -> DataFrame:
         return self.spark.read.parquet(os.path.join(self.dir, "doc_norms"))
+
+    def title_terms(self) -> DataFrame:
+        return self.spark.read.parquet(os.path.join(self.dir, "title_terms"))
+
+    def title_topk(self, query: str, k: int = 100) -> DataFrame:
+        """Index-backed `/search_title` (Q4): count of distinct query
+        terms in the precomputed title-terms table — a pruned scan +
+        groupBy-count, no corpus recompute. Rank-identical to
+        engine/ranking.title_match_topk by construction (same table
+        content); parity-tested."""
+        from pyspark.sql import Window
+
+        terms = sorted(set(tokenize(query, use_stem=False)))
+        spark = self.spark
+        if not terms:
+            return spark.createDataFrame([], "rank int, doc_id long, n_hits long")
+        hits = (
+            self.title_terms()
+            .where(F.col("term").isin(terms))
+            .groupBy("doc_id")
+            .agg(F.count("*").alias("n_hits"))
+        )
+        topk = hits.orderBy(F.desc("n_hits"), F.asc("doc_id")).limit(k)
+        w = Window.orderBy(F.desc("n_hits"), F.asc("doc_id"))
+        return topk.withColumn("rank", F.row_number().over(w)).select(
+            "rank", "doc_id", "n_hits"
+        )
 
     def tfidf_topk(self, query: str, k: int = 10) -> DataFrame:
         """Index-backed `/search_body` (Q3): tf-idf cosine top-k using

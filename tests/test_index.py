@@ -183,3 +183,16 @@ def test_index_tfidf_matches_recompute(spark, tiny_corpus, index_dir, queries):
             ).collect()
         ]
         assert got == want, q["text"]
+
+
+def test_index_title_matches_recompute(spark, tiny_corpus, index_dir, queries):
+    from engine.ranking import title_match_topk
+
+    r = IndexReader(spark, index_dir)
+    for q in queries[:4]:
+        got = [tuple(row) for row in r.title_topk(q["text"], 50).collect()]
+        want = [
+            tuple(row)
+            for row in title_match_topk(spark, tiny_corpus, q["text"], 50).collect()
+        ]
+        assert got == want, q["text"]
