@@ -44,9 +44,15 @@ def tokens_all_col(content: Column) -> Column:
 
 
 def tokens_filtered_col(content: Column) -> Column:
-    """Ordered regex tokens minus stopwords (order-preserving)."""
-    stop = F.lit(sorted(ALL_STOPWORDS))
-    return F.filter(tokens_all_col(content), lambda t: ~F.array_contains(stop, t))
+    """Ordered regex tokens minus stopwords (order-preserving).
+
+    isin over >10 literals compiles to Catalyst InSet (hash lookup);
+    array_contains against the ~200-word stopword array would be a
+    linear scan PER TOKEN (measured: 158 s vs ~8 s for the title-terms
+    stage over 1.2 M docs at local[4])."""
+    return F.filter(
+        tokens_all_col(content), lambda t: ~t.isin(*sorted(ALL_STOPWORDS))
+    )
 
 
 def term_hash_col(term: Column) -> Column:
