@@ -72,6 +72,23 @@ def main() -> None:
         bm25_topk_exhaustive(spark, corpus, "table scan fast", 10).collect()
         timings["bm25_exhaustive_recompute"] = time.perf_counter() - t
 
+        # batch evaluation: all 4 queries in ONE job (amortized launch)
+        t = time.perf_counter()
+        reader.bm25_topk_batch(bm25_queries, 10).collect()
+        timings["bm25_batch_4q"] = time.perf_counter() - t
+
+        # index-backed serving surfaces (round 2): fusion /search,
+        # tf-idf /search_body, title /search_title from build artifacts
+        t = time.perf_counter()
+        reader.fusion_topk("table scan fast", 10).collect()
+        timings["fusion_indexed"] = time.perf_counter() - t
+        t = time.perf_counter()
+        reader.tfidf_topk("query join window group", 10).collect()
+        timings["tfidf_indexed"] = time.perf_counter() - t
+        t = time.perf_counter()
+        reader.title_topk("table scan fast", 100).collect()
+        timings["title_indexed"] = time.perf_counter() - t
+
         # training-data-pipeline + ranking breadth (one representative
         # op per family; value-parity for these is the driver's
         # CORRECTNESS check — here we time them)

@@ -18,7 +18,7 @@ literals, so each operator has an exact DuckDB oracle.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from .stopwords import stopwords_sql_list
@@ -67,20 +67,26 @@ def exact_dedup_sql() -> str:
 
 def shingles_df(corpus: DataFrame, n: int = 3) -> DataFrame:
     """(doc_id, shingle): DISTINCT n-gram token shingles (unstemmed,
-    stopword-filtered, order-preserving)."""
+    stopword-filtered, order-preserving).
+
+    Shingles are formed JVM-side from the token ARRAY (transform over a
+    sequence of start positions + element_at) — zero shuffle before the
+    final distinct. The previous posexplode + lead()-over-window shape
+    shuffled the entire token stream just to see 2 tokens ahead; this
+    feeds both Jaccard and MinHash, the hottest dedup input path."""
     toks = corpus.select(
-        "doc_id",
-        F.posexplode(tokens_filtered_col(F.col("content"))).alias("pos", "term"),
+        "doc_id", tokens_filtered_col(F.col("content")).alias("toks")
     )
-    w = Window.partitionBy("doc_id").orderBy("pos")
-    sh = toks.select(
-        "doc_id",
-        F.concat_ws(
-            " ", F.col("term"), F.lead("term", 1).over(w), F.lead("term", 2).over(w)
-        ).alias("shingle"),
-        F.lead("term", 2).over(w).alias("_t2"),
-    ).where(F.col("_t2").isNotNull())
-    return sh.select("doc_id", "shingle").distinct()
+    t = F.col("toks")
+    gram = lambda i: F.concat_ws(  # noqa: E731
+        " ", *[F.element_at(t, i + j) for j in range(n)]
+    )
+    # sequence(1, 0) would generate a DESCENDING range — guard size < n
+    sh = F.when(
+        F.size(t) >= n,
+        F.transform(F.sequence(F.lit(1), F.size(t) - (n - 1)), gram),
+    ).otherwise(F.array().cast("array<string>"))
+    return toks.select("doc_id", F.explode(sh).alias("shingle")).distinct()
 
 
 def _shingle_cte() -> str:
@@ -236,31 +242,36 @@ GROUP BY a.doc_id, b.doc_id
 # ----------------------------------------------------------------- SimHash
 
 def simhash(corpus: DataFrame) -> DataFrame:
-    """(doc_id, simhash): 60-bit SimHash over tf-weighted term hashes."""
-    toks = corpus.select(
+    """(doc_id, simhash): 60-bit SimHash over tf-weighted term hashes.
+
+    One pass, one tiny shuffle: Σ_terms (±tf) per bit equals
+    Σ_token-occurrences (±1), so each occurrence contributes ±1 to 60
+    conditional-sum agg columns in a single groupBy(doc_id) — map-side
+    partial aggregation reduces the exchange to one 60-long row per
+    doc. (The previous shape exploded the tf stream ×60 bits through a
+    (doc_id, bit) shuffle — 60× the bytes for the same sums.)"""
+    from functools import reduce
+    from operator import add
+
+    occ = corpus.select(
         "doc_id", F.explode(tokens_filtered_col(F.col("content"))).alias("term")
-    )
-    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
-    tf = tf.withColumn("h", term_hash_col(F.col("term")))
-    bits = tf.select(
-        "doc_id",
-        F.explode(F.sequence(F.lit(0), F.lit(SIM_BITS - 1))).alias("bit"),
-        "h",
-        "tf",
-    )
-    contrib = bits.withColumn(
-        "c", F.expr("CASE WHEN ((h >> bit) & 1) = 1 THEN tf ELSE -tf END")
-    )
-    return (
-        contrib.groupBy("doc_id", "bit")
-        .agg(F.sum("c").alias("s"))
-        .groupBy("doc_id")
-        .agg(
+    ).select("doc_id", term_hash_col(F.col("term")).alias("h"))
+    sums = occ.groupBy("doc_id").agg(
+        *[
             F.sum(
-                F.when(F.col("s") > 0, F.expr("shiftleft(1L, bit)")).otherwise(0)
-            ).alias("simhash")
-        )
+                F.when(F.col("h").bitwiseAND(F.lit(1 << b)) != 0, 1).otherwise(-1)
+            ).alias(f"s{b}")
+            for b in range(SIM_BITS)
+        ]
     )
+    sim = reduce(
+        add,
+        [
+            F.when(F.col(f"s{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+            for b in range(SIM_BITS)
+        ],
+    )
+    return sums.select("doc_id", sim.cast("long").alias("simhash"))
 
 
 def simhash_sql() -> str:

@@ -1,10 +1,10 @@
 """Driver-contract query registry (__spark_entry__.py backend).
 
 Each entry pairs a Spark DataFrame callable with an ANSI-SQL string
-DuckDB runs on the same parquet (SURVEY.md §5.2.3). The SQL-checked
-entries use the UNSTEMMED tokenizer path — DuckDB has no offline
-stemmer (SURVEY.md §0) — while the stemmed path is oracle-verified in
-pytest and exposed here as rows-only entries.
+DuckDB runs on the same parquet (SURVEY.md §5.2.3). Stemmed entries
+are value-checked too: DuckDB has no stemmer extension offline, so the
+oracle stems with a GENERATED SQL Porter chain (engine/porter_sql.py)
+that is parity-tested against the vendored Python stemmer.
 
 Float discipline: BM25 scores are ROUNDED to 6 decimals and the
 rounded value is the sort key on BOTH sides, so cross-engine float-sum
@@ -15,6 +15,7 @@ values AND equal rank columns).
 
 from __future__ import annotations
 
+import os
 from collections import Counter
 from collections.abc import Callable
 
@@ -47,14 +48,25 @@ def _sql_pat() -> str:
     return TOKEN_PATTERN_RE2.replace("'", "''")
 
 
-def _base_ctes() -> str:
+def _base_ctes(stemmed: bool = False) -> str:
+    """tok→ft→[porter]→tfv→dl→stats→dict CTE chain. ``stemmed`` routes
+    the filtered tokens through the generated SQL Porter chain
+    (engine/porter_sql.py, parity-tested vs the vendored stemmer) —
+    this is what gives the stemmed BM25 entries a value-hash oracle."""
+    src = "ft"
+    porter = ""
+    if stemmed:
+        from .porter_sql import porter_ctes
+
+        chain, src = porter_ctes("ft", carry=("doc_id",), prefix="st")
+        porter = chain + ",\n"
     return f"""
 tok AS (
   SELECT doc_id, unnest(regexp_extract_all(lower(text), '{_sql_pat()}')) AS term
   FROM documents
 ),
 ft AS (SELECT doc_id, term FROM tok WHERE term NOT IN {stopwords_sql_list()}),
-tfv AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM ft GROUP BY doc_id, term),
+{porter}tfv AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM {src} GROUP BY doc_id, term),
 dl AS (SELECT d.doc_id, coalesce(sum(tfv.tf), 0)::BIGINT AS doc_len
        FROM documents d LEFT JOIN tfv USING (doc_id) GROUP BY d.doc_id),
 stats AS (SELECT count(*)::BIGINT AS n_docs, avg(doc_len)::DOUBLE AS avgdl FROM dl),
@@ -64,18 +76,19 @@ dict AS (SELECT term, count(*)::BIGINT AS df,
 """
 
 
-def _bm25_sql(query_text: str, k: int = K) -> str:
-    qtf = Counter(tokenize(query_text, use_stem=False))
+def _bm25_sql(query_text: str, k: int = K, *, stemmed: bool = False) -> str:
+    qtf = Counter(tokenize(query_text, use_stem=stemmed))
     if not qtf:
         vals = "(SELECT NULL::VARCHAR AS term, NULL::BIGINT AS qtf WHERE false)"
         qcte = f"q AS {vals}"
     else:
         rows = ", ".join(
-            f"('{t}', {c}::BIGINT)" for t, c in sorted(qtf.items())
+            "('" + t.replace("'", "''") + f"', {c}::BIGINT)"
+            for t, c in sorted(qtf.items())
         )
         qcte = f"q(term, qtf) AS (VALUES {rows})"
     return f"""
-WITH {_base_ctes()},
+WITH {_base_ctes(stemmed)},
 {qcte},
 scored AS (
   SELECT tfv.doc_id,
@@ -162,6 +175,72 @@ def _mk_bm25(text: str, *, use_stem: bool):
         )
 
     return run
+
+
+# ------------------------------------------ index-backed serving path
+#
+# These entries exercise the engine's ACTUAL product — physical index
+# build → delta+varint blocks → block-max WAND serving — against the
+# same DuckDB oracles as the exhaustive recompute path (VERDICT r1 #1:
+# previously the codec+WAND path was pytest-only). The index is built
+# once per sf_dir into a resume-cached dir; repeated driver queries
+# short-circuit on the manifest.
+
+_DRIVER_CACHE = os.path.join(os.path.dirname(os.path.dirname(__file__)), ".driver_cache")
+
+
+def _index_reader(spark: SparkSession, sf_dir: str, *, use_stem: bool = False):
+    from .index import build_index
+    from .io import documents_as_corpus
+
+    ensure_importable(spark)
+    key = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    kind = "stem" if use_stem else "unstem"
+    out_dir = os.path.join(_DRIVER_CACHE, f"index_{kind}_{key}")
+    corpus = documents_as_corpus(spark, sf_dir).withColumn(
+        "content_sha256", F.sha2(F.col("content"), 256)
+    )
+    # the stemmed variant's DuckDB oracle stems via the generated SQL
+    # Porter chain (engine/porter_sql.py)
+    return build_index(
+        spark, corpus, out_dir, use_stem=use_stem, n_shards=8, n_chunks=1
+    )
+
+
+def _mk_bm25_indexed(text: str, *, use_stem: bool = False):
+    def run(spark, sf_dir):
+        return _index_reader(spark, sf_dir, use_stem=use_stem).bm25_topk(
+            text, K, prune=True, round_scores=ROUND
+        )
+
+    return run
+
+
+def _q_bm25_batch_indexed(spark, sf_dir):
+    return _index_reader(spark, sf_dir).bm25_topk_batch(
+        dict(FIXED_QUERIES), K, prune=True, round_scores=ROUND
+    )
+
+
+def _bm25_batch_sql() -> str:
+    parts = [
+        f"SELECT '{name}' AS query_id, rank, doc_id, score "
+        f"FROM ({_bm25_sql(text)}) q_{name}"
+        for name, text in FIXED_QUERIES.items()
+    ]
+    return " UNION ALL ".join(parts)
+
+
+def _q_tfidf_indexed(spark, sf_dir):
+    return _index_reader(spark, sf_dir).tfidf_topk(FIXED_QUERIES["q_table_scan"], 10)
+
+
+def _q_title_indexed(spark, sf_dir):
+    return _index_reader(spark, sf_dir).title_topk(FIXED_QUERIES["q_multi"], 100)
+
+
+def _q_fusion_indexed(spark, sf_dir):
+    return _index_reader(spark, sf_dir).fusion_topk(FIXED_QUERIES["q_multi"], 10)
 
 
 def _docs(spark, sf_dir):
@@ -264,11 +343,11 @@ def _q_media_meta(spark, sf_dir):
 
 
 def _q_media_features(spark, sf_dir):
-    from .multimodal import extract_features, media_from_documents
+    from .multimodal import media_features_flat, media_from_documents
 
     ensure_importable(spark)
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return extract_features(media_from_documents(docs))
+    return media_features_flat(media_from_documents(docs))
 
 
 def _q_tfidf_cosine(spark, sf_dir):
@@ -317,11 +396,11 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": _q_simhash,
         "simhash_dup_pairs": _q_simhash_pairs,
         "ann_cosine_topk": _q_ann_cosine,
-        "ann_lsh_topk": _q_ann_lsh,        # rows-only (bucketed recall)
+        "ann_lsh_topk": _q_ann_lsh,
         "embedding_dup_pairs": _q_emb_dup,
         "embedding_dup_pairs_lsh": _q_emb_dup_lsh,
         "media_meta": _q_media_meta,
-        "media_features": _q_media_features,  # rows-only (stubbed codec)
+        "media_features": _q_media_features,
         # reference frontend's non-BM25 ranking surfaces (engine/ranking.py)
         "tfidf_cosine_topk": _q_tfidf_cosine,
         "title_match_topk": _q_title_match,
@@ -330,7 +409,18 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
     for name, text in FIXED_QUERIES.items():
         out[f"bm25_{name}"] = _mk_bm25(text, use_stem=False)
-        out[f"bm25_{name}_stemmed"] = _mk_bm25(text, use_stem=True)  # rows-only
+        out[f"bm25_{name}_stemmed"] = _mk_bm25(text, use_stem=True)
+        # the REAL serving path: index build → varint blocks → WAND
+        out[f"bm25_{name}_indexed"] = _mk_bm25_indexed(text)
+    # stemmed + indexed: the full production config (Porter index,
+    # varint blocks, WAND) against the SQL-Porter DuckDB oracle
+    out["bm25_q_table_scan_stemmed_indexed"] = _mk_bm25_indexed(
+        FIXED_QUERIES["q_table_scan"], use_stem=True
+    )
+    out["bm25_batch_indexed"] = _q_bm25_batch_indexed
+    out["tfidf_topk_indexed"] = _q_tfidf_indexed
+    out["title_topk_indexed"] = _q_title_indexed
+    out["fusion_topk_indexed"] = _q_fusion_indexed
     return out
 
 
@@ -366,11 +456,12 @@ def oracle_sqls() -> dict[str, str]:
         simhash_dup_pairs_sql,
         simhash_sql,
     )
-    from .multimodal import media_meta_sql
+    from .multimodal import media_features_sql, media_meta_sql
     from .sim import (
         cosine_topk_sql,
         embedding_dup_pairs_lsh_sql,
         embedding_dup_pairs_sql,
+        lsh_topk_sql,
     )
     from .textops import (
         doc_fingerprint_sql,
@@ -392,10 +483,11 @@ def oracle_sqls() -> dict[str, str]:
             "simhash": simhash_sql(),
             "simhash_dup_pairs": simhash_dup_pairs_sql(),
             "ann_cosine_topk": cosine_topk_sql(),
+            "ann_lsh_topk": lsh_topk_sql(),
             "embedding_dup_pairs": embedding_dup_pairs_sql(),
             "embedding_dup_pairs_lsh": embedding_dup_pairs_lsh_sql(),
             "media_meta": media_meta_sql(),
-            # ann_lsh_topk, media_features: rows-only by design
+            "media_features": media_features_sql(),
         }
     )
     from .ranking import fusion_sql, pagerank_sql, tfidf_cosine_sql, title_match_sql
@@ -410,5 +502,16 @@ def oracle_sqls() -> dict[str, str]:
     )
     for name, text in FIXED_QUERIES.items():
         out[f"bm25_{name}"] = _bm25_sql(text)
-        # the *_stemmed variants intentionally have no SQL (rows-only check)
+        # stemmed: DuckDB stems via the generated SQL Porter chain
+        # (engine/porter_sql.py; parity-tested vs the vendored stemmer)
+        out[f"bm25_{name}_stemmed"] = _bm25_sql(text, stemmed=True)
+        # the indexed serving path must match the SAME oracle
+        out[f"bm25_{name}_indexed"] = _bm25_sql(text)
+    out["bm25_q_table_scan_stemmed_indexed"] = _bm25_sql(
+        FIXED_QUERIES["q_table_scan"], stemmed=True
+    )
+    out["bm25_batch_indexed"] = _bm25_batch_sql()
+    out["tfidf_topk_indexed"] = tfidf_cosine_sql(FIXED_QUERIES["q_table_scan"])
+    out["title_topk_indexed"] = title_match_sql(FIXED_QUERIES["q_multi"])
+    out["fusion_topk_indexed"] = fusion_sql(FIXED_QUERIES["q_multi"])
     return out

@@ -7,7 +7,10 @@ The reference family serves its engine through a Flask app
 the Spark-native engine so a reference user can switch without
 changing clients:
 
-- `/search`        → weighted fusion (engine/ranking.py J4)
+- `/search`        → weighted fusion (J4) on BOTH paths: index-backed
+                     via IndexReader.fusion_topk (BM25-from-index +
+                     title-terms table), recompute via
+                     engine/ranking.fusion_topk — same pinned formula
 - `/search_body`   → tf-idf cosine (Q3)
 - `/search_title`  → binary title match (Q4)
 - `/search_anchor` → alias of title match (the driver corpus has no
@@ -23,8 +26,9 @@ Serving-layer notes, not engine semantics: results are
 one Spark job per request (interactive latency on a warm session —
 the reference served pickled dicts from RAM; our per-request work is
 a broadcast-join + TakeOrdered plan over the cached index).
-PageRank is computed ONCE lazily and cached driver-side — it is
-query-independent, exactly like the reference's precomputed pickle.
+PageRank is computed ONCE lazily and PERSISTED TO PARQUET — lookups
+are isin-filter scans of that table (like get_pageview), never a
+driver-side dict of the whole corpus (impossible at 10^12 docs).
 """
 
 from __future__ import annotations
@@ -46,12 +50,14 @@ class SearchService:
         corpus: DataFrame,
         index_dir: str | None = None,
         pageviews: DataFrame | None = None,
+        pagerank_dir: str | None = None,
     ) -> None:
         self.spark = spark
         self.corpus = corpus
         self.reader = IndexReader(spark, index_dir) if index_dir else None
         self._meta = corpus.select("doc_id", "repo", "path")
-        self._pagerank: dict[int, float] | None = None
+        self._pagerank_dir = pagerank_dir
+        self._pagerank_df: DataFrame | None = None
         self._pageviews = pageviews
 
     # ---- result shaping -------------------------------------------------
@@ -65,8 +71,7 @@ class SearchService:
     # ---- endpoints ------------------------------------------------------
     def search(self, query: str, k: int = 10) -> list[tuple]:
         if self.reader is not None:
-            df = self.reader.bm25_topk(query, k)
-            return self._with_meta(df, "score")
+            return self._with_meta(self.reader.fusion_topk(query, k), "score")
         return self._with_meta(fusion_topk(self.spark, self.corpus, query, k), "score")
 
     def search_body(self, query: str, k: int = 10) -> list[tuple]:
@@ -85,10 +90,28 @@ class SearchService:
         )
 
     def get_pagerank(self, doc_ids: list[int]) -> list[float]:
-        if self._pagerank is None:
-            rows = pagerank(self.corpus).collect()
-            self._pagerank = {r["doc_id"]: r["pr"] for r in rows}
-        return [self._pagerank.get(int(d), 0.0) for d in doc_ids]
+        """PageRank lookups served from a parquet table by isin-filter
+        (parquet row-group pruning on doc_id) — the scale-safe analog of
+        the reference's pickled dict. Computed + written once lazily."""
+        if self._pagerank_df is None:
+            if self._pagerank_dir is None:
+                import tempfile
+
+                self._pagerank_dir = tempfile.mkdtemp(prefix="pagerank_")
+            import os
+
+            if not os.path.exists(os.path.join(self._pagerank_dir, "_SUCCESS")):
+                pagerank(self.corpus).write.mode("overwrite").parquet(
+                    self._pagerank_dir
+                )
+            self._pagerank_df = self.spark.read.parquet(self._pagerank_dir)
+        rows = (
+            self._pagerank_df.where(
+                F.col("doc_id").isin([int(d) for d in doc_ids])
+            ).collect()
+        )
+        got = {r["doc_id"]: float(r["pr"]) for r in rows}
+        return [got.get(int(d), 0.0) for d in doc_ids]
 
     def get_pageview(self, doc_ids: list[int]) -> list[int]:
         if self._pageviews is None:

@@ -100,13 +100,18 @@ def build_index(
     t0 = time.perf_counter()
     fp = corpus_fingerprint(corpus)
     stage_t["fingerprint"] = round(time.perf_counter() - t0, 2)
-    man = _read_manifest(out_dir) if resume else None
-    if man is None or man.get("fingerprint") != fp or man.get("config") != {
+    # checkpoint_format guards resume across layout changes: an index dir
+    # written by an older code version fails the config comparison and
+    # rebuilds cleanly instead of crashing on a missing column.
+    config = {
         "use_stem": use_stem, "n_shards": n_shards, "block_docs": block_docs,
-    }:
+        "checkpoint_format": 2,  # 2 = array-form stage-1 tokens
+    }
+    man = _read_manifest(out_dir) if resume else None
+    if man is None or man.get("fingerprint") != fp or man.get("config") != config:
         man = {
             "version": 1,
-            "config": {"use_stem": use_stem, "n_shards": n_shards, "block_docs": block_docs},
+            "config": config,
             "fingerprint": fp,
             "stages": {},
             "chunks": {},
@@ -183,12 +188,22 @@ def build_index(
         ds = toks.select("doc_id", "doc_len", "repo", "path", "content_sha256")
         ds.write.mode("overwrite").parquet(doc_stats_path)
         st = spark.read.parquet(doc_stats_path).agg(
-            F.count("*").alias("n"), F.avg("doc_len").alias("avgdl")
+            F.count("*").alias("n"),
+            F.avg("doc_len").alias("avgdl"),
+            # doc_id collision guard (engine/ids.py): a collision would
+            # silently merge two documents' postings; exact distinct on
+            # the same scan costs one extra agg column.
+            F.count_distinct("doc_id").alias("n_ids"),
         ).collect()[0]
         if st["n"] != fp["n"]:
             raise AssertionError(
                 f"doc_stats rows {st['n']} != corpus rows {fp['n']} — "
                 "sha256/doc_id invariant violated in stage 1"
+            )
+        if st["n_ids"] != st["n"]:
+            raise AssertionError(
+                f"doc_id collision: {st['n']} docs but {st['n_ids']} distinct "
+                "doc_ids — widen the id or fix upstream identity"
             )
         man["stats"] = {"n_docs": st["n"], "avgdl": float(st["avgdl"] or 0.0)}
         man["stages"]["doc_stats"] = "done"
@@ -314,10 +329,16 @@ def build_index(
     # ---- stage 4: per-doc tf-idf norms (search_body serving, Q3) -------
     if man["stages"].get("doc_norms") != "done":
         t0 = time.perf_counter()
+        from . import TF_CAP
+
         n_docs = man["stats"]["n_docs"]
         ex = explode_doc_tokens(toks)
         d = spark.read.parquet(dict_path).select("term", "df")
-        wtd = (1.0 + F.log10("tf")) * F.log10(F.lit(float(n_docs)) / F.col("df"))
+        # tf capped at TF_CAP — the same bound the posting blocks store,
+        # so the serving-path dot product (capped tfs decoded from
+        # blocks) and these norms agree for any tf
+        tfc = F.least(F.col("tf"), F.lit(TF_CAP))
+        wtd = (1.0 + F.log10(tfc)) * F.log10(F.lit(float(n_docs)) / F.col("df"))
         norms = (
             ex.join(d, "term")  # broadcast for small vocab, shuffle join at scale (AQE)
             .groupBy("doc_id")
@@ -464,26 +485,32 @@ class IndexReader:
 
             from .postings import decode_block
 
-            acc: dict[int, float] = {}
+            # vectorized merge (same np.unique/np.add.at shape as
+            # engine/wand.py) — no per-posting Python loop in serving
+            parts_ids, parts_w = [], []
             for row in pdf.itertuples(index=False):
-                w_q = qw[row.term]
                 ids, tfs, _ = decode_block(row)
                 w_td = (1.0 + np.log10(tfs)) * idf10[row.term]
-                for doc, w in zip(ids.tolist(), (w_td * w_q).tolist()):
-                    acc[doc] = acc.get(doc, 0.0) + w
-            return pd.DataFrame(
-                {"doc_id": list(acc.keys()), "dot": list(acc.values())}
-            )
+                parts_ids.append(ids)
+                parts_w.append(w_td * qw[row.term])
+            all_ids = np.concatenate(parts_ids)
+            all_w = np.concatenate(parts_w)
+            uid, inv = np.unique(all_ids, return_inverse=True)
+            dot = np.zeros(uid.size, dtype=np.float64)
+            np.add.at(dot, inv, all_w)
+            return pd.DataFrame({"doc_id": uid, "dot": dot})
 
         dots = blocks.groupBy("shard").applyInPandas(
             shard_kernel, "doc_id long, dot double"
         )
+        from .textops import ROUND
+
         scored = (
             dots.join(self.doc_norms(), "doc_id")
             .select(
                 "doc_id",
                 F.round(
-                    F.col("dot") / (F.col("dnorm") * F.lit(qnorm)), 6
+                    F.col("dot") / (F.col("dnorm") * F.lit(qnorm)), ROUND
                 ).alias("cos"),
             )
             .where(F.col("cos") > 0)
@@ -512,7 +539,8 @@ class IndexReader:
         return {r["term"]: qtf[r["term"]] * r["idf"] for r in rows}
 
     def bm25_topk_batch(
-        self, queries: dict[str, str], k: int = 10, *, prune: bool = True
+        self, queries: dict[str, str], k: int = 10, *, prune: bool = True,
+        round_scores: int | None = None,
     ) -> DataFrame:
         """All queries in ONE job → (query_id, rank, doc_id, score).
 
@@ -586,6 +614,14 @@ class IndexReader:
         per_shard = blocks.groupBy("shard").applyInPandas(
             shard_kernel, "query_id string, doc_id long, score double"
         )
+        if round_scores is not None:
+            # a doc lives in exactly one shard, so per-shard scores are
+            # complete finals — rounding here rounds the final score and
+            # makes the rounded value the global sort key (cross-engine
+            # float discipline, engine/driver_queries.py)
+            per_shard = per_shard.select(
+                "query_id", "doc_id", F.round("score", round_scores).alias("score")
+            )
         w = Window.partitionBy("query_id").orderBy(
             F.desc("score"), F.asc("doc_id")
         )
@@ -597,10 +633,14 @@ class IndexReader:
 
     def bm25_topk(
         self, query: str, k: int = 10, *, prune: bool = True,
-        with_metadata: bool = False,
+        with_metadata: bool = False, round_scores: int | None = None,
     ) -> DataFrame:
         """Top-k (rank, doc_id, score) via per-shard block-max pruned
-        scoring in applyInPandas + global TakeOrderedAndProject."""
+        scoring in applyInPandas + global TakeOrderedAndProject.
+
+        ``round_scores`` rounds each doc's (complete, shard-local) score
+        and uses the rounded value as the sort key — the cross-engine
+        float discipline of the DuckDB-checked driver entries."""
         import pandas as pd
 
         weights = self.query_weights(query)
@@ -621,6 +661,10 @@ class IndexReader:
         per_shard = blocks.groupBy("shard").applyInPandas(
             shard_kernel, "doc_id long, score double"
         )
+        if round_scores is not None:
+            per_shard = per_shard.select(
+                "doc_id", F.round("score", round_scores).alias("score")
+            )
         topk = per_shard.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
         w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
         out = topk.withColumn("rank", F.row_number().over(w)).select(
@@ -631,3 +675,65 @@ class IndexReader:
                 self.doc_stats().select("doc_id", "repo", "path"), "doc_id", "left"
             ).orderBy("rank")
         return out
+
+    def bm25_scores_all(self, query: str) -> DataFrame:
+        """(doc_id, score) for EVERY doc matching ≥1 query term — the
+        exhaustive union scoring over the index (no top-k cut, no
+        pruning). Feeds fusion's max-normalization, which needs the full
+        score distribution, not just the top-k."""
+        import pandas as pd
+
+        weights = self.query_weights(query)
+        avgdl = self.manifest["stats"]["avgdl"]
+        if not weights:
+            return self.spark.createDataFrame([], "doc_id long, score double")
+        blocks = self.postings().where(F.col("term").isin(list(weights)))
+
+        def shard_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+            from .wand import topk_shard
+
+            # k = "everything": theta never becomes finite, so the OR
+            # phase runs to completion and no accumulator doc is cut
+            ids, sc = topk_shard(pdf, weights, avgdl, 1 << 31, prune=False)
+            return pd.DataFrame({"doc_id": ids, "score": sc})
+
+        return blocks.groupBy("shard").applyInPandas(
+            shard_kernel, "doc_id long, score double"
+        )
+
+    def fusion_topk(self, query: str, k: int = 10) -> DataFrame:
+        """Index-backed `/search` (J4): weighted fusion of max-normalized
+        BM25 body score and title hit-ratio — the same pinned formula as
+        engine/ranking.fusion_topk (its recompute path is the oracle).
+        BM25 terms follow the index's stemming config; title terms are
+        unstemmed (the title table is built unstemmed), mirroring the
+        recompute path's per-field tokenization."""
+        from .ranking import FUSE_W_BODY, FUSE_W_TITLE, _ranked
+        from .textops import ROUND
+
+        terms = sorted(set(tokenize(query, use_stem=False)))
+        n_q = len(terms)
+        if n_q == 0:
+            return self.spark.createDataFrame(
+                [], "rank int, doc_id long, score double"
+            )
+        body = self.bm25_scores_all(query)
+        body_max = body.agg(F.max("score").alias("max_bm25"))
+        body_n = body.crossJoin(F.broadcast(body_max)).select(
+            "doc_id", (F.col("score") / F.col("max_bm25")).alias("body_score")
+        )
+        title = (
+            self.title_terms()
+            .where(F.col("term").isin(terms))
+            .groupBy("doc_id")
+            .agg((F.count("*") / F.lit(float(n_q))).alias("title_score"))
+        )
+        fused = body_n.join(title, "doc_id", "full_outer").select(
+            "doc_id",
+            F.round(
+                FUSE_W_BODY * F.coalesce("body_score", F.lit(0.0))
+                + FUSE_W_TITLE * F.coalesce("title_score", F.lit(0.0)),
+                ROUND,
+            ).alias("score"),
+        )
+        return _ranked(fused, "score", k)

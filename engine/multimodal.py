@@ -87,6 +87,58 @@ def extract_features(media: DataFrame, batch_hint: int = 256) -> DataFrame:
     )
 
 
+def media_features_flat(media: DataFrame) -> DataFrame:
+    """(doc_id, media_type, dim, value) — exploded projection of
+    extract_features for the driver contract: an array<float> column
+    breaks order-insensitive value hashing (pandas can't factorize
+    lists), and the flat form admits an exact DuckDB oracle (the stub
+    decode is deterministic byte math, media_features_sql)."""
+    f = extract_features(media)
+    return f.select(
+        "doc_id", "media_type", F.posexplode("feature").alias("dim", "value")
+    ).select(
+        "doc_id",
+        "media_type",
+        "dim",
+        F.round(F.col("value").cast("double"), 6).alias("value"),
+    )
+
+
+def media_features_sql() -> str:
+    """DuckDB twin of decode_stub over the utf-8 payload: bytes (via
+    hex extraction) → pad to a multiple of FAKE_DIM with zeros →
+    per-dim column mean / 255 → float32. All sums are exact integers in
+    float64, so the mean matches numpy bit-for-bit; the ::REAL cast
+    reproduces the .astype(float32)."""
+    mt = ("CASE WHEN g.doc_id % 3 = 0 THEN 'image' "
+          "WHEN g.doc_id % 3 = 1 THEN 'audio' ELSE 'video' END")
+    return f"""
+WITH b AS (
+  SELECT doc_id, hex(encode(text)) AS hx, octet_length(encode(text)) AS n
+  FROM documents
+),
+bytes AS (
+  SELECT doc_id, unnest(range(0, n)) AS i FROM b
+),
+sums AS (
+  SELECT bt.doc_id, (bt.i % {FAKE_DIM})::INTEGER AS dim,
+         sum(('0x' || substr(b.hx, (2 * bt.i + 1)::INTEGER, 2))::BIGINT) AS s
+  FROM bytes bt JOIN b USING (doc_id)
+  GROUP BY bt.doc_id, bt.i % {FAKE_DIM}
+),
+grid AS (
+  SELECT b.doc_id, d.dim::INTEGER AS dim, b.n
+  FROM b CROSS JOIN (SELECT unnest(range(0, {FAKE_DIM})) AS dim) d
+)
+SELECT g.doc_id, {mt} AS media_type, g.dim,
+       round((CASE WHEN g.n = 0 THEN 0.0
+              ELSE ((coalesce(s.s, 0)::DOUBLE
+                     / ((g.n + {FAKE_DIM} - 1) // {FAKE_DIM}))
+                    / 255.0)::REAL::DOUBLE END), 6) AS value
+FROM grid g LEFT JOIN sums s ON s.doc_id = g.doc_id AND s.dim = g.dim
+"""
+
+
 def media_meta_sql() -> str:
     """DuckDB oracle for media_meta over the documents view."""
     return """

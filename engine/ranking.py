@@ -85,7 +85,13 @@ def tfidf_cosine_topk(
     n_docs = corpus_stats_df(doc_stats_df(corpus, toks)).select("n_docs")
     qterms = query_terms_df(spark, query, use_stem=use_stem)
 
-    wtd = (1.0 + F.log10("tf")) * F.log10(F.col("n_docs") / F.col("df"))
+    from . import TF_CAP
+
+    # tf capped at TF_CAP — matches the posting-block bound so the
+    # index-backed serving path (IndexReader.tfidf_topk) agrees exactly
+    wtd = (1.0 + F.log10(F.least(F.col("tf"), F.lit(TF_CAP)))) * F.log10(
+        F.col("n_docs") / F.col("df")
+    )
     weights = (
         toks.join(F.broadcast(d.select("term", "df")), "term")
         .crossJoin(F.broadcast(n_docs))
@@ -277,7 +283,10 @@ def _q_values_cte(query: str) -> tuple[str, int]:
     from .tokenizer import tokenize
 
     qtf = Counter(tokenize(query, use_stem=False))
-    rows = ", ".join(f"('{t}', {c}::BIGINT)" for t, c in sorted(qtf.items()))
+    # TOKEN_PATTERN admits apostrophes ("don't") — escape for VALUES
+    rows = ", ".join(
+        "('" + t.replace("'", "''") + f"', {c}::BIGINT)" for t, c in sorted(qtf.items())
+    )
     return f"q(term, qtf) AS (VALUES {rows})", len(qtf)
 
 
@@ -288,7 +297,7 @@ WITH {_tfv_cte()},
 {qcte},
 weights AS (
   SELECT tfv.doc_id, tfv.term,
-         (1.0 + log10(tfv.tf)) * log10(s.n_docs / dict.df::DOUBLE) AS w
+         (1.0 + log10(least(tfv.tf, 65535))) * log10(s.n_docs / dict.df::DOUBLE) AS w
   FROM tfv JOIN dict USING (term) CROSS JOIN stats s
 ),
 norms AS (SELECT doc_id, sqrt(sum(w * w)) AS dnorm FROM weights GROUP BY doc_id),

@@ -148,6 +148,40 @@ def lsh_topk(
     return cosine_topk(cand, qvec, k)
 
 
+def lsh_topk_sql(k: int = 20, n_planes: int = LSH_PLANES) -> str:
+    """DuckDB oracle for lsh_topk: the query is the min-vec_id
+    embedding; its bucket comes from the same pinned-hyperplane bucket
+    CTE, candidates are that bucket only, then exact cosine top-k."""
+    return f"""
+WITH {_bucket_cte_sql(n_planes)},
+q AS (
+  SELECT embedding AS qv FROM embeddings ORDER BY vec_id LIMIT 1
+),
+qb AS (
+  SELECT bucket FROM buckets
+  WHERE vec_id = (SELECT min(vec_id) FROM embeddings)
+),
+scored AS (
+  SELECT e.vec_id,
+         round(
+           (SELECT sum(x.a::DOUBLE * x.b::DOUBLE)
+            FROM (SELECT unnest(e.embedding) AS a, unnest(q.qv) AS b) x)
+           / (sqrt((SELECT sum(y.a::DOUBLE * y.a::DOUBLE)
+                    FROM (SELECT unnest(e.embedding) AS a) y))
+              * sqrt((SELECT sum(z.b::DOUBLE * z.b::DOUBLE)
+                      FROM (SELECT unnest(q.qv) AS b) z))),
+           {ROUND}) AS cos
+  FROM embeddings e
+  JOIN buckets bk ON e.vec_id = bk.vec_id
+  CROSS JOIN q
+  WHERE bk.bucket = (SELECT bucket FROM qb)
+)
+SELECT row_number() OVER (ORDER BY cos DESC, vec_id ASC)::INTEGER AS rank,
+       vec_id, cos
+FROM scored ORDER BY cos DESC, vec_id ASC LIMIT {k}
+"""
+
+
 # -------------------------------------------- embedding near-dup pairs
 
 DUP_COS = 0.4  # driver-check threshold: the synthetic embeddings have no

@@ -6,6 +6,11 @@
 Prints per-query top-k and (optionally) writes a tagged union parquet
 (query_id, rank, doc_id, score) — the golden-comparison shape
 (FIXTURES.md §3).
+
+With ``--golden golden.parquet --metrics`` the run is scored against
+the golden frame with precision@k / MAP@40 (engine/metrics.py — the
+reference family's evaluation idiom, SURVEY.md §5.1) and a one-line
+JSON metrics report is printed.
 """
 
 from __future__ import annotations
@@ -25,6 +30,10 @@ def main() -> None:
     ap.add_argument("--batch", action="store_true",
                     help="evaluate the whole query set in one Spark job")
     ap.add_argument("--cores", default=None)
+    ap.add_argument("--golden", default=None,
+                    help="golden (query_id, rank, doc_id, score) parquet")
+    ap.add_argument("--metrics", action="store_true",
+                    help="score the run vs --golden: precision@k, MAP@40")
     args = ap.parse_args()
 
     from pyspark.sql import functions as F
@@ -36,6 +45,17 @@ def main() -> None:
     reader = IndexReader(spark, args.index)
     with open(args.queries) as f:
         queries = json.load(f)
+
+    def _report_metrics(run_pdf) -> None:
+        if not (args.metrics and args.golden):
+            return
+        import pandas as pd
+
+        from engine.metrics import evaluate_run
+
+        golden = pd.read_parquet(args.golden)
+        rep = evaluate_run(run_pdf, golden, k=args.k)
+        print("metrics:", json.dumps(rep))
 
     if args.batch:
         # one job for the whole set (SURVEY.md §3.3) — amortizes the
@@ -52,6 +72,7 @@ def main() -> None:
         if args.out:
             df.write.mode("overwrite").parquet(args.out)
             print("wrote", args.out)
+        _report_metrics(df.toPandas())
         return
 
     results = []
@@ -64,14 +85,15 @@ def main() -> None:
               f"-> {[(r['doc_id'], round(r['score'], 4)) for r in rows[:3]]}...")
         results.append(df.withColumn("query_id", F.lit(q["query_id"])))
 
-    if args.out and results:
+    if results and (args.out or (args.metrics and args.golden)):
         union = results[0]
         for r in results[1:]:
             union = union.unionByName(r)
-        union.select("query_id", "rank", "doc_id", "score").write.mode(
-            "overwrite"
-        ).parquet(args.out)
-        print("wrote", args.out)
+        union = union.select("query_id", "rank", "doc_id", "score")
+        if args.out:
+            union.write.mode("overwrite").parquet(args.out)
+            print("wrote", args.out)
+        _report_metrics(union.toPandas())
 
 
 if __name__ == "__main__":

@@ -48,14 +48,19 @@ def test_sha256_and_doc_id_parity():
     for s in ["", "abc", "hello world", "ünïcode"]:
         dk = con.execute("select sha256(?)", [s]).fetchone()[0]
         assert dk == sha256_py(s)
-    expr = doc_id_sql_duckdb("?", "?", "?")
+    # the expression references (repo, path, commit) twice (hi/lo hex
+    # split, engine/ids.py) → bind via named columns, not positional ?
+    expr = doc_id_sql_duckdb("v.r", "v.p", "v.c")
     for repo, path, commit in [
         ("org/r", "src/a.py", "0" * 40),
         ("x", "y", "z"),
     ]:
-        dk = con.execute(f"select {expr}", [repo, path, commit]).fetchone()[0]
+        dk = con.execute(
+            f"select {expr} from (select ? as r, ? as p, ? as c) v",
+            [repo, path, commit],
+        ).fetchone()[0]
         assert dk == doc_id_py(repo, path, commit)
-        assert 0 <= dk < 2**60
+        assert 0 <= dk < 2**63
 
 
 def test_doc_id_spark_parity(spark):
