@@ -65,15 +65,17 @@ def exact_dedup_sql() -> str:
 
 # ------------------------------------------------------------- shingles
 
-def shingles_df(corpus: DataFrame, n: int = 3) -> DataFrame:
-    """(doc_id, shingle): DISTINCT n-gram token shingles (unstemmed,
-    stopword-filtered, order-preserving).
+def shingles_df(corpus: DataFrame, n: int = 3, *, distinct: bool = True) -> DataFrame:
+    """(doc_id, shingle): n-gram token shingles (unstemmed,
+    stopword-filtered, order-preserving), DISTINCT by default.
 
     Shingles are formed JVM-side from the token ARRAY (transform over a
     sequence of start positions + element_at) — zero shuffle before the
-    final distinct. The previous posexplode + lead()-over-window shape
-    shuffled the entire token stream just to see 2 tokens ahead; this
-    feeds both Jaccard and MinHash, the hottest dedup input path."""
+    (optional) distinct. The previous posexplode + lead()-over-window
+    shape shuffled the entire token stream just to see 2 tokens ahead;
+    this feeds both Jaccard and MinHash, the hottest dedup input path.
+    ``distinct=False`` skips the dedup exchange for consumers whose
+    aggregate is duplicate-insensitive (MinHash min)."""
     toks = corpus.select(
         "doc_id", tokens_filtered_col(F.col("content")).alias("toks")
     )
@@ -86,7 +88,8 @@ def shingles_df(corpus: DataFrame, n: int = 3) -> DataFrame:
         F.size(t) >= n,
         F.transform(F.sequence(F.lit(1), F.size(t) - (n - 1)), gram),
     ).otherwise(F.array().cast("array<string>"))
-    return toks.select("doc_id", F.explode(sh).alias("shingle")).distinct()
+    out = toks.select("doc_id", F.explode(sh).alias("shingle"))
+    return out.distinct() if distinct else out
 
 
 def _shingle_cte() -> str:
@@ -166,18 +169,38 @@ WHERE round(i / (sa.n + sb.n - i)::DOUBLE, {ROUND}) >= {threshold}
 
 # --------------------------------------------------------- MinHash + LSH
 
+def _minhash_wide(corpus: DataFrame) -> DataFrame:
+    """(doc_id, m0..m{k-1}): all k permutation minima in ONE
+    groupBy(doc_id) — k min-agg columns instead of a k× params
+    cross-join shuffled on (doc_id, j). min() is duplicate-insensitive,
+    so the RAW (non-distinct) shingle stream feeds it directly: the
+    whole signature stage costs one map-side-combined exchange of one
+    row per doc."""
+    sh = shingles_df(corpus, distinct=False).select(
+        "doc_id", (term_hash_col(F.col("shingle")) % MH_P).alias("h")
+    )
+    aggs = [
+        F.min((F.lit(a) * F.col("h") + F.lit(b)) % MH_P).alias(f"m{j}")
+        for j, a, b in _mh_params()
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
 def minhash_signatures(corpus: DataFrame) -> DataFrame:
     """(doc_id, j, minhash): k=16 permutation minima over the shingle
-    set — h_j(x) = (a_j * (H(shingle) % p) + b_j) % p."""
-    sh = shingles_df(corpus).withColumn(
-        "h", term_hash_col(F.col("shingle")) % MH_P
+    set — h_j(x) = (a_j * (H(shingle) % p) + b_j) % p. Long form is
+    unpivoted AFTER the per-doc aggregate (k rows/doc, post-shuffle)."""
+    wide = _minhash_wide(corpus)
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("j"), F.col(f"m{j}").alias("minhash")
+            )
+            for j in range(MH_K)
+        ]
     )
-    spark = corpus.sparkSession
-    params = spark.createDataFrame(_mh_params(), "j int, a long, b long")
-    return (
-        sh.crossJoin(F.broadcast(params))
-        .groupBy("doc_id", "j")
-        .agg(F.min((F.col("a") * F.col("h") + F.col("b")) % MH_P).alias("minhash"))
+    return wide.select("doc_id", F.explode(pairs).alias("e")).select(
+        "doc_id", F.col("e.j").alias("j"), F.col("e.minhash").alias("minhash")
     )
 
 
@@ -196,18 +219,27 @@ GROUP BY doc_id, j
 def minhash_candidate_pairs(corpus: DataFrame) -> DataFrame:
     """(doc_a, doc_b, n_bands): LSH band-collision candidates — docs
     agreeing on ALL rows of ≥1 band. The scale path: equi-join on
-    (band, band_key), never a cross-join."""
-    sig = minhash_signatures(corpus).withColumn(
-        "band", (F.col("j") / MH_BAND_ROWS).cast("int")
+    (band, band_key), never a cross-join. Band keys come straight from
+    the wide signature row (no per-(doc, band) collect_list regroup)."""
+    wide = _minhash_wide(corpus)
+    n_bands = MH_K // MH_BAND_ROWS
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.concat_ws(
+                    ",",
+                    *[
+                        F.col(f"m{b * MH_BAND_ROWS + i}").cast("string")
+                        for i in range(MH_BAND_ROWS)
+                    ],
+                ).alias("band_key"),
+            )
+            for b in range(n_bands)
+        ]
     )
-    keys = sig.groupBy("doc_id", "band").agg(
-        F.concat_ws(
-            ",",
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("j", "minhash"))),
-                lambda s: s["minhash"].cast("string"),
-            ),
-        ).alias("band_key")
+    keys = wide.select("doc_id", F.explode(bands).alias("e")).select(
+        "doc_id", F.col("e.band").alias("band"), F.col("e.band_key").alias("band_key")
     )
     a = keys.alias("a")
     b = keys.alias("b")

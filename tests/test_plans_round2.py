@@ -47,6 +47,18 @@ def test_simhash_plan_single_exchange_no_bit_explode(spark, tiny_corpus):
     assert n_ops(p, "Generate") <= 1, p
 
 
+def test_minhash_signatures_single_exchange(spark, tiny_corpus):
+    """All 16 permutation minima in one map-side-combined
+    groupBy(doc_id) over the RAW shingle stream: exactly one exchange,
+    no params cross-join, no distinct shuffle (min() is
+    duplicate-insensitive)."""
+    from engine.dedup import minhash_signatures
+
+    p = plan_of(minhash_signatures(tiny_corpus))
+    assert n_ops(p, "Exchange") == 1, p
+    assert "NestedLoop" not in p and "CartesianProduct" not in p, p
+
+
 def test_tfidf_serving_kernel_is_vectorized():
     """The serving-path kernel must not fall back to a per-posting
     Python loop (VERDICT r1 'What's wrong' #3): no .tolist() iteration
