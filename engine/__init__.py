@@ -35,3 +35,9 @@ BM25_B = 0.75
 # tf is capped at the reference's 2-byte posting encoding bound
 # (SURVEY.md §5.3(b): TUPLE_SIZE=6 → 2-byte tf, TF_MASK=2**16-1).
 TF_CAP = 65535
+
+# title field = first TITLE_TOKENS stopword-filtered (unstemmed) tokens
+# of the content (engine/ranking.py Q4; the driver corpus has no title
+# column). Lives here because both the tokenizer (build-time carry) and
+# ranking (recompute path) need it without a circular import.
+TITLE_TOKENS = 12

@@ -25,7 +25,8 @@ from .tokenizer import batch_doc_terms, batch_doc_token_arrays
 
 TOKENS_SCHEMA = "doc_id long, term string, tf long, doc_len long"
 DOC_TOKENS_SCHEMA = (
-    "doc_id long, terms array<string>, tfs array<long>, doc_len long"
+    "doc_id long, terms array<string>, tfs array<long>, doc_len long, "
+    "title_terms array<string>"
 )
 
 

@@ -105,7 +105,7 @@ def build_index(
     # rebuilds cleanly instead of crashing on a missing column.
     config = {
         "use_stem": use_stem, "n_shards": n_shards, "block_docs": block_docs,
-        "checkpoint_format": 2,  # 2 = array-form stage-1 tokens
+        "checkpoint_format": 3,  # 3 = array tokens + title_terms carry
     }
     man = _read_manifest(out_dir) if resume else None
     if man is None or man.get("fingerprint") != fp or man.get("config") != config:
@@ -164,13 +164,19 @@ def build_index(
 
     if "shard_token_metrics" not in man:
         t0 = time.perf_counter()
-        # one small agg job for ALL shards — chunk metrics sum from this
-        # table instead of re-scanning tokens once per chunk
+        # ONE per-shard agg job supplies chunk lineage metrics AND the
+        # global stats AND the doc_id collision guard: shard = f(doc_id)
+        # makes per-shard distinct counts additive, and integer sums
+        # make avgdl = Σdoc_len / n exact (matching oracle/bm25_ref.py
+        # bit-for-bit, unlike an incremental float avg). Replaces two
+        # separate driver jobs (shard metrics + doc_stats agg).
         rows = (
             toks.groupBy("shard")
             .agg(
                 F.sum(F.size("terms")).alias("rows"),
                 F.sum("doc_len").alias("tokens"),
+                F.count("*").alias("n_docs"),
+                F.count_distinct("doc_id").alias("n_ids"),
             )
             .collect()
         )
@@ -178,6 +184,20 @@ def build_index(
             str(r["shard"]): {"rows": r["rows"], "tokens": int(r["tokens"] or 0)}
             for r in rows
         }
+        n = sum(r["n_docs"] for r in rows)
+        n_ids = sum(r["n_ids"] for r in rows)
+        dl_sum = sum(int(r["tokens"] or 0) for r in rows)
+        if n != fp["n"]:
+            raise AssertionError(
+                f"token-checkpoint rows {n} != corpus rows {fp['n']} — "
+                "sha256/doc_id invariant violated in stage 1"
+            )
+        if n_ids != n:
+            raise AssertionError(
+                f"doc_id collision: {n} docs but {n_ids} distinct doc_ids "
+                "— widen the id or fix upstream identity (engine/ids.py)"
+            )
+        man["stats"] = {"n_docs": n, "avgdl": (dl_sum / n) if n else 0.0}
         man["stage_times"]["shard_metrics"] = round(time.perf_counter() - t0, 2)
         _write_manifest(out_dir, man)
     shard_tok = man["shard_token_metrics"]
@@ -187,25 +207,6 @@ def build_index(
         # array checkpoint carries doc_len AND metadata — pure projection
         ds = toks.select("doc_id", "doc_len", "repo", "path", "content_sha256")
         ds.write.mode("overwrite").parquet(doc_stats_path)
-        st = spark.read.parquet(doc_stats_path).agg(
-            F.count("*").alias("n"),
-            F.avg("doc_len").alias("avgdl"),
-            # doc_id collision guard (engine/ids.py): a collision would
-            # silently merge two documents' postings; exact distinct on
-            # the same scan costs one extra agg column.
-            F.count_distinct("doc_id").alias("n_ids"),
-        ).collect()[0]
-        if st["n"] != fp["n"]:
-            raise AssertionError(
-                f"doc_stats rows {st['n']} != corpus rows {fp['n']} — "
-                "sha256/doc_id invariant violated in stage 1"
-            )
-        if st["n_ids"] != st["n"]:
-            raise AssertionError(
-                f"doc_id collision: {st['n']} docs but {st['n_ids']} distinct "
-                "doc_ids — widen the id or fix upstream identity"
-            )
-        man["stats"] = {"n_docs": st["n"], "avgdl": float(st["avgdl"] or 0.0)}
         man["stages"]["doc_stats"] = "done"
         man["stage_times"]["doc_stats"] = round(time.perf_counter() - t0, 2)
         _write_manifest(out_dir, man)
@@ -232,7 +233,13 @@ def build_index(
         spark.conf.set("spark.sql.files.maxPartitionBytes", str(2 << 30))
         spark.conf.set("spark.sql.files.openCostInBytes", str(2 << 30))
         try:
-            part = spark.read.parquet(tokens_path).where(F.col("shard").isin(shards))
+            part = (
+                spark.read.parquet(tokens_path)
+                .where(F.col("shard").isin(shards))
+                # prune title_terms/metadata — the block kernel needs
+                # only these five (column pruning reaches the scan)
+                .select("shard", "doc_id", "doc_len", "terms", "tfs")
+            )
 
             def _make_kernel(_avgdl: float, _bd: int):
                 def kernel(it):
@@ -332,18 +339,65 @@ def build_index(
         from . import TF_CAP
 
         n_docs = man["stats"]["n_docs"]
-        ex = explode_doc_tokens(toks)
         d = spark.read.parquet(dict_path).select("term", "df")
+        n_terms = d.count()
         # tf capped at TF_CAP — the same bound the posting blocks store,
         # so the serving-path dot product (capped tfs decoded from
         # blocks) and these norms agree for any tf
-        tfc = F.least(F.col("tf"), F.lit(TF_CAP))
-        wtd = (1.0 + F.log10(tfc)) * F.log10(F.lit(float(n_docs)) / F.col("df"))
-        norms = (
-            ex.join(d, "term")  # broadcast for small vocab, shuffle join at scale (AQE)
-            .groupBy("doc_id")
-            .agg(F.sqrt(F.sum(wtd * wtd)).alias("dnorm"))
-        )
+        if n_terms <= 5_000_000:
+            # broadcast-map path: each checkpoint row carries the doc's
+            # WHOLE term list, so with the (term → df) map broadcast the
+            # norm is a per-row computation — ZERO shuffle (the join
+            # path exchanges the exploded token stream twice). 5M terms
+            # ≈ a few hundred MB map — comfortably broadcastable; a
+            # 10^8-term vocabulary falls through to the join below.
+            df_map = {r["term"]: r["df"] for r in d.collect()}
+            bc = spark.sparkContext.broadcast(df_map)
+
+            def _norms_kernel(it):
+                import numpy as np
+                import pandas as pd
+
+                for pdf in it:
+                    lens = pdf["terms"].map(len).to_numpy(np.int64)
+                    keep = lens > 0
+                    if not keep.any():
+                        continue
+                    lens_k = lens[keep]
+                    flat_t = np.concatenate(
+                        [np.asarray(t, dtype=object) for t in pdf["terms"][keep]]
+                    )
+                    flat_tf = np.concatenate(
+                        [np.asarray(t, dtype=np.int64) for t in pdf["tfs"][keep]]
+                    )
+                    dfv = (
+                        pd.Series(flat_t).map(bc.value).to_numpy(np.float64)
+                    )
+                    tfc = np.minimum(flat_tf, TF_CAP).astype(np.float64)
+                    w = (1.0 + np.log10(tfc)) * np.log10(float(n_docs) / dfv)
+                    starts = np.concatenate(([0], np.cumsum(lens_k)[:-1]))
+                    sums = np.add.reduceat(w * w, starts)
+                    yield pd.DataFrame(
+                        {
+                            "doc_id": pdf["doc_id"][keep].to_numpy(np.int64),
+                            "dnorm": np.sqrt(sums),
+                        }
+                    )
+
+            norms = toks.select("doc_id", "terms", "tfs").mapInPandas(
+                _norms_kernel, "doc_id long, dnorm double"
+            )
+        else:
+            ex = explode_doc_tokens(toks)
+            tfc = F.least(F.col("tf"), F.lit(TF_CAP))
+            wtd = (1.0 + F.log10(tfc)) * F.log10(
+                F.lit(float(n_docs)) / F.col("df")
+            )
+            norms = (
+                ex.join(d, "term")  # shuffle join at scale (AQE-planned)
+                .groupBy("doc_id")
+                .agg(F.sqrt(F.sum(wtd * wtd)).alias("dnorm"))
+            )
         norms.write.mode("overwrite").parquet(os.path.join(out_dir, "doc_norms"))
         man["stages"]["doc_norms"] = "done"
         man["stage_times"]["doc_norms"] = round(time.perf_counter() - t0, 2)
@@ -352,10 +406,12 @@ def build_index(
     # ---- stage 5: title-terms table (search_title/anchor serving, Q4) --
     if man["stages"].get("title_terms") != "done":
         t0 = time.perf_counter()
-        from .ranking import title_terms_df
-
+        # title_terms rode along in the stage-1 checkpoint (same regex
+        # pass) — this stage is a projection + distinct, NOT a second
+        # full corpus tokenization (which was ~23% of build wall-clock)
         (
-            title_terms_df(corpus)
+            toks.select("doc_id", F.explode("title_terms").alias("term"))
+            .distinct()
             .write.mode("overwrite")
             .parquet(os.path.join(out_dir, "title_terms"))
         )

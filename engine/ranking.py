@@ -52,7 +52,8 @@ from .stopwords import ALL_STOPWORDS
 from .textops import ROUND, tokens_filtered_col
 from .tokenizer import TOKEN_PATTERN
 
-TITLE_TOKENS = 12
+from . import TITLE_TOKENS  # noqa: E402  (pinned in engine/__init__)
+
 FUSE_W_BODY = 0.6
 FUSE_W_TITLE = 0.4
 PR_DAMP = 0.85

@@ -80,9 +80,13 @@ def term_frequencies(texts: pd.Series, *, use_stem: bool = True) -> list[dict[st
     (~half the total) instead of every token, and stemming runs once
     per distinct raw token per batch. Semantics identical to
     ``Counter(tokenize(text))``."""
+    found = texts.str.lower().str.findall(RE_WORD)
+    return _tf_from_found(found, use_stem=use_stem)
+
+
+def _tf_from_found(found: pd.Series, *, use_stem: bool) -> list[dict[str, int]]:
     from collections import Counter
 
-    found = texts.str.lower().str.findall(RE_WORD)
     memo: dict[str, str | None] = {}
     res: list[dict[str, int]] = []
     for toks in found:
@@ -147,15 +151,34 @@ def batch_doc_token_arrays(
     per-doc arrays carry the same information in ~3x fewer bytes and
     50x fewer rows (doc_id/doc_len stored once per doc). Zero-token
     docs ARE emitted (empty arrays, doc_len=0) so doc stats need no
-    corpus anti-join."""
-    tf_dicts = term_frequencies(texts, use_stem=use_stem)
+    corpus anti-join.
+
+    ``title_terms`` (first TITLE_TOKENS stopword-filtered UNSTEMMED
+    tokens, order-preserving) rides along from the same regex pass —
+    deriving it here saves the title-terms build stage a SECOND full
+    corpus scan + tokenization (it was ~23% of build wall-clock)."""
+    from . import TITLE_TOKENS
+
+    found = texts.str.lower().str.findall(RE_WORD)
+    tf_dicts = _tf_from_found(found, use_stem=use_stem)
     terms = [list(d.keys()) for d in tf_dicts]
     tfs = [list(d.values()) for d in tf_dicts]
+
+    def _title(toks: list[str]) -> list[str]:
+        out: list[str] = []
+        for t in toks:
+            if t not in ALL_STOPWORDS:
+                out.append(t)
+                if len(out) == TITLE_TOKENS:
+                    break
+        return out
+
     return pd.DataFrame(
         {
             "doc_id": np.asarray(doc_ids, dtype=np.int64),
             "terms": terms,
             "tfs": tfs,
             "doc_len": np.asarray([sum(v) for v in tfs], dtype=np.int64),
+            "title_terms": [_title(toks) for toks in found],
         }
     )
