@@ -323,6 +323,26 @@ def _q_ann_lsh(spark, sf_dir):
     return lsh_topk(load_embeddings(spark, sf_dir), query_vector(spark, sf_dir))
 
 
+def _q_ann_multiprobe(spark, sf_dir):
+    from .sim import load_embeddings, lsh_topk_multiprobe, query_vector
+
+    return lsh_topk_multiprobe(
+        load_embeddings(spark, sf_dir), query_vector(spark, sf_dir)
+    )
+
+
+def _q_ann_ivf(spark, sf_dir):
+    from .sim import ivf_topk, load_embeddings, query_vector
+
+    return ivf_topk(load_embeddings(spark, sf_dir), query_vector(spark, sf_dir))
+
+
+def _q_fusion_pr(spark, sf_dir):
+    from .ranking import fusion_pr_topk
+
+    return fusion_pr_topk(spark, _corpus(spark, sf_dir), FIXED_QUERIES["q_table_scan"])
+
+
 def _q_emb_dup(spark, sf_dir):
     from .sim import embedding_dup_pairs, load_embeddings
 
@@ -397,6 +417,8 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_dup_pairs": _q_simhash_pairs,
         "ann_cosine_topk": _q_ann_cosine,
         "ann_lsh_topk": _q_ann_lsh,
+        "ann_lsh_multiprobe_topk": _q_ann_multiprobe,
+        "ann_ivf_topk": _q_ann_ivf,
         "embedding_dup_pairs": _q_emb_dup,
         "embedding_dup_pairs_lsh": _q_emb_dup_lsh,
         "media_meta": _q_media_meta,
@@ -405,6 +427,7 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_cosine_topk": _q_tfidf_cosine,
         "title_match_topk": _q_title_match,
         "fusion_topk": _q_fusion,
+        "fusion_pr_topk": _q_fusion_pr,
         "pagerank": _q_pagerank,
     }
     for name, text in FIXED_QUERIES.items():
@@ -461,6 +484,8 @@ def oracle_sqls() -> dict[str, str]:
         cosine_topk_sql,
         embedding_dup_pairs_lsh_sql,
         embedding_dup_pairs_sql,
+        ivf_topk_sql,
+        lsh_topk_multiprobe_sql,
         lsh_topk_sql,
     )
     from .textops import (
@@ -484,19 +509,28 @@ def oracle_sqls() -> dict[str, str]:
             "simhash_dup_pairs": simhash_dup_pairs_sql(),
             "ann_cosine_topk": cosine_topk_sql(),
             "ann_lsh_topk": lsh_topk_sql(),
+            "ann_lsh_multiprobe_topk": lsh_topk_multiprobe_sql(),
+            "ann_ivf_topk": ivf_topk_sql(),
             "embedding_dup_pairs": embedding_dup_pairs_sql(),
             "embedding_dup_pairs_lsh": embedding_dup_pairs_lsh_sql(),
             "media_meta": media_meta_sql(),
             "media_features": media_features_sql(),
         }
     )
-    from .ranking import fusion_sql, pagerank_sql, tfidf_cosine_sql, title_match_sql
+    from .ranking import (
+        fusion_pr_sql,
+        fusion_sql,
+        pagerank_sql,
+        tfidf_cosine_sql,
+        title_match_sql,
+    )
 
     out.update(
         {
             "tfidf_cosine_topk": tfidf_cosine_sql(FIXED_QUERIES["q_multi"]),
             "title_match_topk": title_match_sql(FIXED_QUERIES["q_table_scan"]),
             "fusion_topk": fusion_sql(FIXED_QUERIES["q_table_scan"]),
+            "fusion_pr_topk": fusion_pr_sql(FIXED_QUERIES["q_table_scan"]),
             "pagerank": pagerank_sql(),
         }
     )

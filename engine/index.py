@@ -321,6 +321,7 @@ def build_index(
             F.sum(
                 F.when(F.col("n_blocks") != F.col("_n_distinct"), 1).otherwise(0)
             ).alias("dup_terms"),
+            F.count(F.lit(1)).alias("n_terms"),
         )
         d.drop("_n_distinct").write.mode("overwrite").parquet(dict_path)
         if int(dobs.get["dup_terms"] or 0) != 0:
@@ -329,6 +330,9 @@ def build_index(
                 "read partitions; raise maxPartitionBytes in stage 2 or "
                 "increase n_shards"
             )
+        # vocabulary size rides the same job — stage 4 uses it to pick
+        # the broadcast-vs-join path without an extra count job
+        man["stats"]["n_terms"] = int(dobs.get["n_terms"] or 0)
         man["stages"]["dictionary"] = "done"
         man["stage_times"]["dictionary"] = round(time.perf_counter() - t0, 2)
         _write_manifest(out_dir, man)
@@ -340,7 +344,9 @@ def build_index(
 
         n_docs = man["stats"]["n_docs"]
         d = spark.read.parquet(dict_path).select("term", "df")
-        n_terms = d.count()
+        n_terms = man["stats"].get("n_terms")
+        if n_terms is None:  # manifest from a pre-n_terms build
+            n_terms = d.count()
         # tf capped at TF_CAP — the same bound the posting blocks store,
         # so the serving-path dot product (capped tfs decoded from
         # blocks) and these norms agree for any tf

@@ -200,6 +200,66 @@ def fusion_topk(
     return _ranked(fused, "score", k)
 
 
+FUSE3_W_BODY = 0.5
+FUSE3_W_TITLE = 0.3
+FUSE3_W_PR = 0.2
+
+
+def fusion_pr_topk(
+    spark: SparkSession, corpus: DataFrame, query: str, k: int = 10
+) -> DataFrame:
+    """(rank, doc_id, score) — `/search` with the PageRank signal fused
+    in (the reference family hand-tunes BM25 + title + PageRank weights
+    [REF? M], SURVEY.md §2.4 J4). Pinned formula:
+
+      score = 0.5·bm25/max_bm25 + 0.3·title_hits/|q| + 0.2·pr/max_pr
+
+    Candidates are docs with a body OR title match (PageRank alone
+    never surfaces a doc — it is a quality prior, not a retrieval
+    signal); pr is LEFT-joined onto the candidate set."""
+    from .query import bm25_scored_terms
+
+    qterms = query_terms_df(spark, query, use_stem=False)
+    n_q = qterms.count()
+    if n_q == 0:
+        return spark.createDataFrame([], "rank int, doc_id long, score double")
+
+    body = (
+        bm25_scored_terms(corpus, qterms, use_stem=False)
+        .groupBy("doc_id")
+        .agg(F.sum("partial_score").alias("bm25"))
+    )
+    body_max = body.agg(F.max("bm25").alias("max_bm25"))
+    body_n = body.crossJoin(F.broadcast(body_max)).select(
+        "doc_id", (F.col("bm25") / F.col("max_bm25")).alias("body_score")
+    )
+    title = (
+        title_terms_df(corpus)
+        .join(F.broadcast(qterms.select("term").distinct()), "term")
+        .groupBy("doc_id")
+        .agg((F.count("*") / F.lit(float(n_q))).alias("title_score"))
+    )
+    pr = pagerank(corpus)
+    pr_max = pr.agg(F.max("pr").alias("max_pr"))
+    pr_n = pr.crossJoin(F.broadcast(pr_max)).select(
+        "doc_id", (F.col("pr") / F.col("max_pr")).alias("pr_score")
+    )
+    fused = (
+        body_n.join(title, "doc_id", "full_outer")
+        .join(pr_n, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.round(
+                FUSE3_W_BODY * F.coalesce("body_score", F.lit(0.0))
+                + FUSE3_W_TITLE * F.coalesce("title_score", F.lit(0.0))
+                + FUSE3_W_PR * F.coalesce("pr_score", F.lit(0.0)),
+                ROUND,
+            ).alias("score"),
+        )
+    )
+    return _ranked(fused, "score", k)
+
+
 # ----------------------------------------------------------- PageRank
 
 def _dense_rank_by_doc_id(corpus: DataFrame) -> DataFrame:
@@ -389,7 +449,10 @@ FROM fused ORDER BY score DESC, doc_id ASC LIMIT {k}
 """
 
 
-def pagerank_sql(*, iters: int = PR_ITERS) -> str:
+def _pagerank_ctes(iters: int = PR_ITERS) -> tuple[str, str]:
+    """(cte_sql, final_cte) — the unrolled PageRank chain; final CTE
+    ``prank`` has (doc_id, pr) with pr rounded to ROUND (matching the
+    Spark pagerank() output exactly)."""
     prev = "pr0"
     iter_ctes = []
     for i in range(1, iters + 1):
@@ -403,8 +466,7 @@ pr{i} AS (
   GROUP BY rk.r
 )""")
         prev = f"pr{i}"
-    return f"""
-WITH rk AS (
+    ctes = f"""rk AS (
   SELECT doc_id, row_number() OVER (ORDER BY doc_id) - 1 AS r FROM documents
 ),
 nn AS (SELECT count(*)::BIGINT AS n FROM rk),
@@ -414,7 +476,57 @@ edges AS (
   SELECT r AS src_r, (r * 3 + 2) % (SELECT n FROM nn) AS dst_r FROM rk
 ),
 pr0 AS (SELECT r, 1.0 / (SELECT n FROM nn) AS pr FROM rk),
-{','.join(iter_ctes)}
-SELECT rk.doc_id, round(p.pr, {ROUND}) AS pr
-FROM rk JOIN {prev} p USING (r)
+{','.join(iter_ctes)},
+prank AS (
+  SELECT rk.doc_id, round(p.pr, {ROUND}) AS pr
+  FROM rk JOIN {prev} p USING (r)
+)"""
+    return ctes, "prank"
+
+
+def pagerank_sql(*, iters: int = PR_ITERS) -> str:
+    ctes, final = _pagerank_ctes(iters)
+    return f"WITH {ctes} SELECT doc_id, pr FROM {final}"
+
+
+def fusion_pr_sql(query: str, k: int = 10) -> str:
+    qcte, n_q = _q_values_cte(query)
+    pr_ctes, pr_final = _pagerank_ctes()
+    return f"""
+WITH {_tfv_cte()},
+dl AS (SELECT d.doc_id, coalesce(sum(tfv.tf), 0)::BIGINT AS doc_len
+       FROM documents d LEFT JOIN tfv USING (doc_id) GROUP BY d.doc_id),
+st2 AS (SELECT count(*)::BIGINT AS n_docs, avg(doc_len)::DOUBLE AS avgdl FROM dl),
+{qcte},
+scored AS (
+  SELECT tfv.doc_id,
+         q.qtf * ln(1.0 + (s.n_docs - dict.df + 0.5) / (dict.df + 0.5))
+               * least(tfv.tf, 65535) * 2.5
+               / (least(tfv.tf, 65535) + 1.5 * (1.0 - 0.75 + 0.75 * dl.doc_len / s.avgdl))
+           AS partial
+  FROM tfv JOIN q USING (term) JOIN dict USING (term) JOIN dl USING (doc_id)
+  CROSS JOIN st2 s
+),
+body AS (SELECT doc_id, sum(partial) AS bm25 FROM scored GROUP BY doc_id),
+body_n AS (SELECT doc_id, bm25 / (SELECT max(bm25) FROM body) AS body_score FROM body),
+{_title_cte().strip()},
+tscore AS (
+  SELECT doc_id, count(*) / {float(n_q)} AS title_score
+  FROM title JOIN (SELECT DISTINCT term FROM q) qq USING (term)
+  GROUP BY doc_id
+),
+{pr_ctes},
+prn AS (SELECT doc_id, pr / (SELECT max(pr) FROM {pr_final}) AS pr_score
+        FROM {pr_final}),
+fused AS (
+  SELECT coalesce(b.doc_id, t.doc_id) AS doc_id,
+         round({FUSE3_W_BODY} * coalesce(b.body_score, 0.0)
+             + {FUSE3_W_TITLE} * coalesce(t.title_score, 0.0)
+             + {FUSE3_W_PR} * coalesce(p.pr_score, 0.0), {ROUND}) AS score
+  FROM body_n b FULL OUTER JOIN tscore t ON b.doc_id = t.doc_id
+  LEFT JOIN prn p ON p.doc_id = coalesce(b.doc_id, t.doc_id)
+)
+SELECT row_number() OVER (ORDER BY score DESC, doc_id ASC)::INTEGER AS rank,
+       doc_id, score
+FROM fused ORDER BY score DESC, doc_id ASC LIMIT {k}
 """

@@ -21,6 +21,8 @@ from .ids import doc_id_py  # noqa: F401  (re-exported convenience)
 from .textops import ROUND
 
 LSH_PLANES = 8
+IVF_K = 8        # IVF coarse-quantizer cells
+IVF_PROBE = 2    # cells probed per query
 
 
 def _dot(a, b):
@@ -129,9 +131,16 @@ def lsh_buckets(emb: DataFrame, n_planes: int = LSH_PLANES) -> DataFrame:
 def lsh_topk(
     emb: DataFrame, qvec: list[float], k: int = 20, n_planes: int = LSH_PLANES
 ) -> DataFrame:
-    """Approximate top-k: search only the query's LSH bucket (falls back
-    to brute force if the bucket has < k members is NOT done — recall
-    loss is the documented tradeoff; probe multiple buckets at scale)."""
+    """Approximate top-k: search only the query's LSH bucket — recall
+    loss is the documented tradeoff; lsh_topk_multiprobe is the
+    recall dial."""
+    qbucket = _query_bucket(qvec, n_planes)
+    buckets = lsh_buckets(emb, n_planes)
+    cand = emb.join(buckets.where(F.col("bucket") == qbucket), "vec_id")
+    return cosine_topk(cand, qvec, k)
+
+
+def _query_bucket(qvec: list[float], n_planes: int) -> int:
     import hashlib
 
     def w(p: int, d: int) -> float:
@@ -143,9 +152,60 @@ def lsh_topk(
         proj = sum(float(x) * w(p, d) for d, x in enumerate(qvec))
         if proj > 0:
             qbucket |= 1 << p
+    return qbucket
+
+
+def lsh_topk_multiprobe(
+    emb: DataFrame,
+    qvec: list[float],
+    k: int = 20,
+    n_planes: int = LSH_PLANES,
+    max_hamming: int = 1,
+) -> DataFrame:
+    """Multi-probe ANN: search the query's bucket AND every bucket
+    within Hamming distance ``max_hamming`` of it — the standard
+    recall/latency dial for sign-LSH (a near neighbor split from the
+    query by ≤ h planes is recovered by probing the 1+Σ C(b,i) flipped
+    buckets). Still a bucket-pruned scan, never all-pairs."""
+    qbucket = _query_bucket(qvec, n_planes)
     buckets = lsh_buckets(emb, n_planes)
-    cand = emb.join(buckets.where(F.col("bucket") == qbucket), "vec_id")
-    return cosine_topk(cand, qvec, k)
+    probe = buckets.where(
+        F.bit_count(F.col("bucket").bitwiseXOR(F.lit(qbucket))) <= max_hamming
+    )
+    return cosine_topk(emb.join(probe, "vec_id"), qvec, k)
+
+
+def lsh_topk_multiprobe_sql(
+    k: int = 20, n_planes: int = LSH_PLANES, max_hamming: int = 1
+) -> str:
+    return f"""
+WITH {_bucket_cte_sql(n_planes)},
+q AS (
+  SELECT embedding AS qv FROM embeddings ORDER BY vec_id LIMIT 1
+),
+qb AS (
+  SELECT bucket FROM buckets
+  WHERE vec_id = (SELECT min(vec_id) FROM embeddings)
+),
+scored AS (
+  SELECT e.vec_id,
+         round(
+           (SELECT sum(x.a::DOUBLE * x.b::DOUBLE)
+            FROM (SELECT unnest(e.embedding) AS a, unnest(q.qv) AS b) x)
+           / (sqrt((SELECT sum(y.a::DOUBLE * y.a::DOUBLE)
+                    FROM (SELECT unnest(e.embedding) AS a) y))
+              * sqrt((SELECT sum(z.b::DOUBLE * z.b::DOUBLE)
+                      FROM (SELECT unnest(q.qv) AS b) z))),
+           {ROUND}) AS cos
+  FROM embeddings e
+  JOIN buckets bk ON e.vec_id = bk.vec_id
+  CROSS JOIN q
+  WHERE bit_count(xor(bk.bucket, (SELECT bucket FROM qb))) <= {max_hamming}
+)
+SELECT row_number() OVER (ORDER BY cos DESC, vec_id ASC)::INTEGER AS rank,
+       vec_id, cos
+FROM scored ORDER BY cos DESC, vec_id ASC LIMIT {k}
+"""
 
 
 def lsh_topk_sql(k: int = 20, n_planes: int = LSH_PLANES) -> str:
@@ -175,6 +235,131 @@ scored AS (
   JOIN buckets bk ON e.vec_id = bk.vec_id
   CROSS JOIN q
   WHERE bk.bucket = (SELECT bucket FROM qb)
+)
+SELECT row_number() OVER (ORDER BY cos DESC, vec_id ASC)::INTEGER AS rank,
+       vec_id, cos
+FROM scored ORDER BY cos DESC, vec_id ASC LIMIT {k}
+"""
+
+
+# ------------------------------------------------------------- IVF ANN
+
+def _ivf_weight_py(j: int, d: int) -> float:
+    import hashlib
+
+    h = int(hashlib.md5(f"ivf:{j}:{d}".encode()).hexdigest()[:15], 16)
+    return ((h % 2001) - 1000) / 1000.0
+
+
+def _ivf_dot_col(j: int):
+    """round(dot(embedding, centroid_j), ROUND) — centroid weights are
+    pinned md5-derived pseudo-randoms, the deterministic stand-in for a
+    trained coarse-quantizer codebook (production seam: swap the weight
+    function for k-means centroids; partitioning/probing is identical)."""
+    return F.round(
+        F.aggregate(
+            F.zip_with(
+                F.col("embedding"),
+                F.transform(
+                    F.sequence(F.lit(0), F.size("embedding") - 1),
+                    lambda d: _plane_weight_col(f"ivf:{j}", d),
+                ),
+                lambda x, wgt: x.cast("double") * wgt,
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+        ROUND,
+    )
+
+
+def ivf_cells(emb: DataFrame, k_cents: int = IVF_K) -> DataFrame:
+    """(vec_id, cell): assign each vector to its max-dot centroid
+    (ties → smallest cell id). Rounded dots keep the assignment
+    cross-engine deterministic. Linear pass, no shuffle."""
+    arr = F.array(
+        *[
+            F.struct(_ivf_dot_col(j).alias("dot"), F.lit(-j).alias("nj"))
+            for j in range(k_cents)
+        ]
+    )
+    best = F.array_max(arr)
+    return emb.select(
+        "vec_id", (-best["nj"]).cast("int").alias("cell")
+    )
+
+
+def ivf_topk(
+    emb: DataFrame,
+    qvec: list[float],
+    k: int = 20,
+    k_cents: int = IVF_K,
+    n_probe: int = IVF_PROBE,
+) -> DataFrame:
+    """IVF ANN: exact cosine only within the query's ``n_probe``
+    nearest centroid cells — the inverted-file scale path (cell
+    assignment is a linear scan; a production deployment partitions the
+    table BY cell so a probe reads n_probe/K of the data)."""
+    qdots = []
+    for j in range(k_cents):
+        dot = sum(
+            float(x) * _ivf_weight_py(j, d) for d, x in enumerate(qvec)
+        )
+        qdots.append((round(dot, ROUND), j))
+    probe = [j for _, j in sorted(qdots, key=lambda t: (-t[0], t[1]))[:n_probe]]
+    cand = emb.join(
+        ivf_cells(emb, k_cents).where(F.col("cell").isin(probe)), "vec_id"
+    )
+    return cosine_topk(cand, qvec, k)
+
+
+def ivf_topk_sql(
+    k: int = 20, k_cents: int = IVF_K, n_probe: int = IVF_PROBE
+) -> str:
+    """DuckDB oracle: identical pinned centroids, rounded-dot argmax
+    assignment, top-n_probe query cells, exact cosine inside them."""
+    w = ("((('0x' || substr(md5('ivf:' || c.j || ':' || (d.i - 1)), 1, 15))"
+         "::bigint % 2001 - 1000) / 1000.0)")
+    return f"""
+WITH dims AS (
+  SELECT vec_id, unnest(embedding) AS x,
+         generate_subscripts(embedding, 1) AS i
+  FROM embeddings
+),
+cdot AS (
+  SELECT d.vec_id, c.j, round(sum(d.x::DOUBLE * {w}), {ROUND}) AS dot
+  FROM dims d CROSS JOIN (SELECT unnest(range(0, {k_cents})) AS j) c
+  GROUP BY d.vec_id, c.j
+),
+cell AS (
+  SELECT vec_id, j AS cell FROM (
+    SELECT vec_id, j,
+           row_number() OVER (PARTITION BY vec_id ORDER BY dot DESC, j ASC) AS rn
+    FROM cdot
+  ) WHERE rn = 1
+),
+qcells AS (
+  SELECT j FROM cdot
+  WHERE vec_id = (SELECT min(vec_id) FROM embeddings)
+  ORDER BY dot DESC, j ASC LIMIT {n_probe}
+),
+q AS (
+  SELECT embedding AS qv FROM embeddings ORDER BY vec_id LIMIT 1
+),
+scored AS (
+  SELECT e.vec_id,
+         round(
+           (SELECT sum(x.a::DOUBLE * x.b::DOUBLE)
+            FROM (SELECT unnest(e.embedding) AS a, unnest(q.qv) AS b) x)
+           / (sqrt((SELECT sum(y.a::DOUBLE * y.a::DOUBLE)
+                    FROM (SELECT unnest(e.embedding) AS a) y))
+              * sqrt((SELECT sum(z.b::DOUBLE * z.b::DOUBLE)
+                      FROM (SELECT unnest(q.qv) AS b) z))),
+           {ROUND}) AS cos
+  FROM embeddings e
+  JOIN cell ce ON e.vec_id = ce.vec_id
+  CROSS JOIN q
+  WHERE ce.cell IN (SELECT j FROM qcells)
 )
 SELECT row_number() OVER (ORDER BY cos DESC, vec_id ASC)::INTEGER AS rank,
        vec_id, cos

@@ -130,7 +130,7 @@ def _mp_work(args):
     return len(term_frequencies(pd.Series(docs), use_stem=True))
 
 
-def mp_ceiling(lo: int, hi: int, n_docs: int = 120_000) -> dict:
+def mp_ceiling(lo: int, hi: int, n_docs: int = 300_000) -> dict:
     """Same-hour hardware ceiling: the engine's own tokenize kernel
     under plain multiprocessing.Pool (no Spark) at the same core pair.
     The VM's steal/bandwidth state drifts hour to hour (measured 0.84

@@ -94,6 +94,40 @@ def test_bm25_scores_all_is_exhaustive(spark, tiny_corpus, unstem_index_dir,
         assert abs(got[d] - s) <= 1e-6
 
 
+# ------------------------------------------- ANN scale-path properties
+
+def test_multiprobe_superset_and_ivf_cover(spark):
+    """Multi-probe candidates ⊇ single-bucket candidates (the recall
+    dial is monotone); IVF assigns every vector exactly one cell."""
+    from engine.sim import (
+        IVF_K,
+        _query_bucket,
+        ivf_cells,
+        load_embeddings,
+        lsh_buckets,
+        query_vector,
+    )
+    from pyspark.sql import functions as F
+
+    sf = "/root/testdata/sf0.01"
+    emb = load_embeddings(spark, sf)
+    q = query_vector(spark, sf)
+    qb = _query_bucket(q, 8)
+    b = lsh_buckets(emb)
+    single = {r["vec_id"] for r in b.where(F.col("bucket") == qb).collect()}
+    multi = {
+        r["vec_id"]
+        for r in b.where(
+            F.bit_count(F.col("bucket").bitwiseXOR(F.lit(qb))) <= 1
+        ).collect()
+    }
+    assert single <= multi and len(multi) > len(single)
+
+    cells = ivf_cells(emb).collect()
+    assert len(cells) == emb.count()
+    assert all(0 <= r["cell"] < IVF_K for r in cells)
+
+
 # --------------------------------------------- build-time guard rails
 
 def test_doc_id_collision_fails_build(spark, tmp_path_factory):
