@@ -197,7 +197,13 @@ def build_index(
                 f"doc_id collision: {n} docs but {n_ids} distinct doc_ids "
                 "— widen the id or fix upstream identity (engine/ids.py)"
             )
-        man["stats"] = {"n_docs": n, "avgdl": (dl_sum / n) if n else 0.0}
+        # dl_sum kept exact (int) so a segment merge can recompute the
+        # union's avgdl without float-roundtrip drift (engine/merge.py)
+        man["stats"] = {
+            "n_docs": n,
+            "avgdl": (dl_sum / n) if n else 0.0,
+            "dl_sum": dl_sum,
+        }
         man["stage_times"]["shard_metrics"] = round(time.perf_counter() - t0, 2)
         _write_manifest(out_dir, man)
     shard_tok = man["shard_token_metrics"]

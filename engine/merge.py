@@ -1,0 +1,228 @@
+"""Distributed segment merge: two built indexes → one global index.
+
+The north-star pipeline (BASELINE.json:6) names "a distributed
+segment-merge into a global term dictionary" explicitly; this module is
+that operator as a first-class, resumable job. It also gives the engine
+incremental ingestion: build a small index over the new documents, then
+merge it into the big one — no full rebuild.
+
+Correctness contract (pinned, tested in tests/test_merge.py):
+``merge_indexes(build(A), build(B)) == build(A ∪ B)`` — posting blocks
+BYTE-IDENTICAL, dictionary/doc_stats/doc_norms/title_terms value-equal.
+This holds because:
+
+- both sides use the same doc-hash sharding, so a (shard, term) group's
+  merged postings are exactly the union build's group;
+- the merge kernel decodes both sides' blocks, re-sorts by doc_id, and
+  re-encodes through the SAME block builder the build uses
+  (engine/postings.blocks_pdf_for_shard), with avgdl recomputed exactly
+  from the manifests' integer doc-length sums;
+- tf was capped before encoding, and capping is idempotent.
+
+Scale shape: one `groupBy(shard).applyInPandas` over the union of both
+postings tables — the merge is embarrassingly parallel per shard and
+never shuffles postings by term (they are already shard-partitioned the
+same way on both sides). Corpus-level tables (doc_stats, title_terms)
+are disjoint unions; the dictionary is an additive groupBy(term).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .index import IndexReader, _read_manifest, _write_manifest
+from .postings import BLOCKS_SCHEMA, blocks_pdf_for_shard, decode_block
+
+
+def _decode_shard_to_tokens(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Block rows (one shard, both source indexes) → exploded
+    (shard, term, doc_id, tf, doc_len) frame for the block builder."""
+    import numpy as np
+
+    shards, terms, ids, tfs, dls = [], [], [], [], []
+    for row in pdf.itertuples(index=False):
+        i, t, d = decode_block(row)
+        n = i.size
+        shards.append(np.full(n, row.shard, dtype=np.int64))
+        terms.extend([row.term] * n)
+        ids.append(i)
+        tfs.append(t)
+        dls.append(d)
+    return pd.DataFrame(
+        {
+            "shard": np.concatenate(shards),
+            "term": terms,
+            "doc_id": np.concatenate(ids),
+            "tf": np.concatenate(tfs),
+            "doc_len": np.concatenate(dls),
+        }
+    )
+
+
+def merge_indexes(
+    spark: SparkSession, dir_a: str, dir_b: str, out_dir: str
+) -> IndexReader:
+    """Merge two complete indexes over DISJOINT document sets into a
+    new index at ``out_dir`` (resumable via the same manifest scheme)."""
+    a, b = IndexReader(spark, dir_a), IndexReader(spark, dir_b)
+    ca, cb = a.manifest["config"], b.manifest["config"]
+    if ca != cb:
+        raise ValueError(f"index configs differ: {ca} vs {cb}")
+
+    os.makedirs(out_dir, exist_ok=True)
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    src_fp = [a.manifest.get("fingerprint"), b.manifest.get("fingerprint")]
+    man = _read_manifest(out_dir)
+    if man is None or man.get("source_fp") != src_fp or man.get("config") != ca:
+        man = {
+            "version": 1,
+            "config": dict(ca),
+            "merge_of": [os.path.abspath(dir_a), os.path.abspath(dir_b)],
+            "source_fp": src_fp,
+            "stages": {},
+            "chunks": {},
+            "stage_times": {},
+            "created_unix": time.time(),
+        }
+
+    sa, sb = a.manifest["stats"], b.manifest["stats"]
+    n = sa["n_docs"] + sb["n_docs"]
+    dl_sum = sa.get("dl_sum", round(sa["avgdl"] * sa["n_docs"])) + sb.get(
+        "dl_sum", round(sb["avgdl"] * sb["n_docs"])
+    )
+    avgdl = (dl_sum / n) if n else 0.0
+    man["stats"] = {"n_docs": n, "avgdl": avgdl, "dl_sum": dl_sum}
+    block_docs = ca["block_docs"]
+
+    # ---- doc_stats: disjoint union + collision guard -------------------
+    if man["stages"].get("doc_stats") != "done":
+        t0 = time.perf_counter()
+        ds = a.doc_stats().unionByName(b.doc_stats())
+        ds.write.mode("overwrite").parquet(os.path.join(out_dir, "doc_stats"))
+        got = (
+            spark.read.parquet(os.path.join(out_dir, "doc_stats"))
+            .agg(
+                F.count("*").alias("n"),
+                F.count_distinct("doc_id").alias("n_ids"),
+            )
+            .collect()[0]
+        )
+        if got["n"] != n or got["n_ids"] != n:
+            raise AssertionError(
+                f"merge requires disjoint doc sets: {got['n']} rows, "
+                f"{got['n_ids']} distinct ids, expected {n}"
+            )
+        man["stages"]["doc_stats"] = "done"
+        man["stage_times"]["doc_stats"] = round(time.perf_counter() - t0, 2)
+        _write_manifest(out_dir, man)
+
+    # ---- postings: per-shard decode → merge-sort → re-encode -----------
+    if man["stages"].get("postings") != "done":
+        t0 = time.perf_counter()
+        both = a.postings().unionByName(b.postings())
+
+        def _merge_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+            toks = _decode_shard_to_tokens(pdf)
+            return blocks_pdf_for_shard(toks, avgdl, block_docs)
+
+        merged = both.groupBy("shard").applyInPandas(_merge_kernel, BLOCKS_SCHEMA)
+        (
+            merged.write.mode("overwrite")
+            .option("compression", "zstd")
+            .partitionBy("shard")
+            .parquet(os.path.join(out_dir, "postings"))
+        )
+        man["stages"]["postings"] = "done"
+        man["stage_times"]["postings"] = round(time.perf_counter() - t0, 2)
+        _write_manifest(out_dir, man)
+
+    postings = spark.read.parquet(os.path.join(out_dir, "postings"))
+
+    # ---- dictionary: additive df/cf + fresh n_blocks -------------------
+    if man["stages"].get("dictionary") != "done":
+        t0 = time.perf_counter()
+        d = (
+            a.dictionary()
+            .select("term", "df", "cf")
+            .unionByName(b.dictionary().select("term", "df", "cf"))
+            .groupBy("term")
+            .agg(F.sum("df").alias("df"), F.sum("cf").alias("cf"))
+        )
+        nb = postings.groupBy("term").agg(F.count("*").alias("n_blocks"))
+        out = d.join(nb, "term", "left")
+        from pyspark.sql import Observation
+
+        obs = Observation("merge_dict")
+        out = out.observe(obs, F.count(F.lit(1)).alias("n_terms"))
+        out.write.mode("overwrite").parquet(os.path.join(out_dir, "dictionary"))
+        man["stats"]["n_terms"] = int(obs.get["n_terms"] or 0)
+        man["stages"]["dictionary"] = "done"
+        man["stage_times"]["dictionary"] = round(time.perf_counter() - t0, 2)
+        _write_manifest(out_dir, man)
+
+    # ---- doc_norms: recompute (N and df changed) from merged postings --
+    if man["stages"].get("doc_norms") != "done":
+        t0 = time.perf_counter()
+        import math
+
+        from . import TF_CAP
+
+        df_map = {
+            r["term"]: r["df"]
+            for r in spark.read.parquet(os.path.join(out_dir, "dictionary"))
+            .select("term", "df")
+            .collect()
+        }
+        bc = spark.sparkContext.broadcast(df_map)
+        n_docs = float(n)
+
+        def _norms_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+            import numpy as np
+
+            acc_ids, acc_w2 = [], []
+            for row in pdf.itertuples(index=False):
+                ids, tfs, _ = decode_block(row)
+                dfv = float(bc.value[row.term])
+                w = (1.0 + np.log10(np.minimum(tfs, TF_CAP))) * math.log10(
+                    n_docs / dfv
+                )
+                acc_ids.append(ids)
+                acc_w2.append(w * w)
+            import numpy as np
+
+            all_ids = np.concatenate(acc_ids)
+            all_w2 = np.concatenate(acc_w2)
+            uid, inv = np.unique(all_ids, return_inverse=True)
+            s = np.zeros(uid.size)
+            np.add.at(s, inv, all_w2)
+            return pd.DataFrame({"doc_id": uid, "dnorm": np.sqrt(s)})
+
+        norms = postings.groupBy("shard").applyInPandas(
+            _norms_kernel, "doc_id long, dnorm double"
+        )
+        norms.write.mode("overwrite").parquet(os.path.join(out_dir, "doc_norms"))
+        man["stages"]["doc_norms"] = "done"
+        man["stage_times"]["doc_norms"] = round(time.perf_counter() - t0, 2)
+        _write_manifest(out_dir, man)
+
+    # ---- title_terms: disjoint union -----------------------------------
+    if man["stages"].get("title_terms") != "done":
+        t0 = time.perf_counter()
+        (
+            a.title_terms()
+            .unionByName(b.title_terms())
+            .write.mode("overwrite")
+            .parquet(os.path.join(out_dir, "title_terms"))
+        )
+        man["stages"]["title_terms"] = "done"
+        man["stage_times"]["title_terms"] = round(time.perf_counter() - t0, 2)
+        _write_manifest(out_dir, man)
+
+    man["stages"]["complete"] = "done"
+    _write_manifest(out_dir, man)
+    return IndexReader(spark, out_dir)

@@ -1,0 +1,82 @@
+"""Segment-merge contract (north-star "distributed segment-merge"):
+merge(build(A), build(B)) must equal build(A ∪ B) — posting blocks
+byte-identical, dictionary/stats value-equal, and queries over the
+merged index rank-identical to the full build."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from engine.index import IndexReader, build_index
+from engine.merge import merge_indexes
+
+
+@pytest.fixture(scope="module")
+def split_dirs(spark, tiny_corpus, tmp_path_factory):
+    half_a = tiny_corpus.where(F.col("doc_id") % 2 == 0).cache()
+    half_b = tiny_corpus.where(F.col("doc_id") % 2 == 1).cache()
+    da = str(tmp_path_factory.mktemp("idx_a"))
+    db = str(tmp_path_factory.mktemp("idx_b"))
+    dfull = str(tmp_path_factory.mktemp("idx_full"))
+    dm = str(tmp_path_factory.mktemp("idx_merged"))
+    kw = dict(use_stem=True, n_shards=4, n_chunks=2)
+    build_index(spark, half_a, da, **kw)
+    build_index(spark, half_b, db, **kw)
+    build_index(spark, tiny_corpus, dfull, **kw)
+    merge_indexes(spark, da, db, dm)
+    return dfull, dm
+
+
+def _blocks_set(r: IndexReader):
+    return {
+        (row["shard"], row["term"], row["block_id"], row["n"],
+         bytes(row["doc_ids_blob"]), bytes(row["tfs_blob"]),
+         bytes(row["doc_lens_blob"]))
+        for row in r.postings().collect()
+    }
+
+
+def test_merged_blocks_byte_identical(spark, split_dirs):
+    dfull, dm = split_dirs
+    full, merged = IndexReader(spark, dfull), IndexReader(spark, dm)
+    assert _blocks_set(full) == _blocks_set(merged)
+    assert full.manifest["stats"]["n_docs"] == merged.manifest["stats"]["n_docs"]
+    assert full.manifest["stats"]["avgdl"] == merged.manifest["stats"]["avgdl"]
+
+
+def test_merged_dictionary_and_norms(spark, split_dirs):
+    dfull, dm = split_dirs
+    full, merged = IndexReader(spark, dfull), IndexReader(spark, dm)
+    fd = {r["term"]: (r["df"], r["cf"], r["n_blocks"])
+          for r in full.dictionary().collect()}
+    md = {r["term"]: (r["df"], r["cf"], r["n_blocks"])
+          for r in merged.dictionary().collect()}
+    assert fd == md
+    fn = {r["doc_id"]: round(r["dnorm"], 9) for r in full.doc_norms().collect()}
+    mn = {r["doc_id"]: round(r["dnorm"], 9) for r in merged.doc_norms().collect()}
+    assert set(fn) == set(mn)
+    for d in fn:
+        assert abs(fn[d] - mn[d]) <= 1e-9
+
+
+def test_merged_queries_rank_identical(spark, split_dirs, queries):
+    dfull, dm = split_dirs
+    full, merged = IndexReader(spark, dfull), IndexReader(spark, dm)
+    for q in queries[:6]:
+        want = [(r["rank"], r["doc_id"]) for r in full.bm25_topk(q["text"], 10).collect()]
+        got = [(r["rank"], r["doc_id"]) for r in merged.bm25_topk(q["text"], 10).collect()]
+        assert got == want, q["text"]
+    t_want = [tuple(r) for r in full.title_topk(queries[0]["text"], 20).collect()]
+    t_got = [tuple(r) for r in merged.title_topk(queries[0]["text"], 20).collect()]
+    assert t_got == t_want
+
+
+def test_merge_rejects_overlapping_docs(spark, tiny_corpus, tmp_path_factory):
+    d1 = str(tmp_path_factory.mktemp("idx_o1"))
+    d2 = str(tmp_path_factory.mktemp("idx_o2"))
+    dm = str(tmp_path_factory.mktemp("idx_om"))
+    sub = tiny_corpus.orderBy("doc_id").limit(50).cache()
+    kw = dict(use_stem=True, n_shards=4, n_chunks=1)
+    build_index(spark, sub, d1, **kw)
+    build_index(spark, sub, d2, **kw)  # same docs on both sides
+    with pytest.raises(AssertionError, match="disjoint"):
+        merge_indexes(spark, d1, d2, dm)
