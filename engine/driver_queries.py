@@ -382,6 +382,16 @@ def _q_title_match(spark, sf_dir):
     return title_match_topk(spark, _corpus(spark, sf_dir), FIXED_QUERIES["q_table_scan"])
 
 
+def _q_anchor_match(spark, sf_dir):
+    from .ranking import anchor_match_topk
+
+    return anchor_match_topk(spark, _corpus(spark, sf_dir), FIXED_QUERIES["q_table_scan"])
+
+
+def _q_anchor_indexed(spark, sf_dir):
+    return _index_reader(spark, sf_dir).anchor_topk(FIXED_QUERIES["q_multi"], 100)
+
+
 def _q_fusion(spark, sf_dir):
     from .ranking import fusion_topk
 
@@ -426,6 +436,7 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # reference frontend's non-BM25 ranking surfaces (engine/ranking.py)
         "tfidf_cosine_topk": _q_tfidf_cosine,
         "title_match_topk": _q_title_match,
+        "anchor_match_topk": _q_anchor_match,
         "fusion_topk": _q_fusion,
         "fusion_pr_topk": _q_fusion_pr,
         "pagerank": _q_pagerank,
@@ -443,6 +454,7 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["bm25_batch_indexed"] = _q_bm25_batch_indexed
     out["tfidf_topk_indexed"] = _q_tfidf_indexed
     out["title_topk_indexed"] = _q_title_indexed
+    out["anchor_topk_indexed"] = _q_anchor_indexed
     out["fusion_topk_indexed"] = _q_fusion_indexed
     return out
 
@@ -518,6 +530,7 @@ def oracle_sqls() -> dict[str, str]:
         }
     )
     from .ranking import (
+        anchor_match_sql,
         fusion_pr_sql,
         fusion_sql,
         pagerank_sql,
@@ -529,6 +542,7 @@ def oracle_sqls() -> dict[str, str]:
         {
             "tfidf_cosine_topk": tfidf_cosine_sql(FIXED_QUERIES["q_multi"]),
             "title_match_topk": title_match_sql(FIXED_QUERIES["q_table_scan"]),
+            "anchor_match_topk": anchor_match_sql(FIXED_QUERIES["q_table_scan"]),
             "fusion_topk": fusion_sql(FIXED_QUERIES["q_table_scan"]),
             "fusion_pr_topk": fusion_pr_sql(FIXED_QUERIES["q_table_scan"]),
             "pagerank": pagerank_sql(),
@@ -547,5 +561,6 @@ def oracle_sqls() -> dict[str, str]:
     out["bm25_batch_indexed"] = _bm25_batch_sql()
     out["tfidf_topk_indexed"] = tfidf_cosine_sql(FIXED_QUERIES["q_table_scan"])
     out["title_topk_indexed"] = title_match_sql(FIXED_QUERIES["q_multi"])
+    out["anchor_topk_indexed"] = anchor_match_sql(FIXED_QUERIES["q_multi"])
     out["fusion_topk_indexed"] = fusion_sql(FIXED_QUERIES["q_multi"])
     return out

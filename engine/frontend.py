@@ -13,9 +13,9 @@ changing clients:
                      engine/ranking.fusion_topk — same pinned formula
 - `/search_body`   → tf-idf cosine (Q3)
 - `/search_title`  → binary title match (Q4)
-- `/search_anchor` → alias of title match (the driver corpus has no
-                     anchor text; the reference scores anchors with the
-                     same distinct-term-count semantics)
+- `/search_anchor` → inbound-link anchor match (anchor terms = title
+                     terms of linking pages over the pinned demo graph;
+                     same distinct-term-count scoring as the reference)
 - `/get_pagerank`  → fixed-iteration PageRank lookups (POST json ids)
 - `/get_pageview`  → served from an optional (doc_id, views) parquet;
                      0 for unknown ids (the reference loads a pickled
@@ -37,7 +37,13 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .index import IndexReader
-from .ranking import fusion_topk, pagerank, tfidf_cosine_topk, title_match_topk
+from .ranking import (
+    anchor_match_topk,
+    fusion_topk,
+    pagerank,
+    tfidf_cosine_topk,
+    title_match_topk,
+)
 
 
 class SearchService:
@@ -87,6 +93,13 @@ class SearchService:
             return self._with_meta(self.reader.title_topk(query, k), "n_hits")
         return self._with_meta(
             title_match_topk(self.spark, self.corpus, query, k), "n_hits"
+        )
+
+    def search_anchor(self, query: str, k: int = 100) -> list[tuple]:
+        if self.reader is not None:
+            return self._with_meta(self.reader.anchor_topk(query, k), "n_hits")
+        return self._with_meta(
+            anchor_match_topk(self.spark, self.corpus, query, k), "n_hits"
         )
 
     def get_pagerank(self, doc_ids: list[int]) -> list[float]:
@@ -148,7 +161,7 @@ def create_app(service: SearchService):
 
     @app.route("/search_anchor")
     def search_anchor():
-        return jsonify(service.search_title(_query()))
+        return jsonify(service.search_anchor(_query()))
 
     @app.route("/get_pagerank", methods=["POST"])
     def get_pagerank():

@@ -431,11 +431,56 @@ def build_index(
         man["stage_times"]["title_terms"] = round(time.perf_counter() - t0, 2)
         _write_manifest(out_dir, man)
 
+    # ---- stage 6: anchor-terms table (search_anchor serving) -----------
+    if man["stages"].get("anchor_terms") != "done":
+        t0 = time.perf_counter()
+        write_anchor_terms(spark, out_dir, man["stats"]["n_docs"])
+        man["stages"]["anchor_terms"] = "done"
+        man["stage_times"]["anchor_terms"] = round(time.perf_counter() - t0, 2)
+        _write_manifest(out_dir, man)
+
     if man["stages"].get("complete") != "done":
         man["stages"]["complete"] = "done"
         _write_manifest(out_dir, man)
 
     return IndexReader(spark, out_dir)
+
+
+def write_anchor_terms(spark: SparkSession, out_dir: str, n_docs: int) -> None:
+    """Derive the anchor-terms serving table from the index's OWN
+    title_terms + doc_stats tables (no corpus re-scan): anchor terms of
+    doc d = title terms of pages linking to d over the pinned demo
+    graph (engine/ranking.anchor_terms_df is the recompute oracle).
+    Shared by build stage 6 and the segment merge — graph ranks depend
+    on the GLOBAL doc_id order, so a merge must recompute this (a
+    disjoint union would keep each side's local ranks)."""
+    from .ranking import _dense_rank_by_doc_id
+
+    tt = spark.read.parquet(os.path.join(out_dir, "title_terms"))
+    ids = spark.read.parquet(os.path.join(out_dir, "doc_stats")).select("doc_id")
+    ranked = _dense_rank_by_doc_id(ids)
+    if n_docs:
+        dst1 = (F.col("r") * 2 + 1) % n_docs
+        dst2 = (F.col("r") * 3 + 2) % n_docs
+        edges = ranked.select(
+            F.col("r").alias("src_r"), dst1.alias("dst_r")
+        ).unionAll(ranked.select(F.col("r").alias("src_r"), dst2.alias("dst_r")))
+        src = ranked.select(
+            F.col("r").alias("src_r"), F.col("doc_id").alias("src_doc")
+        )
+        dst = ranked.select(
+            F.col("r").alias("dst_r"), F.col("doc_id").alias("dst_doc")
+        )
+        anchor = (
+            edges.join(src, "src_r")
+            .join(dst, "dst_r")
+            .join(tt.withColumnRenamed("doc_id", "src_doc"), "src_doc")
+            .select(F.col("dst_doc").alias("doc_id"), "term")
+            .distinct()
+        )
+    else:
+        anchor = spark.createDataFrame([], "doc_id long, term string")
+    anchor.write.mode("overwrite").parquet(os.path.join(out_dir, "anchor_terms"))
 
 
 @dataclass
@@ -480,6 +525,31 @@ class IndexReader:
 
     def title_terms(self) -> DataFrame:
         return self.spark.read.parquet(os.path.join(self.dir, "title_terms"))
+
+    def anchor_terms(self) -> DataFrame:
+        return self.spark.read.parquet(os.path.join(self.dir, "anchor_terms"))
+
+    def anchor_topk(self, query: str, k: int = 100) -> DataFrame:
+        """Index-backed `/search_anchor`: distinct-query-term count over
+        the build-time anchor-terms table (inbound-link anchor text).
+        Recompute oracle: engine/ranking.anchor_match_topk."""
+        from pyspark.sql import Window
+
+        terms = sorted(set(tokenize(query, use_stem=False)))
+        spark = self.spark
+        if not terms:
+            return spark.createDataFrame([], "rank int, doc_id long, n_hits long")
+        hits = (
+            self.anchor_terms()
+            .where(F.col("term").isin(terms))
+            .groupBy("doc_id")
+            .agg(F.count("*").alias("n_hits"))
+        )
+        topk = hits.orderBy(F.desc("n_hits"), F.asc("doc_id")).limit(k)
+        w = Window.orderBy(F.desc("n_hits"), F.asc("doc_id"))
+        return topk.withColumn("rank", F.row_number().over(w)).select(
+            "rank", "doc_id", "n_hits"
+        )
 
     def title_topk(self, query: str, k: int = 100) -> DataFrame:
         """Index-backed `/search_title` (Q4): count of distinct query

@@ -223,6 +223,16 @@ def merge_indexes(
         man["stage_times"]["title_terms"] = round(time.perf_counter() - t0, 2)
         _write_manifest(out_dir, man)
 
+    # ---- anchor_terms: RECOMPUTED — graph ranks follow global order ----
+    if man["stages"].get("anchor_terms") != "done":
+        t0 = time.perf_counter()
+        from .index import write_anchor_terms
+
+        write_anchor_terms(spark, out_dir, n)
+        man["stages"]["anchor_terms"] = "done"
+        man["stage_times"]["anchor_terms"] = round(time.perf_counter() - t0, 2)
+        _write_manifest(out_dir, man)
+
     man["stages"]["complete"] = "done"
     _write_manifest(out_dir, man)
     return IndexReader(spark, out_dir)

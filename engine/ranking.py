@@ -157,6 +157,50 @@ def title_match_topk(
     return _ranked(hits, "n_hits", k)
 
 
+# ------------------------------------------- anchor-text match (Q4 anchor)
+
+def anchor_terms_df(corpus: DataFrame) -> DataFrame:
+    """(doc_id, term): DISTINCT anchor terms of each doc — the terms of
+    pages LINKING TO it. The reference scores `/search_anchor` over the
+    anchor text of inbound links [REF? H]; the driver corpus has no
+    link/anchor data, so the pinned analog uses the same deterministic
+    demo graph as PageRank (rank r links to (2r+1)%N and (3r+2)%N) with
+    each link's anchor text = the SOURCE page's title field."""
+    ranked = _dense_rank_by_doc_id(corpus)
+    n = ranked.count()
+    if n == 0:
+        return corpus.sparkSession.createDataFrame([], "doc_id long, term string")
+    dst1 = (F.col("r") * 2 + 1) % n
+    dst2 = (F.col("r") * 3 + 2) % n
+    edges = ranked.select(F.col("r").alias("src_r"), dst1.alias("dst_r")).unionAll(
+        ranked.select(F.col("r").alias("src_r"), dst2.alias("dst_r"))
+    )
+    src = ranked.select(F.col("r").alias("src_r"), F.col("doc_id").alias("src_doc"))
+    dst = ranked.select(F.col("r").alias("dst_r"), F.col("doc_id").alias("dst_doc"))
+    ed = edges.join(src, "src_r").join(dst, "dst_r").select("src_doc", "dst_doc")
+    tt = title_terms_df(corpus).withColumnRenamed("doc_id", "src_doc")
+    return (
+        ed.join(tt, "src_doc")
+        .select(F.col("dst_doc").alias("doc_id"), "term")
+        .distinct()
+    )
+
+
+def anchor_match_topk(
+    spark: SparkSession, corpus: DataFrame, query: str, k: int = 100
+) -> DataFrame:
+    """(rank, doc_id, n_hits) — `/search_anchor`: docs ranked by count
+    of distinct query terms in their inbound-link anchor text."""
+    qterms = query_terms_df(spark, query, use_stem=False).select("term").distinct()
+    hits = (
+        anchor_terms_df(corpus)
+        .join(F.broadcast(qterms), "term")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_hits"))
+    )
+    return _ranked(hits, "n_hits", k)
+
+
 # ----------------------------------------------------- score fusion (J4)
 
 def fusion_topk(
@@ -401,6 +445,44 @@ WITH {_title_cte()},
 hits AS (
   SELECT doc_id, count(*)::BIGINT AS n_hits
   FROM title JOIN (SELECT DISTINCT term FROM q) qq USING (term)
+  GROUP BY doc_id
+)
+SELECT row_number() OVER (ORDER BY n_hits DESC, doc_id ASC)::INTEGER AS rank,
+       doc_id, n_hits
+FROM hits ORDER BY n_hits DESC, doc_id ASC LIMIT {k}
+"""
+
+
+def _anchor_cte() -> str:
+    """rk/nn/edges (graph) + title → anchor(doc_id, term)."""
+    return f"""
+rk AS (
+  SELECT doc_id, row_number() OVER (ORDER BY doc_id) - 1 AS r FROM documents
+),
+nn AS (SELECT count(*)::BIGINT AS n FROM rk),
+edges AS (
+  SELECT r AS src_r, (r * 2 + 1) % (SELECT n FROM nn) AS dst_r FROM rk
+  UNION ALL
+  SELECT r AS src_r, (r * 3 + 2) % (SELECT n FROM nn) AS dst_r FROM rk
+),
+{_title_cte().strip()},
+anchor AS (
+  SELECT DISTINCT d.doc_id, t.term
+  FROM edges e
+  JOIN rk s ON s.r = e.src_r
+  JOIN rk d ON d.r = e.dst_r
+  JOIN title t ON t.doc_id = s.doc_id
+)"""
+
+
+def anchor_match_sql(query: str, k: int = 100) -> str:
+    qcte, _ = _q_values_cte(query)
+    return f"""
+WITH {_anchor_cte()},
+{qcte},
+hits AS (
+  SELECT doc_id, count(*)::BIGINT AS n_hits
+  FROM anchor JOIN (SELECT DISTINCT term FROM q) qq USING (term)
   GROUP BY doc_id
 )
 SELECT row_number() OVER (ORDER BY n_hits DESC, doc_id ASC)::INTEGER AS rank,

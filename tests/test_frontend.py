@@ -41,15 +41,21 @@ def test_search_returns_ranked_triples(client):
     assert scores == sorted(scores, reverse=True)
 
 
-def test_search_body_and_title_and_anchor(client):
+def test_search_body_and_title_and_anchor(client, service):
     for route in ("/search_body", "/search_title", "/search_anchor"):
         r = client.get(route, query_string={"query": QUERY})
         assert r.status_code == 200, route
         assert isinstance(r.get_json(), list), route
-    # anchor is the title surface: identical results by construction
+    # anchor scores inbound-link anchor text (linking pages' titles over
+    # the demo graph) — must match the recompute oracle, and is NOT the
+    # title surface anymore
+    from engine.ranking import anchor_match_topk
+
     a = client.get("/search_anchor", query_string={"query": QUERY}).get_json()
-    t = client.get("/search_title", query_string={"query": QUERY}).get_json()
-    assert a == t
+    want = anchor_match_topk(
+        service.spark, service.corpus, QUERY, 100
+    ).collect()
+    assert [row[0] for row in a] == [r["doc_id"] for r in want]
 
 
 def test_pagerank_and_pageview_endpoints(client, service, tiny_corpus):

@@ -68,6 +68,11 @@ def test_merged_queries_rank_identical(spark, split_dirs, queries):
     t_want = [tuple(r) for r in full.title_topk(queries[0]["text"], 20).collect()]
     t_got = [tuple(r) for r in merged.title_topk(queries[0]["text"], 20).collect()]
     assert t_got == t_want
+    # anchor table is rank-derived, so the merge RECOMPUTES it — must
+    # still equal the full build's
+    a_want = [tuple(r) for r in full.anchor_topk(queries[0]["text"], 20).collect()]
+    a_got = [tuple(r) for r in merged.anchor_topk(queries[0]["text"], 20).collect()]
+    assert a_got == a_want
 
 
 def test_merge_rejects_overlapping_docs(spark, tiny_corpus, tmp_path_factory):
