@@ -88,6 +88,9 @@ def main() -> None:
         t = time.perf_counter()
         reader.title_topk("table scan fast", 100).collect()
         timings["title_indexed"] = time.perf_counter() - t
+        t = time.perf_counter()
+        reader.anchor_topk("table scan fast", 100).collect()
+        timings["anchor_indexed"] = time.perf_counter() - t
 
         # training-data-pipeline + ranking breadth (one representative
         # op per family; value-parity for these is the driver's
@@ -98,6 +101,7 @@ def main() -> None:
             "minhash_candidate_pairs",
             "simhash_dup_pairs",
             "ann_cosine_topk",
+            "ann_ivf_topk",
             "tfidf_cosine_topk",
             "fusion_topk",
             "pagerank",

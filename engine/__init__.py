@@ -23,7 +23,16 @@ Layout
   (lang-id, quality, token counts, fingerprints).
 - :mod:`engine.dedup`       — exact / MinHash-LSH / SimHash / n-gram
   Jaccard deduplication.
-- :mod:`engine.sim`         — embedding cosine top-k (brute force + LSH).
+- :mod:`engine.sim`         — embedding cosine top-k (brute force,
+  sign-LSH single/multi-probe, IVF) + near-dup pairs.
+- :mod:`engine.merge`       — distributed segment merge (incremental
+  ingestion; byte-identical to a full rebuild).
+- :mod:`engine.ranking`     — tf-idf cosine, title/anchor match,
+  weighted fusion (± PageRank), fixed-iteration PageRank.
+- :mod:`engine.metrics`     — precision@k / MAP@40 retrieval evaluation.
+- :mod:`engine.porter_sql`  — generated DuckDB SQL Porter stemmer
+  (oracle-side twin of engine.stemmer).
+- :mod:`engine.frontend`    — reference-API Flask serving facade.
 """
 
 __version__ = "0.1.0"
