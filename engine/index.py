@@ -454,32 +454,12 @@ def write_anchor_terms(spark: SparkSession, out_dir: str, n_docs: int) -> None:
     Shared by build stage 6 and the segment merge — graph ranks depend
     on the GLOBAL doc_id order, so a merge must recompute this (a
     disjoint union would keep each side's local ranks)."""
-    from .ranking import _dense_rank_by_doc_id
+    from .ranking import _anchor_terms_from_titles, _dense_rank_by_doc_id
 
     tt = spark.read.parquet(os.path.join(out_dir, "title_terms"))
     ids = spark.read.parquet(os.path.join(out_dir, "doc_stats")).select("doc_id")
     ranked = _dense_rank_by_doc_id(ids)
-    if n_docs:
-        dst1 = (F.col("r") * 2 + 1) % n_docs
-        dst2 = (F.col("r") * 3 + 2) % n_docs
-        edges = ranked.select(
-            F.col("r").alias("src_r"), dst1.alias("dst_r")
-        ).unionAll(ranked.select(F.col("r").alias("src_r"), dst2.alias("dst_r")))
-        src = ranked.select(
-            F.col("r").alias("src_r"), F.col("doc_id").alias("src_doc")
-        )
-        dst = ranked.select(
-            F.col("r").alias("dst_r"), F.col("doc_id").alias("dst_doc")
-        )
-        anchor = (
-            edges.join(src, "src_r")
-            .join(dst, "dst_r")
-            .join(tt.withColumnRenamed("doc_id", "src_doc"), "src_doc")
-            .select(F.col("dst_doc").alias("doc_id"), "term")
-            .distinct()
-        )
-    else:
-        anchor = spark.createDataFrame([], "doc_id long, term string")
+    anchor = _anchor_terms_from_titles(spark, tt, ranked, n_docs)
     anchor.write.mode("overwrite").parquet(os.path.join(out_dir, "anchor_terms"))
 
 

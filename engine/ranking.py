@@ -159,6 +159,30 @@ def title_match_topk(
 
 # ------------------------------------------- anchor-text match (Q4 anchor)
 
+def _anchor_terms_from_titles(
+    spark: SparkSession, title_terms: DataFrame, ranked: DataFrame, n: int
+) -> DataFrame:
+    """(doc_id, term) anchor table from a (doc_id, term) title table and
+    a (doc_id, r) rank map. The graph's destinations are FUNCTIONS of
+    the source rank ((2r+1)%N, (3r+2)%N), so each title row explodes
+    straight into its two destination ranks — no edge table and no
+    src/dst rank joins (the naive 3-join shape cost 25-33 s at 1.2 M
+    docs and scaled 1.3×; this is one join in, explode, distinct, one
+    join out)."""
+    if n == 0:
+        return spark.createDataFrame([], "doc_id long, term string")
+    tt_r = title_terms.join(ranked, "doc_id").select("r", "term")
+    dsts = F.array(
+        (F.col("r") * 2 + 1) % n, (F.col("r") * 3 + 2) % n
+    )
+    anchor_r = tt_r.select(
+        F.explode(dsts).alias("dst_r"), "term"
+    ).distinct()
+    return anchor_r.join(
+        ranked.select(F.col("r").alias("dst_r"), "doc_id"), "dst_r"
+    ).select("doc_id", "term")
+
+
 def anchor_terms_df(corpus: DataFrame) -> DataFrame:
     """(doc_id, term): DISTINCT anchor terms of each doc — the terms of
     pages LINKING TO it. The reference scores `/search_anchor` over the
@@ -168,21 +192,8 @@ def anchor_terms_df(corpus: DataFrame) -> DataFrame:
     each link's anchor text = the SOURCE page's title field."""
     ranked = _dense_rank_by_doc_id(corpus)
     n = ranked.count()
-    if n == 0:
-        return corpus.sparkSession.createDataFrame([], "doc_id long, term string")
-    dst1 = (F.col("r") * 2 + 1) % n
-    dst2 = (F.col("r") * 3 + 2) % n
-    edges = ranked.select(F.col("r").alias("src_r"), dst1.alias("dst_r")).unionAll(
-        ranked.select(F.col("r").alias("src_r"), dst2.alias("dst_r"))
-    )
-    src = ranked.select(F.col("r").alias("src_r"), F.col("doc_id").alias("src_doc"))
-    dst = ranked.select(F.col("r").alias("dst_r"), F.col("doc_id").alias("dst_doc"))
-    ed = edges.join(src, "src_r").join(dst, "dst_r").select("src_doc", "dst_doc")
-    tt = title_terms_df(corpus).withColumnRenamed("doc_id", "src_doc")
-    return (
-        ed.join(tt, "src_doc")
-        .select(F.col("dst_doc").alias("doc_id"), "term")
-        .distinct()
+    return _anchor_terms_from_titles(
+        corpus.sparkSession, title_terms_df(corpus), ranked, n
     )
 
 
