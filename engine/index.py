@@ -434,7 +434,14 @@ def build_index(
     # ---- stage 6: anchor-terms table (search_anchor serving) -----------
     if man["stages"].get("anchor_terms") != "done":
         t0 = time.perf_counter()
-        write_anchor_terms(spark, out_dir, man["stats"]["n_docs"])
+        # the checkpoint's per-doc title ARRAYS feed the builder directly
+        # (2 compact rows/doc through the shuffle — see ranking.py)
+        write_anchor_terms(
+            spark,
+            out_dir,
+            man["stats"]["n_docs"],
+            title_arrays=toks.select("doc_id", "title_terms"),
+        )
         man["stages"]["anchor_terms"] = "done"
         man["stage_times"]["anchor_terms"] = round(time.perf_counter() - t0, 2)
         _write_manifest(out_dir, man)
@@ -446,20 +453,34 @@ def build_index(
     return IndexReader(spark, out_dir)
 
 
-def write_anchor_terms(spark: SparkSession, out_dir: str, n_docs: int) -> None:
+def write_anchor_terms(
+    spark: SparkSession,
+    out_dir: str,
+    n_docs: int,
+    title_arrays: DataFrame | None = None,
+) -> None:
     """Derive the anchor-terms serving table from the index's OWN
-    title_terms + doc_stats tables (no corpus re-scan): anchor terms of
-    doc d = title terms of pages linking to d over the pinned demo
-    graph (engine/ranking.anchor_terms_df is the recompute oracle).
-    Shared by build stage 6 and the segment merge — graph ranks depend
-    on the GLOBAL doc_id order, so a merge must recompute this (a
-    disjoint union would keep each side's local ranks)."""
-    from .ranking import _anchor_terms_from_titles, _dense_rank_by_doc_id
+    tables (no corpus re-scan): anchor terms of doc d = title terms of
+    pages linking to d over the pinned demo graph
+    (engine/ranking.anchor_terms_df is the recompute oracle). Shared by
+    build stage 6 (passes the checkpoint's per-doc title ARRAYS) and
+    the segment merge (falls back to the exploded title_terms table) —
+    graph ranks depend on the GLOBAL doc_id order, so a merge must
+    recompute this (a disjoint union would keep each side's local
+    ranks)."""
+    from .ranking import (
+        _anchor_from_title_arrays,
+        _anchor_terms_from_titles,
+        _dense_rank_by_doc_id,
+    )
 
-    tt = spark.read.parquet(os.path.join(out_dir, "title_terms"))
     ids = spark.read.parquet(os.path.join(out_dir, "doc_stats")).select("doc_id")
     ranked = _dense_rank_by_doc_id(ids)
-    anchor = _anchor_terms_from_titles(spark, tt, ranked, n_docs)
+    if title_arrays is not None:
+        anchor = _anchor_from_title_arrays(spark, title_arrays, ranked, n_docs)
+    else:
+        tt = spark.read.parquet(os.path.join(out_dir, "title_terms"))
+        anchor = _anchor_terms_from_titles(spark, tt, ranked, n_docs)
     anchor.write.mode("overwrite").parquet(os.path.join(out_dir, "anchor_terms"))
 
 

@@ -159,28 +159,41 @@ def title_match_topk(
 
 # ------------------------------------------- anchor-text match (Q4 anchor)
 
+def _anchor_from_title_arrays(
+    spark: SparkSession, title_arrays: DataFrame, ranked: DataFrame, n: int
+) -> DataFrame:
+    """(doc_id, term) anchor table from (doc_id, title_terms ARRAY) rows
+    and a (doc_id, r) rank map. The graph's destinations are FUNCTIONS
+    of the source rank ((2r+1)%N, (3r+2)%N), so each doc's title ARRAY
+    ships straight to its two destination ranks — 2 compact rows per
+    doc through the shuffle instead of 2×|title| exploded rows, deduped
+    per destination with array_distinct(flatten(...)) (in-degree is 2,
+    so the per-group flatten is tiny). The naive 3-join + 28 M-row
+    distinct shape cost 32 s at 1.2 M docs / 4 cores and scaled 1.3×."""
+    if n == 0:
+        return spark.createDataFrame([], "doc_id long, term string")
+    src = title_arrays.join(ranked, "doc_id").select("r", "title_terms")
+    dsts = F.array((F.col("r") * 2 + 1) % n, (F.col("r") * 3 + 2) % n)
+    per_dst = src.select(F.explode(dsts).alias("dst_r"), "title_terms")
+    agg = per_dst.groupBy("dst_r").agg(
+        F.array_distinct(F.flatten(F.collect_list("title_terms"))).alias("terms")
+    )
+    return (
+        agg.join(ranked.select(F.col("r").alias("dst_r"), "doc_id"), "dst_r")
+        .select("doc_id", F.explode("terms").alias("term"))
+    )
+
+
 def _anchor_terms_from_titles(
     spark: SparkSession, title_terms: DataFrame, ranked: DataFrame, n: int
 ) -> DataFrame:
-    """(doc_id, term) anchor table from a (doc_id, term) title table and
-    a (doc_id, r) rank map. The graph's destinations are FUNCTIONS of
-    the source rank ((2r+1)%N, (3r+2)%N), so each title row explodes
-    straight into its two destination ranks — no edge table and no
-    src/dst rank joins (the naive 3-join shape cost 25-33 s at 1.2 M
-    docs and scaled 1.3×; this is one join in, explode, distinct, one
-    join out)."""
-    if n == 0:
-        return spark.createDataFrame([], "doc_id long, term string")
-    tt_r = title_terms.join(ranked, "doc_id").select("r", "term")
-    dsts = F.array(
-        (F.col("r") * 2 + 1) % n, (F.col("r") * 3 + 2) % n
+    """Same output from an EXPLODED (doc_id, term) title table (used
+    when the array-form checkpoint is unavailable, e.g. segment merge):
+    collapse to arrays first, then the array path."""
+    arrays = title_terms.groupBy("doc_id").agg(
+        F.collect_list("term").alias("title_terms")
     )
-    anchor_r = tt_r.select(
-        F.explode(dsts).alias("dst_r"), "term"
-    ).distinct()
-    return anchor_r.join(
-        ranked.select(F.col("r").alias("dst_r"), "doc_id"), "dst_r"
-    ).select("doc_id", "term")
+    return _anchor_from_title_arrays(spark, arrays, ranked, n)
 
 
 def anchor_terms_df(corpus: DataFrame) -> DataFrame:
@@ -192,8 +205,14 @@ def anchor_terms_df(corpus: DataFrame) -> DataFrame:
     each link's anchor text = the SOURCE page's title field."""
     ranked = _dense_rank_by_doc_id(corpus)
     n = ranked.count()
-    return _anchor_terms_from_titles(
-        corpus.sparkSession, title_terms_df(corpus), ranked, n
+    title_arrays = corpus.select(
+        "doc_id",
+        F.slice(tokens_filtered_col(F.col("content")), 1, TITLE_TOKENS).alias(
+            "title_terms"
+        ),
+    )
+    return _anchor_from_title_arrays(
+        corpus.sparkSession, title_arrays, ranked, n
     )
 
 
