@@ -370,6 +370,22 @@ def _q_media_features(spark, sf_dir):
     return media_features_flat(media_from_documents(docs))
 
 
+def _q_media_resize(spark, sf_dir):
+    from .multimodal import media_from_documents, resize_flat
+
+    ensure_importable(spark)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return resize_flat(media_from_documents(docs))
+
+
+def _q_media_frames(spark, sf_dir):
+    from .multimodal import frames_flat, media_from_documents
+
+    ensure_importable(spark)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return frames_flat(media_from_documents(docs))
+
+
 def _q_tfidf_cosine(spark, sf_dir):
     from .ranking import tfidf_cosine_topk
 
@@ -433,6 +449,8 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_dup_pairs_lsh": _q_emb_dup_lsh,
         "media_meta": _q_media_meta,
         "media_features": _q_media_features,
+        "media_resize": _q_media_resize,
+        "media_frames": _q_media_frames,
         # reference frontend's non-BM25 ranking surfaces (engine/ranking.py)
         "tfidf_cosine_topk": _q_tfidf_cosine,
         "title_match_topk": _q_title_match,
@@ -491,7 +509,12 @@ def oracle_sqls() -> dict[str, str]:
         simhash_dup_pairs_sql,
         simhash_sql,
     )
-    from .multimodal import media_features_sql, media_meta_sql
+    from .multimodal import (
+        frames_sql,
+        media_features_sql,
+        media_meta_sql,
+        resize_sql,
+    )
     from .sim import (
         cosine_topk_sql,
         embedding_dup_pairs_lsh_sql,
@@ -527,6 +550,8 @@ def oracle_sqls() -> dict[str, str]:
             "embedding_dup_pairs_lsh": embedding_dup_pairs_lsh_sql(),
             "media_meta": media_meta_sql(),
             "media_features": media_features_sql(),
+            "media_resize": resize_sql(),
+            "media_frames": frames_sql(),
         }
     )
     from .ranking import (

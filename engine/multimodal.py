@@ -152,6 +152,108 @@ FROM documents
 """
 
 
+def resize_flat(media: DataFrame, height: int = 8, width: int = 8) -> DataFrame:
+    """(doc_id, height, width, dim, value): exploded, canonicalizable
+    projection of resize_images for the driver contract (same rationale
+    as media_features_flat)."""
+    r = resize_images(media, height, width)
+    return r.select(
+        "doc_id", "height", "width", F.posexplode("pixels").alias("dim", "value")
+    ).select(
+        "doc_id",
+        "height",
+        "width",
+        "dim",
+        F.round(F.col("value").cast("double"), 6).alias("value"),
+    )
+
+
+def resize_sql(height: int = 8, width: int = 8) -> str:
+    """DuckDB twin of _fake_pixels over image rows (doc_id % 3 = 0):
+    bytes → pad to h·w → per-position column mean / 255 → float32."""
+    hw = height * width
+    return f"""
+WITH b AS (
+  SELECT doc_id, hex(encode(text)) AS hx, octet_length(encode(text)) AS n
+  FROM documents WHERE doc_id % 3 = 0
+),
+bytes AS (
+  SELECT doc_id, unnest(range(0, n)) AS i FROM b
+),
+sums AS (
+  SELECT bt.doc_id, (bt.i % {hw})::INTEGER AS dim,
+         sum(('0x' || substr(b.hx, (2 * bt.i + 1)::INTEGER, 2))::BIGINT) AS s
+  FROM bytes bt JOIN b USING (doc_id)
+  GROUP BY bt.doc_id, bt.i % {hw}
+),
+grid AS (
+  SELECT b.doc_id, d.dim::INTEGER AS dim, b.n
+  FROM b CROSS JOIN (SELECT unnest(range(0, {hw})) AS dim) d
+)
+SELECT g.doc_id, {height} AS height, {width} AS width, g.dim,
+       round((CASE WHEN g.n = 0 THEN 0.0
+              ELSE ((coalesce(s.s, 0)::DOUBLE
+                     / ((g.n + {hw} - 1) // {hw}))
+                    / 255.0)::REAL::DOUBLE END), 6) AS value
+FROM grid g LEFT JOIN sums s ON s.doc_id = g.doc_id AND s.dim = g.dim
+"""
+
+
+def frames_flat(media: DataFrame, n_frames: int = 4) -> DataFrame:
+    """(doc_id, frame_idx, dim, value): exploded projection of
+    sample_frames for the driver contract."""
+    f = sample_frames(media, n_frames)
+    return f.select(
+        "doc_id", "frame_idx", F.posexplode("feature").alias("dim", "value")
+    ).select(
+        "doc_id",
+        "frame_idx",
+        "dim",
+        F.round(F.col("value").cast("double"), 6).alias("value"),
+    )
+
+
+def frames_sql(n_frames: int = 4) -> str:
+    """DuckDB twin of sample_frames over video rows (doc_id % 3 = 2):
+    step = max(1, n // n_frames); frame i = bytes[i·step:(i+1)·step],
+    falling back to the LAST step bytes when the slice is empty, then
+    decode_stub's 8-dim byte means."""
+    return f"""
+WITH v AS (
+  SELECT doc_id, hex(encode(text)) AS hx, octet_length(encode(text)) AS n,
+         greatest(1, octet_length(encode(text)) // {n_frames}) AS step
+  FROM documents WHERE doc_id % 3 = 2
+),
+frx AS (
+  SELECT doc_id, f.i::INTEGER AS frame_idx,
+         CASE WHEN f.i * step < n THEN f.i * step ELSE n - step END AS off,
+         CASE WHEN f.i * step < n THEN least(step, n - f.i * step)
+              ELSE step END AS len
+  FROM v CROSS JOIN (SELECT unnest(range(0, {n_frames})) AS i) f
+),
+bytes AS (
+  SELECT doc_id, frame_idx, off, unnest(range(0, len)) AS j FROM frx
+),
+sums AS (
+  SELECT bt.doc_id, bt.frame_idx, (bt.j % {FAKE_DIM})::INTEGER AS dim,
+         sum(('0x' || substr(v.hx, (2 * (bt.off + bt.j) + 1)::INTEGER, 2))::BIGINT) AS s
+  FROM bytes bt JOIN v USING (doc_id)
+  GROUP BY bt.doc_id, bt.frame_idx, bt.j % {FAKE_DIM}
+),
+grid AS (
+  SELECT f.doc_id, f.frame_idx, d.dim::INTEGER AS dim, f.len
+  FROM frx f CROSS JOIN (SELECT unnest(range(0, {FAKE_DIM})) AS dim) d
+)
+SELECT g.doc_id, g.frame_idx, g.dim,
+       round((CASE WHEN g.len = 0 THEN 0.0
+              ELSE ((coalesce(s.s, 0)::DOUBLE
+                     / ((g.len + {FAKE_DIM} - 1) // {FAKE_DIM}))
+                    / 255.0)::REAL::DOUBLE END), 6) AS value
+FROM grid g LEFT JOIN sums s
+  ON s.doc_id = g.doc_id AND s.frame_idx = g.frame_idx AND s.dim = g.dim
+"""
+
+
 def _fake_pixels(payload: bytes, h: int, w: int) -> np.ndarray:
     """Deterministic stand-in for decode+resize (no image libs in this
     container): bytes are tiled into an h*w grid of [0,1] means. The
