@@ -91,6 +91,29 @@ def main() -> None:
         t = time.perf_counter()
         reader.anchor_topk("table scan fast", 100).collect()
         timings["anchor_indexed"] = time.perf_counter() - t
+        # 3-signal /search from artifacts (round 3): first call also
+        # materializes the pagerank parquet — time build and query apart
+        t = time.perf_counter()
+        reader.pagerank_df().count()
+        timings["pagerank_artifact_build"] = time.perf_counter() - t
+        t = time.perf_counter()
+        reader.fusion_pr_topk("table scan fast", 10).collect()
+        timings["fusion_pr_indexed"] = time.perf_counter() - t
+
+        # IVF: build-time cell partitioning, then the pruned probe
+        from engine.sim import build_ivf, ivf_topk_indexed, load_embeddings, query_vector
+
+        ivf_dir = tempfile.mkdtemp(prefix="bench_ivf_")
+        try:
+            t = time.perf_counter()
+            build_ivf(load_embeddings(spark, sf_dir), ivf_dir)
+            timings["ivf_build"] = time.perf_counter() - t
+            qv = query_vector(spark, sf_dir)
+            t = time.perf_counter()
+            ivf_topk_indexed(spark, ivf_dir, qv).collect()
+            timings["ann_ivf_topk_indexed"] = time.perf_counter() - t
+        finally:
+            shutil.rmtree(ivf_dir, ignore_errors=True)
 
         # training-data-pipeline + ranking breadth (one representative
         # op per family; value-parity for these is the driver's

@@ -45,6 +45,14 @@ BM25_B = 0.75
 # (SURVEY.md §5.3(b): TUPLE_SIZE=6 → 2-byte tf, TF_MASK=2**16-1).
 TF_CAP = 65535
 
+# Largest dictionary (term → df map) the norms stages will collect()
+# and broadcast; beyond this they fall back to a shuffle join. 5M terms
+# ≈ a few hundred MB driver-side — comfortably broadcastable; a
+# 10^8-term source-code vocabulary takes the join path. Shared by
+# engine/index.py stage 4 and engine/merge.py doc_norms so build and
+# merge have the SAME scale contract.
+BROADCAST_DICT_MAX_TERMS = 5_000_000
+
 # title field = first TITLE_TOKENS stopword-filtered (unstemmed) tokens
 # of the content (engine/ranking.py Q4; the driver corpus has no title
 # column). Lives here because both the tokenizer (build-time carry) and

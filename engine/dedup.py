@@ -276,34 +276,69 @@ GROUP BY a.doc_id, b.doc_id
 def simhash(corpus: DataFrame) -> DataFrame:
     """(doc_id, simhash): 60-bit SimHash over tf-weighted term hashes.
 
-    One pass, one tiny shuffle: Σ_terms (±tf) per bit equals
-    Σ_token-occurrences (±1), so each occurrence contributes ±1 to 60
-    conditional-sum agg columns in a single groupBy(doc_id) — map-side
-    partial aggregation reduces the exchange to one 60-long row per
-    doc. (The previous shape exploded the tf stream ×60 bits through a
-    (doc_id, bit) shuffle — 60× the bytes for the same sums.)"""
-    from functools import reduce
-    from operator import add
+    ZERO shuffle: SimHash is a pure per-document function, so one
+    Arrow-batched mapInPandas stage computes it — tokenize (the
+    engine's single-source-of-truth tokenizer, unstemmed, identical to
+    ``tokens_filtered_col``), md5-hash each distinct term once per
+    batch, then one numpy bit-matrix product per batch. Docs with zero
+    tokens emit no row (matching the previous groupBy shape and the
+    DuckDB oracle's unnest).
 
-    occ = corpus.select(
-        "doc_id", F.explode(tokens_filtered_col(F.col("content"))).alias("term")
-    ).select("doc_id", term_hash_col(F.col("term")).alias("h"))
-    sums = occ.groupBy("doc_id").agg(
-        *[
-            F.sum(
-                F.when(F.col("h").bitwiseAND(F.lit(1 << b)) != 0, 1).otherwise(-1)
-            ).alias(f"s{b}")
-            for b in range(SIM_BITS)
-        ]
+    History: r1 exploded the tf stream ×60 bits through a (doc_id, bit)
+    shuffle; r2 folded it into 60 conditional sums in one
+    groupBy(doc_id) — right shuffle shape, but the 60 codegen `when()`
+    branches per token occurrence regressed wall-clock 2.8→4.2 s at
+    sf0.1. This shape drops the exchange entirely AND does the bit math
+    vectorized."""
+
+    def _kernel(it):
+        import hashlib
+
+        import numpy as np
+        import pandas as pd
+
+        from .tokenizer import term_frequencies
+
+        shifts = np.arange(SIM_BITS, dtype=np.uint64)
+        for pdf in it:
+            counts = term_frequencies(pdf["content"], use_stem=False)
+            lens = np.array([len(c) for c in counts], dtype=np.int64)
+            keep = lens > 0
+            if not keep.any():
+                continue
+            terms: list[str] = []
+            tfs: list[int] = []
+            for c, k in zip(counts, keep):
+                if k:
+                    terms.extend(c.keys())
+                    tfs.append(np.fromiter(c.values(), np.int64, len(c)))
+            uniq, inv = np.unique(np.asarray(terms, dtype=object), return_inverse=True)
+            hvals = np.array(
+                [
+                    int(hashlib.md5(t.encode("utf-8")).hexdigest()[:15], 16)
+                    for t in uniq
+                ],
+                dtype=np.uint64,
+            )
+            h = hvals[inv]
+            tf = np.concatenate(tfs)
+            # s_b = Σ_terms ±tf  → sign matrix (2·bit−1) weighted by tf
+            contrib = (2 * ((h[:, None] >> shifts) & 1).astype(np.int64) - 1) * tf[
+                :, None
+            ]
+            starts = np.concatenate(([0], np.cumsum(lens[keep])[:-1]))
+            s = np.add.reduceat(contrib, starts, axis=0)
+            sim = ((s > 0).astype(np.uint64) << shifts).sum(axis=1).astype(np.int64)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].to_numpy(np.int64)[keep],
+                    "simhash": sim,
+                }
+            )
+
+    return corpus.select("doc_id", "content").mapInPandas(
+        _kernel, "doc_id long, simhash long"
     )
-    sim = reduce(
-        add,
-        [
-            F.when(F.col(f"s{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
-            for b in range(SIM_BITS)
-        ],
-    )
-    return sums.select("doc_id", sim.cast("long").alias("simhash"))
 
 
 def simhash_sql() -> str:

@@ -243,6 +243,52 @@ def _q_fusion_indexed(spark, sf_dir):
     return _index_reader(spark, sf_dir).fusion_topk(FIXED_QUERIES["q_multi"], 10)
 
 
+def _q_fusion_pr_indexed(spark, sf_dir):
+    # 3-signal /search from artifacts alone: BM25-from-index + title
+    # table + parquet PageRank prior (VERDICT r2 #7)
+    return _index_reader(spark, sf_dir).fusion_pr_topk(FIXED_QUERIES["q_multi"], 10)
+
+
+def _merged_reader(spark: SparkSession, sf_dir: str):
+    """Driver-proven SEGMENT MERGE (SURVEY §2 S6, the north-star's named
+    operator): build two half-corpus indexes split by doc_id parity,
+    merge them with engine/merge.merge_indexes, and serve from the
+    merged artifacts. The oracle is the ordinary full-corpus BM25 SQL —
+    merge(build(even), build(odd)) must be indistinguishable from
+    build(all)."""
+    from .index import IndexReader, _read_manifest, build_index
+    from .merge import merge_indexes
+
+    ensure_importable(spark)
+    key = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    out_dir = os.path.join(_DRIVER_CACHE, f"index_merged_{key}")
+    man = _read_manifest(out_dir)
+    if man and man.get("stages", {}).get("complete") == "done":
+        return IndexReader(spark, out_dir)
+    corpus = documents_as_corpus(spark, sf_dir).withColumn(
+        "content_sha256", F.sha2(F.col("content"), 256)
+    )
+    halves = []
+    for par in (0, 1):
+        d = os.path.join(_DRIVER_CACHE, f"index_half{par}_{key}")
+        build_index(
+            spark,
+            corpus.where(F.col("doc_id") % 2 == par),
+            d,
+            use_stem=False,
+            n_shards=8,
+            n_chunks=1,
+        )
+        halves.append(d)
+    return merge_indexes(spark, halves[0], halves[1], out_dir)
+
+
+def _q_bm25_merged_indexed(spark, sf_dir):
+    return _merged_reader(spark, sf_dir).bm25_topk(
+        FIXED_QUERIES["q_multi"], K, prune=True, round_scores=ROUND
+    )
+
+
 def _docs(spark, sf_dir):
     """Raw documents table with doc_id + text → corpus-ish frame used by
     the text/dedup operators (they tokenize via the JVM regex path)."""
@@ -335,6 +381,18 @@ def _q_ann_ivf(spark, sf_dir):
     from .sim import ivf_topk, load_embeddings, query_vector
 
     return ivf_topk(load_embeddings(spark, sf_dir), query_vector(spark, sf_dir))
+
+
+def _q_ann_ivf_indexed(spark, sf_dir):
+    """Production IVF: cell-partitioned table built once per sf_dir
+    (cached), probes read n_probe/K via parquet partition pruning."""
+    from .sim import build_ivf, ivf_topk_indexed, load_embeddings, query_vector
+
+    key = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    ivf_dir = os.path.join(_DRIVER_CACHE, f"ivf_{key}")
+    if not os.path.exists(os.path.join(ivf_dir, "_SUCCESS")):
+        build_ivf(load_embeddings(spark, sf_dir), ivf_dir)
+    return ivf_topk_indexed(spark, ivf_dir, query_vector(spark, sf_dir))
 
 
 def _q_fusion_pr(spark, sf_dir):
@@ -445,6 +503,7 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": _q_ann_lsh,
         "ann_lsh_multiprobe_topk": _q_ann_multiprobe,
         "ann_ivf_topk": _q_ann_ivf,
+        "ann_ivf_topk_indexed": _q_ann_ivf_indexed,
         "embedding_dup_pairs": _q_emb_dup,
         "embedding_dup_pairs_lsh": _q_emb_dup_lsh,
         "media_meta": _q_media_meta,
@@ -474,6 +533,9 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["title_topk_indexed"] = _q_title_indexed
     out["anchor_topk_indexed"] = _q_anchor_indexed
     out["fusion_topk_indexed"] = _q_fusion_indexed
+    out["fusion_pr_topk_indexed"] = _q_fusion_pr_indexed
+    # segment merge driver-proven: serve from merge(build(even), build(odd))
+    out["bm25_merged_indexed"] = _q_bm25_merged_indexed
     return out
 
 
@@ -546,6 +608,7 @@ def oracle_sqls() -> dict[str, str]:
             "ann_lsh_topk": lsh_topk_sql(),
             "ann_lsh_multiprobe_topk": lsh_topk_multiprobe_sql(),
             "ann_ivf_topk": ivf_topk_sql(),
+            "ann_ivf_topk_indexed": ivf_topk_sql(),
             "embedding_dup_pairs": embedding_dup_pairs_sql(),
             "embedding_dup_pairs_lsh": embedding_dup_pairs_lsh_sql(),
             "media_meta": media_meta_sql(),
@@ -588,4 +651,7 @@ def oracle_sqls() -> dict[str, str]:
     out["title_topk_indexed"] = title_match_sql(FIXED_QUERIES["q_multi"])
     out["anchor_topk_indexed"] = anchor_match_sql(FIXED_QUERIES["q_multi"])
     out["fusion_topk_indexed"] = fusion_sql(FIXED_QUERIES["q_multi"])
+    out["fusion_pr_topk_indexed"] = fusion_pr_sql(FIXED_QUERIES["q_multi"])
+    # merged serving must equal full-corpus BM25 — same oracle as bm25_q_multi
+    out["bm25_merged_indexed"] = _bm25_sql(FIXED_QUERIES["q_multi"])
     return out

@@ -75,9 +75,21 @@ class SearchService:
         ]
 
     # ---- endpoints ------------------------------------------------------
-    def search(self, query: str, k: int = 10) -> list[tuple]:
+    def search(
+        self, query: str, k: int = 10, *, use_pagerank: bool = False
+    ) -> list[tuple]:
+        """2-signal fusion by default; ``use_pagerank=True`` fuses the
+        PageRank prior in (the reference's full hand-tuned signal set),
+        index-backed from artifacts alone when a reader is bound."""
         if self.reader is not None:
-            return self._with_meta(self.reader.fusion_topk(query, k), "score")
+            fn = self.reader.fusion_pr_topk if use_pagerank else self.reader.fusion_topk
+            return self._with_meta(fn(query, k), "score")
+        if use_pagerank:
+            from .ranking import fusion_pr_topk
+
+            return self._with_meta(
+                fusion_pr_topk(self.spark, self.corpus, query, k), "score"
+            )
         return self._with_meta(fusion_topk(self.spark, self.corpus, query, k), "score")
 
     def search_body(self, query: str, k: int = 10) -> list[tuple]:
@@ -149,7 +161,8 @@ def create_app(service: SearchService):
 
     @app.route("/search")
     def search():  # pragma: no cover - thin shim, logic tested via service
-        return jsonify(service.search(_query()))
+        use_pr = request.args.get("pagerank", "") in ("1", "true")
+        return jsonify(service.search(_query(), use_pagerank=use_pr))
 
     @app.route("/search_body")
     def search_body():

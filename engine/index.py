@@ -356,7 +356,9 @@ def build_index(
         # tf capped at TF_CAP — the same bound the posting blocks store,
         # so the serving-path dot product (capped tfs decoded from
         # blocks) and these norms agree for any tf
-        if n_terms <= 5_000_000:
+        from . import BROADCAST_DICT_MAX_TERMS
+
+        if n_terms <= BROADCAST_DICT_MAX_TERMS:
             # broadcast-map path: each checkpoint row carries the doc's
             # WHOLE term list, so with the (term → df) map broadcast the
             # norm is a per-row computation — ZERO shuffle (the join
@@ -729,6 +731,9 @@ class IndexReader:
         all_terms = sorted({t for w in weights.values() for t in w})
         avgdl = self.manifest["stats"]["avgdl"]
         blocks = self.postings().where(F.col("term").isin(all_terms))
+        # rounded sort keys need eps-relaxed pruning: a doc within half a
+        # rounding step below θ can tie the k-th rounded key downstream
+        eps = 0.5 * 10.0 ** (-round_scores) if round_scores is not None else 0.0
 
         def shard_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
             from .wand import topk_shard
@@ -738,7 +743,7 @@ class IndexReader:
                 sub = pdf[pdf["term"].isin(w)]
                 if not len(sub):
                     continue
-                ids, sc = topk_shard(sub, w, avgdl, k, prune=prune)
+                ids, sc = topk_shard(sub, w, avgdl, k, prune=prune, eps=eps)
                 outs.append(
                     pd.DataFrame({"query_id": qid, "doc_id": ids, "score": sc})
                 )
@@ -779,22 +784,42 @@ class IndexReader:
 
         ``round_scores`` rounds each doc's (complete, shard-local) score
         and uses the rounded value as the sort key — the cross-engine
-        float discipline of the DuckDB-checked driver entries."""
+        float discipline of the DuckDB-checked driver entries.
+
+        The idf lookup rides INSIDE the scoring job as a broadcast join
+        of the isin-pruned dictionary onto the blocks — no separate
+        query_weights() collect round-trip per interactive query
+        (VERDICT r2 #8); the batch path amortizes the same way."""
         import pandas as pd
 
-        weights = self.query_weights(query)
+        from collections import Counter
+
+        qtf = Counter(tokenize(query, use_stem=self.use_stem))
         avgdl = self.manifest["stats"]["avgdl"]
         spark = self.spark
-        if not weights:
-            empty = spark.createDataFrame([], "rank int, doc_id long, score double")
-            return empty
-
-        blocks = self.postings().where(F.col("term").isin(list(weights)))
+        if not qtf:
+            return spark.createDataFrame([], "rank int, doc_id long, score double")
+        n = self.manifest["stats"]["n_docs"]
+        qtf_map = {t: float(c) for t, c in qtf.items()}
+        dic = (
+            self.dictionary()
+            .where(F.col("term").isin(list(qtf)))
+            .select(
+                "term",
+                idf_col(F.col("df").cast("double"), F.lit(float(n))).alias("idf"),
+            )
+        )
+        blocks = self.postings().where(F.col("term").isin(list(qtf))).join(
+            F.broadcast(dic), "term"
+        )
+        eps = 0.5 * 10.0 ** (-round_scores) if round_scores is not None else 0.0
 
         def shard_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
             from .wand import topk_shard
 
-            ids, sc = topk_shard(pdf, weights, avgdl, k, prune=prune)
+            idf = dict(zip(pdf["term"], pdf["idf"]))
+            weights = {t: qtf_map[t] * v for t, v in idf.items()}
+            ids, sc = topk_shard(pdf, weights, avgdl, k, prune=prune, eps=eps)
             return pd.DataFrame({"doc_id": ids, "score": sc})
 
         per_shard = blocks.groupBy("shard").applyInPandas(
@@ -874,5 +899,67 @@ class IndexReader:
                 + FUSE_W_TITLE * F.coalesce("title_score", F.lit(0.0)),
                 ROUND,
             ).alias("score"),
+        )
+        return _ranked(fused, "score", k)
+
+    def pagerank_df(self) -> DataFrame:
+        """(doc_id, pr) served from a parquet artifact UNDER the index
+        dir — the scale-safe analog of the reference's pickled PageRank
+        dict. Materialized lazily on first use from the index's own
+        doc_stats doc_ids (the demo graph is a pure function of the
+        global doc_id order), then read from parquet ever after, so
+        `/search` 3-signal fusion serves from artifacts alone."""
+        p = os.path.join(self.dir, "pagerank")
+        if not os.path.exists(os.path.join(p, "_SUCCESS")):
+            from .ranking import pagerank
+
+            pagerank(self.doc_stats().select("doc_id")).write.mode(
+                "overwrite"
+            ).parquet(p)
+        return self.spark.read.parquet(p)
+
+    def fusion_pr_topk(self, query: str, k: int = 10) -> DataFrame:
+        """Index-backed 3-signal `/search` (J4 full set): the pinned
+        0.5·bm25/max + 0.3·title_hits/|q| + 0.2·pr/max_pr formula of
+        engine/ranking.fusion_pr_topk (its recompute path is the
+        oracle), with PageRank read from the index's parquet artifact.
+        Candidates = body OR title matches; pr is a LEFT-joined prior."""
+        from .ranking import FUSE3_W_BODY, FUSE3_W_PR, FUSE3_W_TITLE, _ranked
+        from .textops import ROUND
+
+        terms = sorted(set(tokenize(query, use_stem=False)))
+        n_q = len(terms)
+        if n_q == 0:
+            return self.spark.createDataFrame(
+                [], "rank int, doc_id long, score double"
+            )
+        body = self.bm25_scores_all(query)
+        body_max = body.agg(F.max("score").alias("max_bm25"))
+        body_n = body.crossJoin(F.broadcast(body_max)).select(
+            "doc_id", (F.col("score") / F.col("max_bm25")).alias("body_score")
+        )
+        title = (
+            self.title_terms()
+            .where(F.col("term").isin(terms))
+            .groupBy("doc_id")
+            .agg((F.count("*") / F.lit(float(n_q))).alias("title_score"))
+        )
+        pr = self.pagerank_df()
+        pr_max = pr.agg(F.max("pr").alias("max_pr"))
+        pr_n = pr.crossJoin(F.broadcast(pr_max)).select(
+            "doc_id", (F.col("pr") / F.col("max_pr")).alias("pr_score")
+        )
+        fused = (
+            body_n.join(title, "doc_id", "full_outer")
+            .join(pr_n, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.round(
+                    FUSE3_W_BODY * F.coalesce("body_score", F.lit(0.0))
+                    + FUSE3_W_TITLE * F.coalesce("title_score", F.lit(0.0))
+                    + FUSE3_W_PR * F.coalesce("pr_score", F.lit(0.0)),
+                    ROUND,
+                ).alias("score"),
+            )
         )
         return _ranked(fused, "score", k)

@@ -170,41 +170,83 @@ def merge_indexes(
         t0 = time.perf_counter()
         import math
 
-        from . import TF_CAP
+        from . import BROADCAST_DICT_MAX_TERMS, TF_CAP
 
-        df_map = {
-            r["term"]: r["df"]
-            for r in spark.read.parquet(os.path.join(out_dir, "dictionary"))
-            .select("term", "df")
-            .collect()
-        }
-        bc = spark.sparkContext.broadcast(df_map)
         n_docs = float(n)
+        merged_dict = spark.read.parquet(
+            os.path.join(out_dir, "dictionary")
+        ).select("term", "df")
+        n_terms = man["stats"].get("n_terms")
+        if n_terms is None:  # manifest from a pre-n_terms merge
+            n_terms = merged_dict.count()
+        if n_terms <= BROADCAST_DICT_MAX_TERMS:
+            # broadcast-map path — same gate as build_index stage 4:
+            # postings stay shard-local, ZERO extra shuffle
+            df_map = {r["term"]: r["df"] for r in merged_dict.collect()}
+            bc = spark.sparkContext.broadcast(df_map)
 
-        def _norms_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
-            import numpy as np
+            def _norms_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+                import numpy as np
 
-            acc_ids, acc_w2 = [], []
-            for row in pdf.itertuples(index=False):
-                ids, tfs, _ = decode_block(row)
-                dfv = float(bc.value[row.term])
-                w = (1.0 + np.log10(np.minimum(tfs, TF_CAP))) * math.log10(
-                    n_docs / dfv
-                )
-                acc_ids.append(ids)
-                acc_w2.append(w * w)
-            import numpy as np
+                acc_ids, acc_w2 = [], []
+                for row in pdf.itertuples(index=False):
+                    ids, tfs, _ = decode_block(row)
+                    dfv = float(bc.value[row.term])
+                    w = (1.0 + np.log10(np.minimum(tfs, TF_CAP))) * math.log10(
+                        n_docs / dfv
+                    )
+                    acc_ids.append(ids)
+                    acc_w2.append(w * w)
+                import numpy as np
 
-            all_ids = np.concatenate(acc_ids)
-            all_w2 = np.concatenate(acc_w2)
-            uid, inv = np.unique(all_ids, return_inverse=True)
-            s = np.zeros(uid.size)
-            np.add.at(s, inv, all_w2)
-            return pd.DataFrame({"doc_id": uid, "dnorm": np.sqrt(s)})
+                all_ids = np.concatenate(acc_ids)
+                all_w2 = np.concatenate(acc_w2)
+                uid, inv = np.unique(all_ids, return_inverse=True)
+                s = np.zeros(uid.size)
+                np.add.at(s, inv, all_w2)
+                return pd.DataFrame({"doc_id": uid, "dnorm": np.sqrt(s)})
 
-        norms = postings.groupBy("shard").applyInPandas(
-            _norms_kernel, "doc_id long, dnorm double"
-        )
+            norms = postings.groupBy("shard").applyInPandas(
+                _norms_kernel, "doc_id long, dnorm double"
+            )
+        else:
+            # join fallback — a 10^8-term merged vocabulary would OOM
+            # the driver collect above; decode blocks to (term, doc_id,
+            # tf) rows, shuffle-join df in (AQE-planned), aggregate per
+            # doc. Exchanges the exploded posting stream, which is the
+            # price of not holding the dictionary in one heap.
+            def _explode_kernel(it):
+                import numpy as np
+
+                for pdf in it:
+                    terms, ids, tfs = [], [], []
+                    for row in pdf.itertuples(index=False):
+                        i, t, _ = decode_block(row)
+                        terms.extend([row.term] * i.size)
+                        ids.append(i)
+                        tfs.append(t)
+                    if not ids:
+                        continue
+                    yield pd.DataFrame(
+                        {
+                            "term": terms,
+                            "doc_id": np.concatenate(ids),
+                            "tf": np.concatenate(tfs),
+                        }
+                    )
+
+            ex = postings.mapInPandas(
+                _explode_kernel, "term string, doc_id long, tf long"
+            )
+            tfc = F.least(F.col("tf"), F.lit(TF_CAP))
+            wtd = (1.0 + F.log10(tfc)) * F.log10(
+                F.lit(n_docs) / F.col("df")
+            )
+            norms = (
+                ex.join(merged_dict, "term")
+                .groupBy("doc_id")
+                .agg(F.sqrt(F.sum(wtd * wtd)).alias("dnorm"))
+            )
         norms.write.mode("overwrite").parquet(os.path.join(out_dir, "doc_norms"))
         man["stages"]["doc_norms"] = "done"
         man["stage_times"]["doc_norms"] = round(time.perf_counter() - t0, 2)

@@ -226,9 +226,13 @@ WITH v AS (
 ),
 frx AS (
   SELECT doc_id, f.i::INTEGER AS frame_idx,
-         CASE WHEN f.i * step < n THEN f.i * step ELSE n - step END AS off,
+         -- clamped so an EMPTY payload (n=0, step=1) yields off=0,len=0
+         -- (→ the len=0 zero-vector branch, matching decode_stub) and
+         -- never a negative substr offset
+         CASE WHEN f.i * step < n THEN f.i * step
+              ELSE greatest(n - step, 0) END AS off,
          CASE WHEN f.i * step < n THEN least(step, n - f.i * step)
-              ELSE step END AS len
+              ELSE least(step, n - greatest(n - step, 0)) END AS len
   FROM v CROSS JOIN (SELECT unnest(range(0, {n_frames})) AS i) f
 ),
 bytes AS (

@@ -233,20 +233,26 @@ def anchor_match_topk(
 
 # ----------------------------------------------------- score fusion (J4)
 
-def fusion_topk(
-    spark: SparkSession, corpus: DataFrame, query: str, k: int = 10
-) -> DataFrame:
-    """(rank, doc_id, score) — reference `/search` analog: weighted sum
-    of max-normalized BM25 body score and title hit-ratio."""
+def _fusion_signals(
+    spark: SparkSession, corpus: DataFrame, query: str
+) -> tuple[DataFrame | None, DataFrame | None, int]:
+    """(body_n, title, n_q) — the two per-doc fusion signals from ONE
+    cached tokenize pass: doc_tokens_df's array checkpoint shape carries
+    both the (term, tf) stream (body BM25) and the title arrays, so the
+    corpus is tokenized once per query instead of once per signal
+    (VERDICT r2 #9 — body and title each re-tokenized before)."""
+    from .build import doc_tokens_df, explode_doc_tokens
     from .query import bm25_scored_terms
 
     qterms = query_terms_df(spark, query, use_stem=False)
     n_q = qterms.count()
     if n_q == 0:
-        return spark.createDataFrame([], "rank int, doc_id long, score double")
+        return None, None, 0
 
+    arr = doc_tokens_df(corpus, use_stem=False).persist()
+    toks = explode_doc_tokens(arr)
     body = (
-        bm25_scored_terms(corpus, qterms, use_stem=False)
+        bm25_scored_terms(corpus, qterms, use_stem=False, tokens=toks)
         .groupBy("doc_id")
         .agg(F.sum("partial_score").alias("bm25"))
     )
@@ -255,11 +261,23 @@ def fusion_topk(
         "doc_id", (F.col("bm25") / F.col("max_bm25")).alias("body_score")
     )
     title = (
-        title_terms_df(corpus)
+        arr.select("doc_id", F.explode("title_terms").alias("term"))
+        .distinct()
         .join(F.broadcast(qterms.select("term").distinct()), "term")
         .groupBy("doc_id")
         .agg((F.count("*") / F.lit(float(n_q))).alias("title_score"))
     )
+    return body_n, title, n_q
+
+
+def fusion_topk(
+    spark: SparkSession, corpus: DataFrame, query: str, k: int = 10
+) -> DataFrame:
+    """(rank, doc_id, score) — reference `/search` analog: weighted sum
+    of max-normalized BM25 body score and title hit-ratio."""
+    body_n, title, n_q = _fusion_signals(spark, corpus, query)
+    if n_q == 0:
+        return spark.createDataFrame([], "rank int, doc_id long, score double")
     fused = (
         body_n.join(title, "doc_id", "full_outer")
         .select(
@@ -291,28 +309,9 @@ def fusion_pr_topk(
     Candidates are docs with a body OR title match (PageRank alone
     never surfaces a doc — it is a quality prior, not a retrieval
     signal); pr is LEFT-joined onto the candidate set."""
-    from .query import bm25_scored_terms
-
-    qterms = query_terms_df(spark, query, use_stem=False)
-    n_q = qterms.count()
+    body_n, title, n_q = _fusion_signals(spark, corpus, query)
     if n_q == 0:
         return spark.createDataFrame([], "rank int, doc_id long, score double")
-
-    body = (
-        bm25_scored_terms(corpus, qterms, use_stem=False)
-        .groupBy("doc_id")
-        .agg(F.sum("partial_score").alias("bm25"))
-    )
-    body_max = body.agg(F.max("bm25").alias("max_bm25"))
-    body_n = body.crossJoin(F.broadcast(body_max)).select(
-        "doc_id", (F.col("bm25") / F.col("max_bm25")).alias("body_score")
-    )
-    title = (
-        title_terms_df(corpus)
-        .join(F.broadcast(qterms.select("term").distinct()), "term")
-        .groupBy("doc_id")
-        .agg((F.count("*") / F.lit(float(n_q))).alias("title_score"))
-    )
     pr = pagerank(corpus)
     pr_max = pr.agg(F.max("pr").alias("max_pr"))
     pr_n = pr.crossJoin(F.broadcast(pr_max)).select(

@@ -72,10 +72,18 @@ def topk_shard(
     k: int,
     *,
     prune: bool = True,
+    eps: float = 0.0,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Score one shard's blocks for one query → (doc_ids, scores) of the
     shard-local top-k (unsorted). ``blocks`` has the BLOCKS_SCHEMA
-    columns for the query's terms only."""
+    columns for the query's terms only.
+
+    ``eps`` relaxes every θ-based drop to ``θ - eps``: the pruning is
+    then rank-safe with respect to a sort key that rounds scores to a
+    granularity of ``2·eps`` (serving passes eps = 0.5·10⁻ʳ when
+    ``round_scores=r``). Without it, a doc whose unrounded score sits
+    within eps below the k-th could be pruned here yet round to the SAME
+    sort key as the k-th and win the doc_id-asc tiebreak downstream."""
     by_term: dict[str, pd.DataFrame] = {
         t: g for t, g in blocks.groupby("term", sort=False) if t in weights
     }
@@ -95,7 +103,7 @@ def topk_shard(
     for i, t in enumerate(terms):
         w = weights[t]
         g = by_term[t]
-        theta = _theta(acc_sc, k)
+        theta = _theta(acc_sc, k) - eps
         and_phase = prune and np.isfinite(theta) and (ubs[i] + remaining_after[i]) < theta
 
         if not and_phase:
@@ -123,16 +131,17 @@ def topk_shard(
                 ids, tfs, dls = decode_block(row)
                 _update_existing(acc_ids, acc_sc, ids, w * score_norm(tfs, dls, avgdl))
             # prune accumulator docs that can no longer reach top-k
-            theta = _theta(acc_sc, k)
+            theta = _theta(acc_sc, k) - eps
             if np.isfinite(theta):
                 keep = acc_sc + remaining_after[i] >= theta
                 acc_ids, acc_sc = acc_ids[keep], acc_sc[keep]
 
     if acc_ids.size > k:
         idx = np.argpartition(acc_sc, acc_sc.size - k)[acc_sc.size - k :]
-        # θ-ties at the boundary: keep everything ≥ the k-th score so the
-        # global merge (score desc, doc_id asc) can break ties exactly
+        # θ-ties at the boundary: keep everything ≥ the k-th score
+        # (minus eps, the rounding half-step) so the global merge
+        # (rounded score desc, doc_id asc) can break ties exactly
         kth = acc_sc[idx].min()
-        keep = acc_sc >= kth
+        keep = acc_sc >= kth - eps
         acc_ids, acc_sc = acc_ids[keep], acc_sc[keep]
     return acc_ids, acc_sc

@@ -23,7 +23,7 @@ def split_dirs(spark, tiny_corpus, tmp_path_factory):
     build_index(spark, half_b, db, **kw)
     build_index(spark, tiny_corpus, dfull, **kw)
     merge_indexes(spark, da, db, dm)
-    return dfull, dm
+    return dfull, dm, da, db
 
 
 def _blocks_set(r: IndexReader):
@@ -36,7 +36,7 @@ def _blocks_set(r: IndexReader):
 
 
 def test_merged_blocks_byte_identical(spark, split_dirs):
-    dfull, dm = split_dirs
+    dfull, dm = split_dirs[:2]
     full, merged = IndexReader(spark, dfull), IndexReader(spark, dm)
     assert _blocks_set(full) == _blocks_set(merged)
     assert full.manifest["stats"]["n_docs"] == merged.manifest["stats"]["n_docs"]
@@ -44,7 +44,7 @@ def test_merged_blocks_byte_identical(spark, split_dirs):
 
 
 def test_merged_dictionary_and_norms(spark, split_dirs):
-    dfull, dm = split_dirs
+    dfull, dm = split_dirs[:2]
     full, merged = IndexReader(spark, dfull), IndexReader(spark, dm)
     fd = {r["term"]: (r["df"], r["cf"], r["n_blocks"])
           for r in full.dictionary().collect()}
@@ -59,7 +59,7 @@ def test_merged_dictionary_and_norms(spark, split_dirs):
 
 
 def test_merged_queries_rank_identical(spark, split_dirs, queries):
-    dfull, dm = split_dirs
+    dfull, dm = split_dirs[:2]
     full, merged = IndexReader(spark, dfull), IndexReader(spark, dm)
     for q in queries[:6]:
         want = [(r["rank"], r["doc_id"]) for r in full.bm25_topk(q["text"], 10).collect()]
@@ -85,3 +85,24 @@ def test_merge_rejects_overlapping_docs(spark, tiny_corpus, tmp_path_factory):
     build_index(spark, sub, d2, **kw)  # same docs on both sides
     with pytest.raises(AssertionError, match="disjoint"):
         merge_indexes(spark, d1, d2, dm)
+
+
+def test_merge_norms_join_fallback(spark, split_dirs, tmp_path_factory,
+                                   monkeypatch):
+    """With the broadcast threshold forced to 0, the merge's doc_norms
+    stage must take the decode→join→groupBy fallback (no driver-side
+    dictionary collect) and produce the SAME norms as the broadcast
+    path / full build (VERDICT r2 #5)."""
+    import engine
+
+    dfull, dm, da, db = split_dirs
+    monkeypatch.setattr(engine, "BROADCAST_DICT_MAX_TERMS", 0)
+    dm2 = str(tmp_path_factory.mktemp("idx_merged_fb"))
+    merge_indexes(spark, da, db, dm2)
+    full = IndexReader(spark, dfull)
+    merged = IndexReader(spark, dm2)
+    fn = {r["doc_id"]: r["dnorm"] for r in full.doc_norms().collect()}
+    mn = {r["doc_id"]: r["dnorm"] for r in merged.doc_norms().collect()}
+    assert set(fn) == set(mn)
+    for d in fn:
+        assert abs(fn[d] - mn[d]) <= 1e-9

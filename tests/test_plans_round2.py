@@ -35,16 +35,14 @@ def test_shingles_plan_has_no_window(spark, tiny_corpus):
 
 
 def test_simhash_plan_single_exchange_no_bit_explode(spark, tiny_corpus):
-    """One groupBy(doc_id) with 60 conditional sums: exactly one
-    exchange (partial agg runs map-side), and no Generate stage for a
-    bit-sequence explode."""
+    """SimHash is a per-doc pure function computed in one mapInPandas
+    stage: ZERO exchanges, zero Generate stages (r2's groupBy shape had
+    one exchange; r1's bit-explode had a 60× one)."""
     from engine.dedup import simhash
 
     p = plan_of(simhash(tiny_corpus))
-    assert n_ops(p, "Exchange") == 1, p
-    # the tokens explode IS a Generate; the bit explode would be a
-    # second one — assert at most one
-    assert n_ops(p, "Generate") <= 1, p
+    assert n_ops(p, "Exchange") == 0, p
+    assert n_ops(p, "Generate") == 0, p
 
 
 def test_minhash_signatures_single_exchange(spark, tiny_corpus):

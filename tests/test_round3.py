@@ -1,0 +1,165 @@
+"""Round-3 additions: build-time IVF cells (partition-pruned probes),
+eps-aware WAND pruning under rounded sort keys, frames_sql empty-payload
+clamp, and the shared-tokens fusion recompute refactor."""
+
+import duckdb
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.01"
+
+
+# ------------------------------------------------- IVF build-time cells
+
+@pytest.fixture(scope="module")
+def ivf_dir(spark, tmp_path_factory):
+    from engine.sim import build_ivf, load_embeddings
+
+    d = str(tmp_path_factory.mktemp("ivf"))
+    build_ivf(load_embeddings(spark, SF), d)
+    return d
+
+
+def test_ivf_indexed_matches_full_scan(spark, ivf_dir):
+    from engine.sim import ivf_topk, ivf_topk_indexed, load_embeddings, query_vector
+
+    q = query_vector(spark, SF)
+    want = [tuple(r) for r in ivf_topk(load_embeddings(spark, SF), q).collect()]
+    got = [tuple(r) for r in ivf_topk_indexed(spark, ivf_dir, q).collect()]
+    assert got == want and len(got) > 0
+
+
+def test_ivf_indexed_plan_prunes_partitions(spark, ivf_dir):
+    """The probe's cell filter must reach the scan as a PARTITION filter
+    (hive-partitioned by cell) — the probe reads n_probe/K of the table,
+    never the whole inverted file."""
+    from engine.sim import ivf_topk_indexed, query_vector
+
+    q = query_vector(spark, SF)
+    plan = ivf_topk_indexed(spark, ivf_dir, q)._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan, plan
+    # the cell predicate sits in PartitionFilters, not the data filter
+    pf = plan.split("PartitionFilters: [", 1)[1].split("]", 1)[0]
+    assert "cell" in pf, plan
+
+
+def test_probe_cells_deterministic():
+    from engine.sim import IVF_K, probe_cells
+
+    v = [0.25, -0.5, 1.0, 0.0]
+    p1 = probe_cells(v)
+    assert p1 == probe_cells(v)
+    assert len(p1) == 2 and all(0 <= c < IVF_K for c in p1)
+
+
+# ------------------------------- eps-aware pruning under rounded keys
+
+def test_wand_eps_keeps_rounding_boundary_docs():
+    """A doc whose exact score is within eps below the k-th must SURVIVE
+    the shard-local cut when eps is passed (it can tie the k-th rounded
+    sort key and win the doc_id tiebreak downstream)."""
+    import numpy as np
+
+    from engine.postings import blocks_pdf_for_shard
+    from engine.wand import topk_shard
+
+    # one term, three docs; weights/avgdl chosen so doc scores are
+    # controlled by tf: make doc 3's score sit ~2e-7 under doc 2's
+    ids = np.array([1, 2, 3], dtype=np.int64)
+    tfs = np.array([5, 3, 3], dtype=np.int64)
+    dls = np.array([10, 10, 10], dtype=np.int64)
+    pdf = pd.DataFrame(
+        {
+            "shard": np.zeros(3, dtype=np.int64),
+            "term": ["t"] * 3,
+            "doc_id": ids,
+            "tf": tfs,
+            "doc_len": dls,
+        }
+    )
+    blocks = blocks_pdf_for_shard(pdf, avgdl=10.0, block_docs=128)
+    w = {"t": 1.0}
+    # exact kernel scores for all three docs
+    all_ids, all_sc = topk_shard(blocks, w, avgdl=10.0, k=3, prune=False)
+    sc = dict(zip(all_ids, all_sc))
+    assert sc[2] == sc[3]  # same tf, same dl → exact tie at the k-boundary
+    # k=2: without eps the tie at the boundary is already retained by the
+    # >= kth rule; with eps the retention is strictly wider, never narrower
+    ids_no, _ = topk_shard(blocks, w, avgdl=10.0, k=2, prune=True)
+    ids_eps, _ = topk_shard(blocks, w, avgdl=10.0, k=2, prune=True, eps=5e-7)
+    assert set(ids_no) <= set(ids_eps)
+    assert {1, 2, 3} <= set(ids_eps)
+
+
+def test_indexed_topk_pruned_equals_exhaustive_rounded(spark, queries):
+    """bm25_topk(prune=True, round_scores=6) must be rank- AND score-
+    identical to the unpruned path on every fixture query — the eps
+    relaxation makes the pruning safe w.r.t. the rounded sort key."""
+    import os
+
+    from engine.index import build_index
+    from engine.io import documents_as_corpus
+
+    d = os.path.join("/tmp", "r3_eps_idx")
+    corpus = documents_as_corpus(spark, SF).withColumn(
+        "content_sha256", F.sha2(F.col("content"), 256)
+    )
+    r = build_index(spark, corpus, d, use_stem=False, n_shards=4, n_chunks=1)
+    for q in queries[:6]:
+        a = [tuple(x) for x in r.bm25_topk(q["text"], 10, prune=True,
+                                           round_scores=6).collect()]
+        b = [tuple(x) for x in r.bm25_topk(q["text"], 10, prune=False,
+                                           round_scores=6).collect()]
+        assert a == b, q["text"]
+
+
+# ------------------------------------- frames_sql empty-payload clamp
+
+def test_frames_sql_empty_payload_matches_spark(spark):
+    """DuckDB twin of sample_frames must handle an EMPTY payload (the
+    r2 oracle built '0x' from a negative substr offset and crashed —
+    ADVICE r2 #1): both engines emit 8 zero dims × n_frames."""
+    from engine.multimodal import frames_flat, frames_sql, media_from_documents
+
+    rows = [(2, ""), (5, "abcdefgh" * 7), (8, "x")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["doc_id"], r["frame_idx"], r["dim"]): r["value"]
+        for r in frames_flat(media_from_documents(docs)).collect()
+    }
+    con = duckdb.connect()
+    con.register("documents", pd.DataFrame(rows, columns=["doc_id", "text"]))
+    want = {
+        (int(d), int(f), int(dim)): float(v)
+        for d, f, dim, v in con.execute(frames_sql()).fetchall()
+    }
+    assert set(got) == set(want)
+    for key in want:
+        assert abs(got[key] - want[key]) <= 1e-6, key
+    # the empty doc is present with all-zero features
+    assert all(want[k] == 0.0 for k in want if k[0] == 2)
+
+
+# ------------------------------------- fusion shared-tokens recompute
+
+def test_fusion_recompute_matches_duckdb(spark, tiny_corpus):
+    """The shared-tokens fusion refactor (one doc_tokens_df pass feeding
+    body AND title) must still match the DuckDB fusion oracle."""
+    from engine.ranking import fusion_sql, fusion_topk
+
+    q = "token engine compression"
+    got = [
+        (r["rank"], r["doc_id"], round(r["score"], 6))
+        for r in fusion_topk(spark, tiny_corpus, q, 10).collect()
+    ]
+    con = duckdb.connect()
+    pdf = tiny_corpus.select(
+        "doc_id", F.col("content").alias("text")
+    ).toPandas()
+    con.register("documents", pdf)
+    want = [
+        (int(a), int(b), round(float(c), 6))
+        for a, b, c in con.execute(fusion_sql(q)).fetchall()
+    ]
+    assert got == want and len(got) > 0
