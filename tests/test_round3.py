@@ -163,3 +163,78 @@ def test_fusion_recompute_matches_duckdb(spark, tiny_corpus):
         for a, b, c in con.execute(fusion_sql(q)).fetchall()
     ]
     assert got == want and len(got) > 0
+
+
+# --------------------------------------- trained k-means IVF codebook
+
+def test_train_ivf_centroids_deterministic_and_improving(spark):
+    """Lloyd training (the production codebook seam) must be
+    deterministic and not worsen the mean within-cell distance vs the
+    init assignment; empty cells keep their previous centroid."""
+    import numpy as np
+
+    from engine.sim import (
+        IVF_K,
+        _trained_cell_col,
+        load_embeddings,
+        train_ivf_centroids,
+    )
+
+    emb = load_embeddings(spark, SF)
+    c1 = train_ivf_centroids(emb, iters=2)
+    c2 = train_ivf_centroids(emb, iters=2)
+    assert c1 == c2  # deterministic end to end
+    assert len(c1) == IVF_K and len(c1[0]) == 64
+
+    pdf = emb.select("vec_id", "embedding").toPandas()
+    X = np.array([list(map(float, v)) for v in pdf["embedding"]])
+
+    def mean_d2(cents):
+        C = np.array(cents)
+        d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        return float(d2.min(axis=1).mean())
+
+    init = [list(map(float, v)) for v in
+            emb.orderBy("vec_id").limit(IVF_K).toPandas()["embedding"]]
+    assert mean_d2(c1) <= mean_d2(init) + 1e-9
+
+    # Spark-side assignment must equal the numpy argmin (ties → min j)
+    cells = (
+        emb.select("vec_id", _trained_cell_col(c1).alias("cell"))
+        .toPandas().set_index("vec_id")["cell"]
+    )
+    C = np.array(c1)
+    d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+    want = d2.argmin(axis=1)
+    got = cells.reindex(pdf["vec_id"]).to_numpy()
+    assert (got == want).all()
+
+
+def test_trained_ivf_table_and_probe(spark, tmp_path_factory):
+    """build_ivf with a trained codebook + partition-pruned probe must
+    equal a full-scan cosine top-k restricted to the same cells."""
+    from engine.sim import (
+        _trained_cell_col,
+        build_ivf,
+        cosine_topk,
+        ivf_topk_indexed,
+        load_embeddings,
+        probe_cells_trained,
+        query_vector,
+        train_ivf_centroids,
+    )
+    from pyspark.sql import functions as F
+
+    emb = load_embeddings(spark, SF)
+    cents = train_ivf_centroids(emb, iters=2)
+    d = str(tmp_path_factory.mktemp("ivf_trained"))
+    build_ivf(emb, d, centroids=cents)
+    q = query_vector(spark, SF)
+    got = [tuple(r) for r in
+           ivf_topk_indexed(spark, d, q, centroids=cents).collect()]
+    probe = probe_cells_trained(q, cents)
+    want_df = cosine_topk(
+        emb.where(_trained_cell_col(cents).isin(probe)), q
+    )
+    want = [tuple(r) for r in want_df.collect()]
+    assert got == want and len(got) > 0
