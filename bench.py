@@ -99,6 +99,14 @@ def main() -> None:
         t = time.perf_counter()
         reader.fusion_pr_topk("table scan fast", 10).collect()
         timings["fusion_pr_indexed"] = time.perf_counter() - t
+        # 4-signal /search (round 3): adds the synthetic pageview prior
+        # artifact; same build-vs-query split as pagerank
+        t = time.perf_counter()
+        reader.pageviews_df().count()
+        timings["pageviews_artifact_build"] = time.perf_counter() - t
+        t = time.perf_counter()
+        reader.fusion_pv_topk("table scan fast", 10).collect()
+        timings["fusion_pv_indexed"] = time.perf_counter() - t
 
         # IVF: build-time cell partitioning, then the pruned probe
         from engine.sim import build_ivf, ivf_topk_indexed, load_embeddings, query_vector

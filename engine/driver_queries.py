@@ -249,6 +249,26 @@ def _q_fusion_pr_indexed(spark, sf_dir):
     return _index_reader(spark, sf_dir).fusion_pr_topk(FIXED_QUERIES["q_multi"], 10)
 
 
+def _q_pageviews(spark, sf_dir):
+    # deterministic synthetic pageview signal (engine/pageviews.py) —
+    # the reference's pickled-Counter data source, hash-checkable
+    from .pageviews import synthetic_pageviews
+
+    return synthetic_pageviews(_docs(spark, sf_dir))
+
+
+def _q_fusion_pv(spark, sf_dir):
+    from .ranking import fusion_pv_topk
+
+    return fusion_pv_topk(spark, _corpus(spark, sf_dir), FIXED_QUERIES["q_table_scan"])
+
+
+def _q_fusion_pv_indexed(spark, sf_dir):
+    # 4-signal /search from artifacts alone: BM25-from-index + title
+    # table + parquet PageRank + parquet pageviews priors
+    return _index_reader(spark, sf_dir).fusion_pv_topk(FIXED_QUERIES["q_multi"], 10)
+
+
 def _merged_reader(spark: SparkSession, sf_dir: str):
     """Driver-proven SEGMENT MERGE (SURVEY §2 S6, the north-star's named
     operator): build two half-corpus indexes split by doc_id parity,
@@ -516,6 +536,8 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anchor_match_topk": _q_anchor_match,
         "fusion_topk": _q_fusion,
         "fusion_pr_topk": _q_fusion_pr,
+        "pageviews": _q_pageviews,
+        "fusion_pv_topk": _q_fusion_pv,
         "pagerank": _q_pagerank,
     }
     for name, text in FIXED_QUERIES.items():
@@ -534,6 +556,7 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["anchor_topk_indexed"] = _q_anchor_indexed
     out["fusion_topk_indexed"] = _q_fusion_indexed
     out["fusion_pr_topk_indexed"] = _q_fusion_pr_indexed
+    out["fusion_pv_topk_indexed"] = _q_fusion_pv_indexed
     # segment merge driver-proven: serve from merge(build(even), build(odd))
     out["bm25_merged_indexed"] = _q_bm25_merged_indexed
     return out
@@ -617,9 +640,11 @@ def oracle_sqls() -> dict[str, str]:
             "media_frames": frames_sql(),
         }
     )
+    from .pageviews import pageviews_sql
     from .ranking import (
         anchor_match_sql,
         fusion_pr_sql,
+        fusion_pv_sql,
         fusion_sql,
         pagerank_sql,
         tfidf_cosine_sql,
@@ -633,6 +658,8 @@ def oracle_sqls() -> dict[str, str]:
             "anchor_match_topk": anchor_match_sql(FIXED_QUERIES["q_table_scan"]),
             "fusion_topk": fusion_sql(FIXED_QUERIES["q_table_scan"]),
             "fusion_pr_topk": fusion_pr_sql(FIXED_QUERIES["q_table_scan"]),
+            "pageviews": pageviews_sql(),
+            "fusion_pv_topk": fusion_pv_sql(FIXED_QUERIES["q_table_scan"]),
             "pagerank": pagerank_sql(),
         }
     )
@@ -652,6 +679,7 @@ def oracle_sqls() -> dict[str, str]:
     out["anchor_topk_indexed"] = anchor_match_sql(FIXED_QUERIES["q_multi"])
     out["fusion_topk_indexed"] = fusion_sql(FIXED_QUERIES["q_multi"])
     out["fusion_pr_topk_indexed"] = fusion_pr_sql(FIXED_QUERIES["q_multi"])
+    out["fusion_pv_topk_indexed"] = fusion_pv_sql(FIXED_QUERIES["q_multi"])
     # merged serving must equal full-corpus BM25 — same oracle as bm25_q_multi
     out["bm25_merged_indexed"] = _bm25_sql(FIXED_QUERIES["q_multi"])
     return out

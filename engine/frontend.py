@@ -17,9 +17,12 @@ changing clients:
                      terms of linking pages over the pinned demo graph;
                      same distinct-term-count scoring as the reference)
 - `/get_pagerank`  → fixed-iteration PageRank lookups (POST json ids)
-- `/get_pageview`  → served from an optional (doc_id, views) parquet;
-                     0 for unknown ids (the reference loads a pickled
-                     counter the sandbox doesn't have)
+- `/get_pageview`  → isin-filter lookups over a (doc_id, views) parquet
+                     artifact; by default the deterministic synthetic
+                     table (engine/pageviews.py — the reference loads a
+                     pickled counter whose data the sandbox doesn't
+                     have); 0 for unknown ids. `/search?pageviews=1`
+                     fuses it as the 4th signal.
 
 Serving-layer notes, not engine semantics: results are
 `(doc_id, repo/path)` pairs like the reference's `(doc_id, title)`;
@@ -76,14 +79,31 @@ class SearchService:
 
     # ---- endpoints ------------------------------------------------------
     def search(
-        self, query: str, k: int = 10, *, use_pagerank: bool = False
+        self,
+        query: str,
+        k: int = 10,
+        *,
+        use_pagerank: bool = False,
+        use_pageviews: bool = False,
     ) -> list[tuple]:
-        """2-signal fusion by default; ``use_pagerank=True`` fuses the
-        PageRank prior in (the reference's full hand-tuned signal set),
+        """2-signal fusion by default; ``use_pagerank=True`` adds the
+        PageRank prior (3-signal) and ``use_pageviews=True`` the full
+        reference signal set (BM25 + title + PageRank + pageviews),
         index-backed from artifacts alone when a reader is bound."""
         if self.reader is not None:
-            fn = self.reader.fusion_pr_topk if use_pagerank else self.reader.fusion_topk
+            if use_pageviews:
+                fn = self.reader.fusion_pv_topk
+            elif use_pagerank:
+                fn = self.reader.fusion_pr_topk
+            else:
+                fn = self.reader.fusion_topk
             return self._with_meta(fn(query, k), "score")
+        if use_pageviews:
+            from .ranking import fusion_pv_topk
+
+            return self._with_meta(
+                fusion_pv_topk(self.spark, self.corpus, query, k), "score"
+            )
         if use_pagerank:
             from .ranking import fusion_pr_topk
 
@@ -139,8 +159,18 @@ class SearchService:
         return [got.get(int(d), 0.0) for d in doc_ids]
 
     def get_pageview(self, doc_ids: list[int]) -> list[int]:
+        """Pageview lookups — same isin-filter parquet shape as
+        get_pagerank. When no explicit table is bound, serve the
+        index's lazily-materialized synthetic artifact
+        (IndexReader.pageviews_df), else derive it from the corpus
+        (engine/pageviews.py — no real pageview data in the sandbox)."""
         if self._pageviews is None:
-            return [0 for _ in doc_ids]
+            if self.reader is not None:
+                self._pageviews = self.reader.pageviews_df()
+            else:
+                from .pageviews import synthetic_pageviews
+
+                self._pageviews = synthetic_pageviews(self.corpus)
         rows = (
             self._pageviews.where(F.col("doc_id").isin([int(d) for d in doc_ids]))
             .collect()
@@ -162,7 +192,10 @@ def create_app(service: SearchService):
     @app.route("/search")
     def search():  # pragma: no cover - thin shim, logic tested via service
         use_pr = request.args.get("pagerank", "") in ("1", "true")
-        return jsonify(service.search(_query(), use_pagerank=use_pr))
+        use_pv = request.args.get("pageviews", "") in ("1", "true")
+        return jsonify(
+            service.search(_query(), use_pagerank=use_pr, use_pageviews=use_pv)
+        )
 
     @app.route("/search_body")
     def search_body():

@@ -963,3 +963,82 @@ class IndexReader:
             )
         )
         return _ranked(fused, "score", k)
+
+    def pageviews_df(self) -> DataFrame:
+        """(doc_id, views) served from a parquet artifact under the
+        index dir — the scale-safe analog of the reference's pickled
+        pageview Counter (SURVEY.md §2.1 S4). Materialized lazily from
+        the index's own doc_stats doc_ids via the deterministic
+        synthetic formula (engine/pageviews.py — the sandbox has no
+        real pageview data), then read from parquet ever after."""
+        p = os.path.join(self.dir, "pageviews")
+        if not os.path.exists(os.path.join(p, "_SUCCESS")):
+            from .pageviews import synthetic_pageviews
+
+            synthetic_pageviews(self.doc_stats().select("doc_id")).write.mode(
+                "overwrite"
+            ).parquet(p)
+        return self.spark.read.parquet(p)
+
+    def fusion_pv_topk(self, query: str, k: int = 10) -> DataFrame:
+        """Index-backed 4-signal `/search` (J4 FULL reference set:
+        body + title + PageRank + pageviews), pinned formula of
+        engine/ranking.fusion_pv_topk (the recompute path is the
+        oracle). Both priors read from parquet artifacts; candidates =
+        body OR title matches; priors are LEFT-joined."""
+        from .ranking import (
+            FUSE4_W_BODY,
+            FUSE4_W_PR,
+            FUSE4_W_PV,
+            FUSE4_W_TITLE,
+            _ranked,
+        )
+        from .textops import ROUND
+
+        terms = sorted(set(tokenize(query, use_stem=False)))
+        n_q = len(terms)
+        if n_q == 0:
+            return self.spark.createDataFrame(
+                [], "rank int, doc_id long, score double"
+            )
+        body = self.bm25_scores_all(query)
+        body_max = body.agg(F.max("score").alias("max_bm25"))
+        body_n = body.crossJoin(F.broadcast(body_max)).select(
+            "doc_id", (F.col("score") / F.col("max_bm25")).alias("body_score")
+        )
+        title = (
+            self.title_terms()
+            .where(F.col("term").isin(terms))
+            .groupBy("doc_id")
+            .agg((F.count("*") / F.lit(float(n_q))).alias("title_score"))
+        )
+        pr = self.pagerank_df()
+        pr_max = pr.agg(F.max("pr").alias("max_pr"))
+        pr_n = pr.crossJoin(F.broadcast(pr_max)).select(
+            "doc_id", (F.col("pr") / F.col("max_pr")).alias("pr_score")
+        )
+        pv = self.pageviews_df()
+        pv_max = pv.agg(F.max("views").alias("max_views"))
+        pv_n = pv.crossJoin(F.broadcast(pv_max)).select(
+            "doc_id",
+            (
+                F.log(F.lit(1.0) + F.col("views"))
+                / F.log(F.lit(1.0) + F.col("max_views"))
+            ).alias("pv_score"),
+        )
+        fused = (
+            body_n.join(title, "doc_id", "full_outer")
+            .join(pr_n, "doc_id", "left")
+            .join(pv_n, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.round(
+                    FUSE4_W_BODY * F.coalesce("body_score", F.lit(0.0))
+                    + FUSE4_W_TITLE * F.coalesce("title_score", F.lit(0.0))
+                    + FUSE4_W_PR * F.coalesce("pr_score", F.lit(0.0))
+                    + FUSE4_W_PV * F.coalesce("pv_score", F.lit(0.0)),
+                    ROUND,
+                ).alias("score"),
+            )
+        )
+        return _ranked(fused, "score", k)

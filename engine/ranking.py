@@ -333,6 +333,63 @@ def fusion_pr_topk(
     return _ranked(fused, "score", k)
 
 
+FUSE4_W_BODY = 0.45
+FUSE4_W_TITLE = 0.25
+FUSE4_W_PR = 0.15
+FUSE4_W_PV = 0.15
+
+
+def fusion_pv_topk(
+    spark: SparkSession, corpus: DataFrame, query: str, k: int = 10
+) -> DataFrame:
+    """(rank, doc_id, score) — the FULL reference `/search` signal set
+    (SURVEY.md §2.4 J4: BM25 body + title + PageRank + pageviews).
+    Pinned formula:
+
+      score = 0.45·bm25/max + 0.25·title_hits/|q|
+            + 0.15·pr/max_pr + 0.15·ln(1+views)/ln(1+max_views)
+
+    Candidates are body OR title matches; PageRank and pageviews are
+    LEFT-joined quality priors (they never surface a doc alone). The
+    pageview signal is the deterministic synthetic table
+    (engine/pageviews.py — the sandbox has no real pageview data)."""
+    from .pageviews import synthetic_pageviews
+
+    body_n, title, n_q = _fusion_signals(spark, corpus, query)
+    if n_q == 0:
+        return spark.createDataFrame([], "rank int, doc_id long, score double")
+    pr = pagerank(corpus)
+    pr_max = pr.agg(F.max("pr").alias("max_pr"))
+    pr_n = pr.crossJoin(F.broadcast(pr_max)).select(
+        "doc_id", (F.col("pr") / F.col("max_pr")).alias("pr_score")
+    )
+    pv = synthetic_pageviews(corpus)
+    pv_max = pv.agg(F.max("views").alias("max_views"))
+    pv_n = pv.crossJoin(F.broadcast(pv_max)).select(
+        "doc_id",
+        (
+            F.log(F.lit(1.0) + F.col("views"))
+            / F.log(F.lit(1.0) + F.col("max_views"))
+        ).alias("pv_score"),
+    )
+    fused = (
+        body_n.join(title, "doc_id", "full_outer")
+        .join(pr_n, "doc_id", "left")
+        .join(pv_n, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.round(
+                FUSE4_W_BODY * F.coalesce("body_score", F.lit(0.0))
+                + FUSE4_W_TITLE * F.coalesce("title_score", F.lit(0.0))
+                + FUSE4_W_PR * F.coalesce("pr_score", F.lit(0.0))
+                + FUSE4_W_PV * F.coalesce("pv_score", F.lit(0.0)),
+                ROUND,
+            ).alias("score"),
+        )
+    )
+    return _ranked(fused, "score", k)
+
+
 # ----------------------------------------------------------- PageRank
 
 def _dense_rank_by_doc_id(corpus: DataFrame) -> DataFrame:
@@ -636,6 +693,65 @@ fused AS (
              + {FUSE3_W_PR} * coalesce(p.pr_score, 0.0), {ROUND}) AS score
   FROM body_n b FULL OUTER JOIN tscore t ON b.doc_id = t.doc_id
   LEFT JOIN prn p ON p.doc_id = coalesce(b.doc_id, t.doc_id)
+)
+SELECT row_number() OVER (ORDER BY score DESC, doc_id ASC)::INTEGER AS rank,
+       doc_id, score
+FROM fused ORDER BY score DESC, doc_id ASC LIMIT {k}
+"""
+
+
+def fusion_pv_sql(query: str, k: int = 10) -> str:
+    """DuckDB mirror of fusion_pv_topk — fusion_pr_sql's shape plus the
+    synthetic-pageview prior (engine/pageviews.py formula inlined)."""
+    from .pageviews import PV_MOD, PV_SCALE
+
+    qcte, n_q = _q_values_cte(query)
+    pr_ctes, pr_final = _pagerank_ctes()
+    return f"""
+WITH {_tfv_cte()},
+dl AS (SELECT d.doc_id, coalesce(sum(tfv.tf), 0)::BIGINT AS doc_len
+       FROM documents d LEFT JOIN tfv USING (doc_id) GROUP BY d.doc_id),
+st2 AS (SELECT count(*)::BIGINT AS n_docs, avg(doc_len)::DOUBLE AS avgdl FROM dl),
+{qcte},
+scored AS (
+  SELECT tfv.doc_id,
+         q.qtf * ln(1.0 + (s.n_docs - dict.df + 0.5) / (dict.df + 0.5))
+               * least(tfv.tf, 65535) * 2.5
+               / (least(tfv.tf, 65535) + 1.5 * (1.0 - 0.75 + 0.75 * dl.doc_len / s.avgdl))
+           AS partial
+  FROM tfv JOIN q USING (term) JOIN dict USING (term) JOIN dl USING (doc_id)
+  CROSS JOIN st2 s
+),
+body AS (SELECT doc_id, sum(partial) AS bm25 FROM scored GROUP BY doc_id),
+body_n AS (SELECT doc_id, bm25 / (SELECT max(bm25) FROM body) AS body_score FROM body),
+{_title_cte().strip()},
+tscore AS (
+  SELECT doc_id, count(*) / {float(n_q)} AS title_score
+  FROM title JOIN (SELECT DISTINCT term FROM q) qq USING (term)
+  GROUP BY doc_id
+),
+{pr_ctes},
+prn AS (SELECT doc_id, pr / (SELECT max(pr) FROM {pr_final}) AS pr_score
+        FROM {pr_final}),
+pv AS (
+  SELECT doc_id,
+         CAST(floor({float(PV_SCALE)} /
+              (1 + CAST('0x' || substr(sha256(CAST(doc_id AS VARCHAR)), 1, 6) AS BIGINT)
+                   % {PV_MOD})) AS BIGINT) AS views
+  FROM documents
+),
+pvn AS (SELECT doc_id,
+               ln(1.0 + views) / ln(1.0 + (SELECT max(views) FROM pv)) AS pv_score
+        FROM pv),
+fused AS (
+  SELECT coalesce(b.doc_id, t.doc_id) AS doc_id,
+         round({FUSE4_W_BODY} * coalesce(b.body_score, 0.0)
+             + {FUSE4_W_TITLE} * coalesce(t.title_score, 0.0)
+             + {FUSE4_W_PR} * coalesce(p.pr_score, 0.0)
+             + {FUSE4_W_PV} * coalesce(v.pv_score, 0.0), {ROUND}) AS score
+  FROM body_n b FULL OUTER JOIN tscore t ON b.doc_id = t.doc_id
+  LEFT JOIN prn p ON p.doc_id = coalesce(b.doc_id, t.doc_id)
+  LEFT JOIN pvn v ON v.doc_id = coalesce(b.doc_id, t.doc_id)
 )
 SELECT row_number() OVER (ORDER BY score DESC, doc_id ASC)::INTEGER AS rank,
        doc_id, score

@@ -64,8 +64,27 @@ def test_pagerank_and_pageview_endpoints(client, service, tiny_corpus):
     vals = r.get_json()
     assert len(vals) == 4
     assert all(v > 0 for v in vals[:3]) and vals[3] == 0.0
-    pv = client.post("/get_pageview", json={"json": ids}).get_json()
-    assert pv == [0, 0, 0]
+    # pageviews now serve the deterministic synthetic artifact
+    # (engine/pageviews.py) instead of a zero-stub; unknown ids → 0
+    import hashlib
+
+    from engine.pageviews import PV_MOD, PV_SCALE
+
+    def py_views(doc_id):
+        h = hashlib.sha256(str(doc_id).encode()).hexdigest()
+        return PV_SCALE // (1 + int(h[:6], 16) % PV_MOD)
+
+    pv = client.post("/get_pageview", json={"json": ids + [999999999]}).get_json()
+    assert pv == [py_views(i) for i in ids] + [0]
+
+
+def test_search_four_signal_route(client):
+    r = client.get("/search", query_string={"query": QUERY, "pageviews": "1"})
+    assert r.status_code == 200
+    body = r.get_json()
+    assert body and len(body) <= 10
+    scores = [row[2] for row in body]
+    assert scores == sorted(scores, reverse=True)
 
 
 def test_empty_query_routes_do_not_throw(client):

@@ -238,3 +238,71 @@ def test_trained_ivf_table_and_probe(spark, tmp_path_factory):
     )
     want = [tuple(r) for r in want_df.collect()]
     assert got == want and len(got) > 0
+
+
+# --------------------------------- synthetic pageviews + 4-signal fusion
+
+def test_pageviews_formula_cross_engine(spark):
+    """synthetic_pageviews (Spark column math) == pageviews_sql (DuckDB)
+    == a plain-Python reimplementation, incl. 63-bit doc_ids — the
+    formula is integer-only after the hash, so equality is exact."""
+    import hashlib
+
+    from engine.pageviews import PV_MOD, PV_SCALE, pageviews_sql, synthetic_pageviews
+
+    ids = [0, 1, 2, 42, 9999, 2**31, 2**62 + 12345]
+    sdf = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    got = {r["doc_id"]: r["views"] for r in synthetic_pageviews(sdf).collect()}
+
+    con = duckdb.connect()
+    con.register("documents", pd.DataFrame({"doc_id": ids}))
+    want = {int(d): int(v) for d, v in con.execute(pageviews_sql()).fetchall()}
+
+    def py_views(doc_id):
+        h = hashlib.sha256(str(doc_id).encode()).hexdigest()
+        return PV_SCALE // (1 + int(h[:6], 16) % PV_MOD)
+
+    assert got == want == {i: py_views(i) for i in ids}
+    assert all(1 <= v <= PV_SCALE for v in got.values())
+
+
+def test_fusion_pv_recompute_matches_duckdb(spark, tiny_corpus):
+    from engine.ranking import fusion_pv_sql, fusion_pv_topk
+
+    q = "token engine compression"
+    got = [
+        (r["rank"], r["doc_id"], round(r["score"], 6))
+        for r in fusion_pv_topk(spark, tiny_corpus, q, 10).collect()
+    ]
+    con = duckdb.connect()
+    pdf = tiny_corpus.select("doc_id", F.col("content").alias("text")).toPandas()
+    con.register("documents", pdf)
+    want = [
+        (int(a), int(b), round(float(c), 6))
+        for a, b, c in con.execute(fusion_pv_sql(q)).fetchall()
+    ]
+    assert got == want and len(got) > 0
+
+
+def test_index_fusion_pv_matches_recompute(spark, tiny_corpus, tmp_path_factory):
+    """IndexReader.fusion_pv_topk (artifacts only: index BM25 + title
+    table + parquet PageRank + parquet pageviews) must match the
+    recompute path — same pinned 4-signal formula."""
+    from engine.index import IndexReader, build_index
+    from engine.ranking import fusion_pv_topk
+
+    d = str(tmp_path_factory.mktemp("index_pv"))
+    build_index(spark, tiny_corpus, d, use_stem=False, n_shards=4, n_chunks=2)
+    r = IndexReader(spark, d)
+    q = "index merge segment"
+    got = r.fusion_pv_topk(q, 10).collect()
+    want = fusion_pv_topk(spark, tiny_corpus, q, 10).collect()
+    assert [(x["rank"], x["doc_id"]) for x in got] == [
+        (x["rank"], x["doc_id"]) for x in want
+    ]
+    for a, b in zip(got, want):
+        assert abs(a["score"] - b["score"]) <= 2e-6
+    # the artifact is parquet under the index dir, written once
+    import os
+
+    assert os.path.exists(os.path.join(d, "pageviews", "_SUCCESS"))
