@@ -136,6 +136,7 @@ def main() -> None:
             "tfidf_cosine_topk",
             "fusion_topk",
             "pagerank",
+            "phrase_topk",
         ):
             t = time.perf_counter()
             dq.spark_queries()[name](spark, sf_dir).count()

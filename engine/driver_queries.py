@@ -249,6 +249,24 @@ def _q_fusion_pr_indexed(spark, sf_dir):
     return _index_reader(spark, sf_dir).fusion_pr_topk(FIXED_QUERIES["q_multi"], 10)
 
 
+def _q_term_positions(spark, sf_dir):
+    from .phrase import term_positions
+
+    return term_positions(_docs(spark, sf_dir))
+
+
+def _q_phrase(spark, sf_dir):
+    from .phrase import phrase_topk
+
+    return phrase_topk(spark, _docs(spark, sf_dir), "table scan", 20)
+
+
+def _q_phrase_3gram(spark, sf_dir):
+    from .phrase import phrase_topk
+
+    return phrase_topk(spark, _docs(spark, sf_dir), "fast table scan", 20)
+
+
 def _q_pageviews(spark, sf_dir):
     # deterministic synthetic pageview signal (engine/pageviews.py) —
     # the reference's pickled-Counter data source, hash-checkable
@@ -538,6 +556,9 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fusion_pr_topk": _q_fusion_pr,
         "pageviews": _q_pageviews,
         "fusion_pv_topk": _q_fusion_pv,
+        "term_positions": _q_term_positions,
+        "phrase_topk": _q_phrase,
+        "phrase_topk_3gram": _q_phrase_3gram,
         "pagerank": _q_pagerank,
     }
     for name, text in FIXED_QUERIES.items():
@@ -641,6 +662,7 @@ def oracle_sqls() -> dict[str, str]:
         }
     )
     from .pageviews import pageviews_sql
+    from .phrase import phrase_topk_sql, term_positions_sql
     from .ranking import (
         anchor_match_sql,
         fusion_pr_sql,
@@ -660,6 +682,9 @@ def oracle_sqls() -> dict[str, str]:
             "fusion_pr_topk": fusion_pr_sql(FIXED_QUERIES["q_table_scan"]),
             "pageviews": pageviews_sql(),
             "fusion_pv_topk": fusion_pv_sql(FIXED_QUERIES["q_table_scan"]),
+            "term_positions": term_positions_sql(),
+            "phrase_topk": phrase_topk_sql("table scan", 20),
+            "phrase_topk_3gram": phrase_topk_sql("fast table scan", 20),
             "pagerank": pagerank_sql(),
         }
     )

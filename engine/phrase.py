@@ -1,0 +1,128 @@
+"""Positional phrase search (SURVEY.md §2 addendum P7/Q7).
+
+The reference family's surface is bag-of-words only; phrase queries are
+the standard next capability of a full-text engine, so they're added
+here as first-class operators with the same oracle discipline as the
+rest of §2.
+
+Pinned semantics
+----------------
+Positions are 0-based offsets in the ORDERED, stopword-filtered,
+UNSTEMMED token stream (engine/textops.tokens_filtered_col — the same
+normalization the title/anchor surfaces use). A phrase of m terms
+matches a doc at offset i iff ``toks[i:i+m]`` equals the phrase's
+token sequence exactly; the phrase itself is tokenized with the same
+pipeline, so stopwords inside the phrase are elided ("a table scan" ≡
+"table scan"). Score = occurrence count; top-k orders by
+(n_occ desc, doc_id asc).
+
+Scale shape
+-----------
+Everything is JVM-side whole-stage codegen over the token array — the
+matcher is ``size(filter(sequence(1, n-m+1), i -> slice(toks,i,m) ==
+phrase))`` per row, ZERO shuffles before the final top-k
+(TakeOrderedAndProject). No Python, no explode, no join: at 100 TB the
+phrase query is a single pruned scan, embarrassingly parallel.
+``term_positions`` (the positional-posting construction operator) is
+one posexplode — materializing it as an index artifact would reuse the
+existing delta+varint codec (engine/codec.py) per (term, doc) position
+run; the query path above doesn't need it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .textops import tokens_filtered_col
+from .tokenizer import TOKEN_PATTERN, tokenize
+
+
+def term_positions(corpus: DataFrame) -> DataFrame:
+    """(doc_id, term, pos) — positional postings stream; pos is the
+    0-based offset in the filtered token sequence. One narrow
+    mapInArrow-free projection + posexplode: no shuffle (downstream
+    consumers groupBy as needed)."""
+    toks = tokens_filtered_col(F.col("content"))
+    return (
+        corpus.select("doc_id", F.posexplode(toks).alias("pos", "term"))
+        .select("doc_id", "term", F.col("pos").cast("long").alias("pos"))
+    )
+
+
+def phrase_occurrences_col(content, phrase_terms: list[str]):
+    """Column: number of occurrences of the phrase in content's
+    filtered token stream. Pure codegen (no UDF)."""
+    toks = tokens_filtered_col(content)
+    m = len(phrase_terms)
+    arr = F.array(*[F.lit(t) for t in phrase_terms])
+    starts = F.sequence(F.lit(1), F.size(toks) - F.lit(m - 1))
+    occ = F.size(F.filter(starts, lambda i: F.slice(toks, i, m) == arr))
+    # sequence(1, x) with x < 1 would DESCEND (Spark picks step -1), so
+    # short docs take the 0 branch instead
+    return F.when(F.size(toks) >= m, occ).otherwise(F.lit(0)).cast("long")
+
+
+def phrase_topk(
+    spark: SparkSession, corpus: DataFrame, phrase: str, k: int = 10
+) -> DataFrame:
+    """(rank, doc_id, n_occ) — docs containing the exact (filtered)
+    phrase, by occurrence count; deterministic (n_occ desc, doc_id asc)."""
+    from .ranking import _ranked
+
+    terms = tokenize(phrase, use_stem=False)
+    if not terms:
+        return spark.createDataFrame([], "rank int, doc_id long, n_occ long")
+    occ = corpus.select(
+        "doc_id", phrase_occurrences_col(F.col("content"), terms).alias("n_occ")
+    ).where(F.col("n_occ") > 0)
+    return _ranked(occ, "n_occ", k)
+
+
+# ------------------------------------------------------------------ SQL
+# DuckDB mirrors over the `documents` view (doc_id, text, ...).
+
+def _tokd_cte() -> str:
+    from .stopwords import stopwords_sql_list
+
+    pat = TOKEN_PATTERN.replace("'", "''")
+    return (
+        "tokd AS (SELECT doc_id, "
+        f"list_filter(regexp_extract_all(lower(text), '{pat}'), "
+        f"t -> t NOT IN {stopwords_sql_list()}) AS toks FROM documents)"
+    )
+
+
+def term_positions_sql() -> str:
+    return f"""
+WITH {_tokd_cte()}
+SELECT doc_id, unnest(toks) AS term,
+       (generate_subscripts(toks, 1) - 1)::BIGINT AS pos
+FROM tokd
+"""
+
+
+def _phrase_list_sql(terms: list[str]) -> str:
+    return "[" + ", ".join("'" + t.replace("'", "''") + "'" for t in terms) + "]"
+
+
+def phrase_topk_sql(phrase: str, k: int = 10) -> str:
+    terms = tokenize(phrase, use_stem=False)
+    if not terms:  # all-stopword/empty phrase: empty result, like Spark
+        return (
+            "SELECT 0::INTEGER AS rank, 0::BIGINT AS doc_id, 0::BIGINT AS n_occ "
+            "WHERE false"
+        )
+    m = len(terms)
+    return f"""
+WITH {_tokd_cte()},
+occ AS (
+  SELECT doc_id,
+         len(list_filter(range(1, len(toks) - {m} + 2),
+             i -> toks[i:i + {m - 1}] = {_phrase_list_sql(terms)}))::BIGINT AS n_occ
+  FROM tokd
+)
+SELECT row_number() OVER (ORDER BY n_occ DESC, doc_id ASC)::INTEGER AS rank,
+       doc_id, n_occ
+FROM occ WHERE n_occ > 0 ORDER BY n_occ DESC, doc_id ASC LIMIT {k}
+"""

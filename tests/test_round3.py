@@ -306,3 +306,58 @@ def test_index_fusion_pv_matches_recompute(spark, tiny_corpus, tmp_path_factory)
     import os
 
     assert os.path.exists(os.path.join(d, "pageviews", "_SUCCESS"))
+
+
+# ------------------------------------------- positional phrase search
+
+def test_phrase_occurrences_overlapping_and_short_docs(spark):
+    """Overlapping matches count individually; docs shorter than the
+    phrase take the guarded 0 branch (sequence() would descend)."""
+    from engine.phrase import phrase_topk
+
+    rows = [
+        (1, "alpha alpha alpha"),          # "alpha alpha" occurs 2x (overlap)
+        (2, "alpha beta alpha beta"),      # 0x for "alpha alpha"
+        (3, "alpha"),                      # shorter than phrase
+        (4, ""),                           # empty
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, content string")
+    got = {r["doc_id"]: r["n_occ"] for r in phrase_topk(spark, df, "alpha alpha", 10).collect()}
+    assert got == {1: 2}
+    # all-stopword phrase → empty result, no throw
+    assert phrase_topk(spark, df, "the a of", 10).count() == 0
+
+
+def test_phrase_matches_duckdb_at_sf001(spark):
+    from engine.phrase import phrase_topk, phrase_topk_sql, term_positions, term_positions_sql
+
+    SF_D = "/root/testdata/sf0.01"
+    docs = spark.read.parquet(f"{SF_D}/documents.parquet").select(
+        "doc_id", F.col("text").alias("content")
+    )
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{SF_D}/documents.parquet'")
+    for phrase in ("table scan", "fast table scan"):
+        g = [tuple(r) for r in phrase_topk(spark, docs, phrase, 20).collect()]
+        w = [tuple(int(x) for x in row) for row in con.execute(phrase_topk_sql(phrase, 20)).fetchall()]
+        assert g == w and (len(g) > 0 if phrase == "table scan" else True), phrase
+    gp = term_positions(docs).toPandas().sort_values(["doc_id", "pos"], ignore_index=True)
+    wp = con.execute(term_positions_sql()).fetchdf().sort_values(["doc_id", "pos"], ignore_index=True)
+    assert gp[["doc_id", "term", "pos"]].equals(wp[["doc_id", "term", "pos"]])
+
+
+def test_phrase_plan_is_shuffle_free_scan(spark):
+    """The matcher must be pure per-row codegen: no Exchange before the
+    TakeOrderedAndProject top-k — at scale the phrase query is a single
+    pruned scan."""
+    from engine.phrase import phrase_topk
+
+    SF_D = "/root/testdata/sf0.01"
+    docs = spark.read.parquet(f"{SF_D}/documents.parquet").select(
+        "doc_id", F.col("text").alias("content")
+    )
+    df = phrase_topk(spark, docs, "table scan", 10)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    body = plan.split("TakeOrderedAndProject")[-1]
+    assert "Exchange" not in body, plan
+    assert "TakeOrderedAndProject" in plan, plan
