@@ -331,7 +331,9 @@ def _docs(spark, sf_dir):
     """Raw documents table with doc_id + text → corpus-ish frame used by
     the text/dedup operators (they tokenize via the JVM regex path)."""
     ensure_importable(spark)
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    from .io import normalize_splits
+
+    d = normalize_splits(spark.read.parquet(f"{sf_dir}/documents.parquet"))
     return d.select("doc_id", F.col("text").alias("content"))
 
 

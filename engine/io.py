@@ -40,10 +40,26 @@ def with_identity(corpus: DataFrame) -> DataFrame:
     )
 
 
+def normalize_splits(df: DataFrame) -> DataFrame:
+    """Widen a too-narrow scan to the cluster's parallelism.
+
+    A single small parquet file (one row group) arrives as ONE input
+    split, which serializes every downstream per-row operator — the
+    zero-shuffle operators (simhash, phrase match, media decode) are
+    exactly as parallel as the scan that feeds them. At production
+    scale splits >> cores, so the condition is false and this is a
+    no-op with no Exchange; it only pays one tiny round-robin shuffle
+    when the input is narrower than the cluster."""
+    p = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < p:
+        return df.repartition(p)
+    return df
+
+
 def documents_as_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver testdata adapter (FIXTURES.md §4): documents.parquet →
     corpus shape, keeping the driver's own ``doc_id``."""
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = normalize_splits(spark.read.parquet(f"{sf_dir}/documents.parquet"))
     return d.select(
         F.col("source").alias("repo"),
         F.concat(F.lit("doc/"), F.col("doc_id").cast("string")).alias("path"),
@@ -55,4 +71,4 @@ def documents_as_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def read_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return normalize_splits(spark.read.parquet(f"{sf_dir}/documents.parquet"))

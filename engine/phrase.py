@@ -52,15 +52,44 @@ def term_positions(corpus: DataFrame) -> DataFrame:
 
 def phrase_occurrences_col(content, phrase_terms: list[str]):
     """Column: number of occurrences of the phrase in content's
-    filtered token stream. Pure codegen (no UDF)."""
-    toks = tokens_filtered_col(content)
+    filtered token stream. Pure codegen (no UDF).
+
+    The matcher is an unrolled conjunction of ``element_at`` probes —
+    faster than ``slice(toks,i,m) == array`` (no per-position array
+    allocation + equality walk, and the AND short-circuits on the first
+    term mismatch).
+
+    CRITICAL expression shape: the token array is bound ONCE as a
+    lambda variable via a 1-element ``transform`` wrapper. Spark's
+    higher-order functions re-evaluate any non-attribute child
+    expression on EVERY lambda invocation — referencing
+    ``tokens_filtered_col(content)`` directly inside the position
+    lambda re-tokenizes the document per candidate position
+    (O(positions × doc_len) regex work, verified in the physical
+    plan). With the wrapper, probes hit a bound array attribute and
+    the whole matcher is one tokenize pass + O(positions · m) cheap
+    probes, still pure codegen."""
     m = len(phrase_terms)
-    arr = F.array(*[F.lit(t) for t in phrase_terms])
-    starts = F.sequence(F.lit(1), F.size(toks) - F.lit(m - 1))
-    occ = F.size(F.filter(starts, lambda i: F.slice(toks, i, m) == arr))
-    # sequence(1, x) with x < 1 would DESCEND (Spark picks step -1), so
-    # short docs take the 0 branch instead
-    return F.when(F.size(toks) >= m, occ).otherwise(F.lit(0)).cast("long")
+
+    def _count_in(arr):
+        starts = F.sequence(F.lit(1), F.size(arr) - F.lit(m - 1))
+
+        def _match(i):
+            # starts ≤ size-m+1 keeps every element_at(i+j) in bounds
+            cond = F.element_at(arr, i) == F.lit(phrase_terms[0])
+            for j in range(1, m):
+                cond = cond & (
+                    F.element_at(arr, i + F.lit(j)) == F.lit(phrase_terms[j])
+                )
+            return cond
+
+        occ = F.size(F.filter(starts, _match))
+        # sequence(1, x) with x < 1 would DESCEND (Spark picks step
+        # -1), so short docs take the 0 branch instead
+        return F.when(F.size(arr) >= m, occ).otherwise(F.lit(0))
+
+    wrapped = F.transform(F.array(tokens_filtered_col(content)), _count_in)
+    return F.element_at(wrapped, 1).cast("long")
 
 
 def phrase_topk(

@@ -44,7 +44,9 @@ def _norm(a):
 
 
 def load_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    from .io import normalize_splits
+
+    return normalize_splits(spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
 
 
 def query_vector(spark: SparkSession, sf_dir: str) -> list[float]:
