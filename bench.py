@@ -107,6 +107,17 @@ def main() -> None:
         t = time.perf_counter()
         reader.fusion_pv_topk("table scan fast", 10).collect()
         timings["fusion_pv_indexed"] = time.perf_counter() - t
+        # positional postings (round 3): stage-7 artifact build, then
+        # index-backed phrase serving (decode only the query's terms)
+        from engine.positions import write_positions
+
+        t = time.perf_counter()
+        write_positions(spark, corpus, idx_dir, n_shards=16)
+        reader.manifest["stages"]["positions"] = "done"
+        timings["positions_artifact_build"] = time.perf_counter() - t
+        t = time.perf_counter()
+        reader.phrase_topk("table scan", 20).collect()
+        timings["phrase_indexed"] = time.perf_counter() - t
 
         # IVF: build-time cell partitioning, then the pruned probe
         from engine.sim import build_ivf, ivf_topk_indexed, load_embeddings, query_vector

@@ -189,7 +189,13 @@ def _mk_bm25(text: str, *, use_stem: bool):
 _DRIVER_CACHE = os.path.join(os.path.dirname(os.path.dirname(__file__)), ".driver_cache")
 
 
-def _index_reader(spark: SparkSession, sf_dir: str, *, use_stem: bool = False):
+def _index_reader(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    use_stem: bool = False,
+    with_positions: bool = False,
+):
     from .index import build_index
     from .io import documents_as_corpus
 
@@ -203,7 +209,8 @@ def _index_reader(spark: SparkSession, sf_dir: str, *, use_stem: bool = False):
     # the stemmed variant's DuckDB oracle stems via the generated SQL
     # Porter chain (engine/porter_sql.py)
     return build_index(
-        spark, corpus, out_dir, use_stem=use_stem, n_shards=8, n_chunks=1
+        spark, corpus, out_dir, use_stem=use_stem, n_shards=8, n_chunks=1,
+        with_positions=with_positions,
     )
 
 
@@ -265,6 +272,15 @@ def _q_phrase_3gram(spark, sf_dir):
     from .phrase import phrase_topk
 
     return phrase_topk(spark, _docs(spark, sf_dir), "fast table scan", 20)
+
+
+def _q_phrase_indexed(spark, sf_dir):
+    # index-backed phrase serving: positional-postings artifact
+    # (engine/positions.py), upgrading the cached index in place on
+    # first use (build_index stage 7 resume semantics)
+    return _index_reader(spark, sf_dir, with_positions=True).phrase_topk(
+        "table scan", 20
+    )
 
 
 def _q_pageviews(spark, sf_dir):
@@ -561,6 +577,7 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "term_positions": _q_term_positions,
         "phrase_topk": _q_phrase,
         "phrase_topk_3gram": _q_phrase_3gram,
+        "phrase_topk_indexed": _q_phrase_indexed,
         "pagerank": _q_pagerank,
     }
     for name, text in FIXED_QUERIES.items():
@@ -687,6 +704,7 @@ def oracle_sqls() -> dict[str, str]:
             "term_positions": term_positions_sql(),
             "phrase_topk": phrase_topk_sql("table scan", 20),
             "phrase_topk_3gram": phrase_topk_sql("fast table scan", 20),
+            "phrase_topk_indexed": phrase_topk_sql("table scan", 20),
             "pagerank": pagerank_sql(),
         }
     )

@@ -17,6 +17,10 @@ changing clients:
                      terms of linking pages over the pinned demo graph;
                      same distinct-term-count scoring as the reference)
 - `/get_pagerank`  → fixed-iteration PageRank lookups (POST json ids)
+- `/search_phrase` → exact-phrase top-k (extension beyond the
+                     reference's bag-of-words surface): index-backed
+                     from the positional-postings artifact when
+                     present, else the pure-codegen recompute
 - `/get_pageview`  → isin-filter lookups over a (doc_id, views) parquet
                      artifact; by default the deterministic synthetic
                      table (engine/pageviews.py — the reference loads a
@@ -134,6 +138,26 @@ class SearchService:
             anchor_match_topk(self.spark, self.corpus, query, k), "n_hits"
         )
 
+    def search_phrase(self, phrase: str, k: int = 20) -> list[tuple]:
+        """Exact-phrase top-k (beyond the reference's bag-of-words
+        surface): index-backed from the positional-postings artifact
+        when the bound index carries it (build_index
+        with_positions=True), else the pure-codegen corpus recompute
+        (engine/phrase.phrase_topk) — both rank-identical,
+        parity-tested."""
+        if self.reader is not None and (
+            self.reader.manifest["stages"].get("positions") == "done"
+        ):
+            return self._with_meta(self.reader.phrase_topk(phrase, k), "n_occ")
+        from .phrase import phrase_topk
+
+        return self._with_meta(
+            phrase_topk(
+                self.spark, self.corpus.select("doc_id", "content"), phrase, k
+            ),
+            "n_occ",
+        )
+
     def get_pagerank(self, doc_ids: list[int]) -> list[float]:
         """PageRank lookups served from a parquet table by isin-filter
         (parquet row-group pruning on doc_id) — the scale-safe analog of
@@ -208,6 +232,10 @@ def create_app(service: SearchService):
     @app.route("/search_anchor")
     def search_anchor():
         return jsonify(service.search_anchor(_query()))
+
+    @app.route("/search_phrase")
+    def search_phrase():
+        return jsonify(service.search_phrase(_query()))
 
     @app.route("/get_pagerank", methods=["POST"])
     def get_pagerank():

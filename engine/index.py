@@ -89,6 +89,7 @@ def build_index(
     n_chunks: int = 4,
     block_docs: int = BLOCK_DOCS,
     resume: bool = True,
+    with_positions: bool = False,
 ) -> "IndexReader":
     """Build (or resume building) the index for a corpus that already
     carries ``doc_id`` and ``content_sha256`` (engine.io.with_identity)."""
@@ -448,6 +449,19 @@ def build_index(
         man["stage_times"]["anchor_terms"] = round(time.perf_counter() - t0, 2)
         _write_manifest(out_dir, man)
 
+    # ---- stage 7 (optional): positional postings (phrase serving) ------
+    # Gated OUTSIDE the complete flag so an existing complete index can
+    # be upgraded in place: re-invoking with with_positions=True runs
+    # only this stage (resume semantics identical to stages 1-6).
+    if with_positions and man["stages"].get("positions") != "done":
+        t0 = time.perf_counter()
+        from .positions import write_positions
+
+        write_positions(spark, corpus, out_dir, n_shards=n_shards)
+        man["stages"]["positions"] = "done"
+        man["stage_times"]["positions"] = round(time.perf_counter() - t0, 2)
+        _write_manifest(out_dir, man)
+
     if man["stages"].get("complete") != "done":
         man["stages"]["complete"] = "done"
         _write_manifest(out_dir, man)
@@ -531,6 +545,27 @@ class IndexReader:
 
     def anchor_terms(self) -> DataFrame:
         return self.spark.read.parquet(os.path.join(self.dir, "anchor_terms"))
+
+    def positions(self) -> DataFrame:
+        p = os.path.join(self.dir, "positions")
+        # manifest flag, not _SUCCESS: partitionBy writes under dynamic
+        # partitionOverwriteMode don't emit a top-level _SUCCESS marker
+        if self.manifest["stages"].get("positions") != "done":
+            raise FileNotFoundError(
+                f"no positions artifact at {p} — build with "
+                "build_index(..., with_positions=True) or call "
+                "engine.positions.write_positions on this index dir"
+            )
+        return self.spark.read.parquet(p)
+
+    def phrase_topk(self, phrase: str, k: int = 10) -> DataFrame:
+        """Index-backed exact phrase search (P7/Q7): decode position
+        blocks for the phrase's terms only and intersect offsets —
+        rank-identical to engine/phrase.phrase_topk (parity-tested;
+        DuckDB mirror phrase_topk_sql is the oracle)."""
+        from .positions import phrase_topk_from_positions
+
+        return phrase_topk_from_positions(self.spark, self.positions(), phrase, k)
 
     def anchor_topk(self, query: str, k: int = 100) -> DataFrame:
         """Index-backed `/search_anchor`: distinct-query-term count over

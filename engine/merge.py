@@ -8,7 +8,9 @@ merge it into the big one — no full rebuild.
 
 Correctness contract (pinned, tested in tests/test_merge.py):
 ``merge_indexes(build(A), build(B)) == build(A ∪ B)`` — posting blocks
-BYTE-IDENTICAL, dictionary/doc_stats/doc_norms/title_terms value-equal.
+BYTE-IDENTICAL (positions blocks too, when both sides carry the
+optional stage-7 artifact), dictionary/doc_stats/doc_norms/title_terms
+value-equal.
 This holds because:
 
 - both sides use the same doc-hash sharding, so a (shard, term) group's
@@ -263,6 +265,40 @@ def merge_indexes(
         )
         man["stages"]["title_terms"] = "done"
         man["stage_times"]["title_terms"] = round(time.perf_counter() - t0, 2)
+        _write_manifest(out_dir, man)
+
+    # ---- positions (optional stage-7 artifact): decode → re-encode -----
+    # Same byte-identity contract as postings: both sides shard by the
+    # same doc-hash, so a (shard, term) group's merged (doc, pos)
+    # multiset equals the union build's, and _encode_group's
+    # sort-then-block is a pure function of that multiset. Merged only
+    # when BOTH sides carry the artifact (it is optional per index).
+    if (
+        a.manifest["stages"].get("positions") == "done"
+        and b.manifest["stages"].get("positions") == "done"
+        and man["stages"].get("positions") != "done"
+    ):
+        t0 = time.perf_counter()
+        from .positions import POS_COLUMNS, POS_SCHEMA, _decode_blocks, _encode_group
+
+        both_pos = a.positions().unionByName(b.positions())
+
+        def _pos_merge_kernel(key, pdf: pd.DataFrame) -> pd.DataFrame:
+            d, p = _decode_blocks(pdf)
+            rows = _encode_group(int(key[0]), str(key[1]), d, p)
+            return pd.DataFrame(rows, columns=POS_COLUMNS)
+
+        merged_pos = both_pos.groupBy("shard", "term").applyInPandas(
+            _pos_merge_kernel, POS_SCHEMA
+        )
+        (
+            merged_pos.write.mode("overwrite")
+            .option("compression", "zstd")
+            .partitionBy("shard")
+            .parquet(os.path.join(out_dir, "positions"))
+        )
+        man["stages"]["positions"] = "done"
+        man["stage_times"]["positions"] = round(time.perf_counter() - t0, 2)
         _write_manifest(out_dir, man)
 
     # ---- anchor_terms: RECOMPUTED — graph ranks follow global order ----

@@ -91,3 +91,32 @@ def test_empty_query_routes_do_not_throw(client):
     for route in ("/search", "/search_body", "/search_title"):
         r = client.get(route, query_string={"query": "the of and"})
         assert r.status_code == 200 and r.get_json() == [], route
+
+
+def test_search_phrase_route_both_paths(client, service, spark, tiny_corpus):
+    """/search_phrase serves from the positions artifact once the index
+    is upgraded in place, and from the recompute path otherwise — same
+    ranking either way."""
+    from engine.index import build_index
+
+    # recompute path (index built without positions)
+    r = client.get("/search_phrase", query_string={"query": "inverted index"})
+    assert r.status_code == 200
+    recompute = r.get_json()
+    # upgrade the bound index with stage 7, rebind the reader
+    build_index(
+        spark, tiny_corpus, service.reader.dir, use_stem=True, n_shards=4,
+        n_chunks=2, with_positions=True,
+    )
+    from engine.index import IndexReader
+
+    service.reader = IndexReader(spark, service.reader.dir)
+    r = client.get("/search_phrase", query_string={"query": "inverted index"})
+    assert r.status_code == 200
+    indexed = r.get_json()
+    assert indexed == recompute
+    occs = [row[2] for row in indexed]
+    assert occs == sorted(occs, reverse=True)
+    # all-stopword phrase → empty, no throw
+    r = client.get("/search_phrase", query_string={"query": "the of and"})
+    assert r.status_code == 200 and r.get_json() == []

@@ -18,7 +18,7 @@ def split_dirs(spark, tiny_corpus, tmp_path_factory):
     db = str(tmp_path_factory.mktemp("idx_b"))
     dfull = str(tmp_path_factory.mktemp("idx_full"))
     dm = str(tmp_path_factory.mktemp("idx_merged"))
-    kw = dict(use_stem=True, n_shards=4, n_chunks=2)
+    kw = dict(use_stem=True, n_shards=4, n_chunks=2, with_positions=True)
     build_index(spark, half_a, da, **kw)
     build_index(spark, half_b, db, **kw)
     build_index(spark, tiny_corpus, dfull, **kw)
@@ -106,3 +106,26 @@ def test_merge_norms_join_fallback(spark, split_dirs, tmp_path_factory,
     assert set(fn) == set(mn)
     for d in fn:
         assert abs(fn[d] - mn[d]) <= 1e-9
+
+
+def test_merged_positions_byte_identical_and_phrase_serves(spark, split_dirs):
+    """The optional stage-7 positions artifact obeys the same contract:
+    merge(build(A), build(B)) blocks are byte-identical to the full
+    build's, and index-backed phrase search over the merged index is
+    identical to the full index's."""
+    dfull, dm = split_dirs[:2]
+    full, merged = IndexReader(spark, dfull), IndexReader(spark, dm)
+
+    def pos_set(r):
+        return {
+            (row["shard"], row["term"], row["block_id"], row["n_docs"],
+             row["first_doc_id"], row["last_doc_id"],
+             bytes(row["doc_ids_blob"]), bytes(row["counts_blob"]),
+             bytes(row["pos_blob"]))
+            for row in r.positions().collect()
+        }
+
+    assert pos_set(full) == pos_set(merged)
+    f = [tuple(r) for r in full.phrase_topk("inverted index", 10).collect()]
+    m = [tuple(r) for r in merged.phrase_topk("inverted index", 10).collect()]
+    assert f == m

@@ -361,3 +361,139 @@ def test_phrase_plan_is_shuffle_free_scan(spark):
     body = plan.split("TakeOrderedAndProject")[-1]
     assert "Exchange" not in body, plan
     assert "TakeOrderedAndProject" in plan, plan
+
+
+# --------------------------------------- positional-postings artifact
+
+@pytest.fixture(scope="module")
+def pos_dir(spark, tmp_path_factory):
+    from engine.positions import write_positions
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", F.col("text").alias("content")
+    )
+    d = str(tmp_path_factory.mktemp("posidx"))
+    write_positions(spark, docs, d, n_shards=4)
+    return d
+
+
+def test_positions_roundtrip_exact(spark, pos_dir):
+    """Decoding every block reproduces the recomputed positional
+    stream bit-for-bit (delta+varint round-trip across doc/block
+    boundaries)."""
+    import numpy as np
+    from engine.phrase import term_positions
+    from engine.positions import _decode_blocks
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", F.col("text").alias("content")
+    )
+    want = (
+        term_positions(docs)
+        .toPandas()
+        .sort_values(["term", "doc_id", "pos"], ignore_index=True)
+    )
+    pdf = spark.read.parquet(pos_dir + "/positions").toPandas()
+    rows = []
+    for term, grp in pdf.groupby("term"):
+        d, p = _decode_blocks(grp)
+        rows.append(pd.DataFrame({"doc_id": d, "term": str(term), "pos": p}))
+    got = (
+        pd.concat(rows, ignore_index=True)
+        .sort_values(["term", "doc_id", "pos"], ignore_index=True)
+    )
+    assert got[["doc_id", "term", "pos"]].astype("int64", errors="ignore").equals(
+        want[["doc_id", "term", "pos"]]
+    ) or (
+        (got["doc_id"].to_numpy() == want["doc_id"].to_numpy()).all()
+        and (got["term"].to_numpy() == want["term"].to_numpy()).all()
+        and (got["pos"].to_numpy() == want["pos"].to_numpy()).all()
+    )
+
+
+def test_phrase_from_positions_matches_recompute(spark, pos_dir):
+    """Index-backed phrase == recompute phrase for 2/3-gram,
+    single-term, repeated-term, and all-stopword phrases."""
+    from engine.phrase import phrase_topk
+    from engine.positions import phrase_topk_from_positions
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", F.col("text").alias("content")
+    )
+    pos = spark.read.parquet(pos_dir + "/positions")
+    for phrase in ("table scan", "fast table scan", "customer",
+                   "scan scan", "the a of", "zzznotaterm scan"):
+        a = [tuple(r) for r in phrase_topk(spark, docs, phrase, 20).collect()]
+        b = [tuple(r) for r in
+             phrase_topk_from_positions(spark, pos, phrase, 20).collect()]
+        assert a == b, phrase
+
+
+def test_positions_build_single_exchange(spark):
+    """The build plan must shuffle the COMPACT corpus rows once; the
+    exploded position stream reuses that partitioning for the
+    groupBy(shard, term) kernel (HashPartitioning(shard) satisfies
+    ClusteredDistribution(shard, term)) — no second exchange."""
+    import re
+    from engine.positions import POS_SCHEMA, _encode_group
+    from engine.textops import tokens_filtered_col
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", F.col("text").alias("content")
+    )
+    sharded = docs.select(
+        "doc_id", "content",
+        F.pmod(F.xxhash64("doc_id"), F.lit(4)).cast("int").alias("shard"),
+    ).repartition(4, "shard")
+    stream = sharded.select(
+        "shard", "doc_id",
+        F.posexplode(tokens_filtered_col(F.col("content"))).alias("pos", "term"),
+    )
+
+    def kernel(key, pdf):
+        return pd.DataFrame([], columns=[f.split()[0] for f in POS_SCHEMA.split(", ")])
+
+    blocks = stream.groupBy("shard", "term").applyInPandas(kernel, POS_SCHEMA)
+    plan = blocks._jdf.queryExecution().executedPlan().toString()
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1, plan
+
+
+def test_phrase_query_term_pushdown(spark, pos_dir):
+    """The term-membership predicate must reach the positions parquet
+    scan (J2 pushdown discipline): only the phrase's terms are read."""
+    from engine.positions import phrase_topk_from_positions
+
+    pos = spark.read.parquet(pos_dir + "/positions")
+    df = phrase_topk_from_positions(spark, pos, "table scan", 10)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "In(term" in plan, plan
+
+
+def test_index_reader_phrase_topk_via_stage7(spark, tmp_path):
+    """build_index(with_positions=True) upgrades an EXISTING complete
+    index in place (resume semantics) and IndexReader.phrase_topk
+    serves from it."""
+    from engine.index import build_index
+    from engine.io import with_identity
+    from engine.phrase import phrase_topk
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+        F.lit("r").alias("repo"),
+        F.col("doc_id").cast("string").alias("path"),
+        F.lit("c").alias("commit"),
+        F.lit("py").alias("lang"),
+        F.col("text").alias("content"),
+    )
+    corpus = with_identity(docs)
+    d = str(tmp_path / "idx")
+    r = build_index(spark, corpus, d, use_stem=False, n_shards=4, n_chunks=1)
+    with pytest.raises(FileNotFoundError):
+        r.positions()
+    # second invocation: only stage 7 runs (manifest short-circuit)
+    r2 = build_index(spark, corpus, d, use_stem=False, n_shards=4, n_chunks=1,
+                     with_positions=True)
+    got = [tuple(x) for x in r2.phrase_topk("table scan", 10).collect()]
+    want = [tuple(x) for x in
+            phrase_topk(spark, corpus.select("doc_id", "content"),
+                        "table scan", 10).collect()]
+    assert got == want and len(got) > 0
