@@ -118,6 +118,9 @@ def main() -> None:
         t = time.perf_counter()
         reader.phrase_topk("table scan", 20).collect()
         timings["phrase_indexed"] = time.perf_counter() - t
+        t = time.perf_counter()
+        reader.proximity_topk("table scan fast", 20).collect()
+        timings["proximity_indexed"] = time.perf_counter() - t
 
         # IVF: build-time cell partitioning, then the pruned probe
         from engine.sim import build_ivf, ivf_topk_indexed, load_embeddings, query_vector
@@ -148,6 +151,7 @@ def main() -> None:
             "fusion_topk",
             "pagerank",
             "phrase_topk",
+            "proximity_topk",
         ):
             t = time.perf_counter()
             dq.spark_queries()[name](spark, sf_dir).count()

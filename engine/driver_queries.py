@@ -283,6 +283,19 @@ def _q_phrase_indexed(spark, sf_dir):
     )
 
 
+def _q_proximity(spark, sf_dir):
+    from .phrase import proximity_topk
+
+    return proximity_topk(spark, _docs(spark, sf_dir), FIXED_QUERIES["q_multi"], 20)
+
+
+def _q_proximity_indexed(spark, sf_dir):
+    # min-span proximity served from the positional-postings artifact
+    return _index_reader(spark, sf_dir, with_positions=True).proximity_topk(
+        FIXED_QUERIES["q_multi"], 20
+    )
+
+
 def _q_pageviews(spark, sf_dir):
     # deterministic synthetic pageview signal (engine/pageviews.py) —
     # the reference's pickled-Counter data source, hash-checkable
@@ -578,6 +591,8 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phrase_topk": _q_phrase,
         "phrase_topk_3gram": _q_phrase_3gram,
         "phrase_topk_indexed": _q_phrase_indexed,
+        "proximity_topk": _q_proximity,
+        "proximity_topk_indexed": _q_proximity_indexed,
         "pagerank": _q_pagerank,
     }
     for name, text in FIXED_QUERIES.items():
@@ -681,7 +696,7 @@ def oracle_sqls() -> dict[str, str]:
         }
     )
     from .pageviews import pageviews_sql
-    from .phrase import phrase_topk_sql, term_positions_sql
+    from .phrase import phrase_topk_sql, proximity_topk_sql, term_positions_sql
     from .ranking import (
         anchor_match_sql,
         fusion_pr_sql,
@@ -705,6 +720,10 @@ def oracle_sqls() -> dict[str, str]:
             "phrase_topk": phrase_topk_sql("table scan", 20),
             "phrase_topk_3gram": phrase_topk_sql("fast table scan", 20),
             "phrase_topk_indexed": phrase_topk_sql("table scan", 20),
+            "proximity_topk": proximity_topk_sql(FIXED_QUERIES["q_multi"], 20),
+            "proximity_topk_indexed": proximity_topk_sql(
+                FIXED_QUERIES["q_multi"], 20
+            ),
             "pagerank": pagerank_sql(),
         }
     )

@@ -567,6 +567,16 @@ class IndexReader:
 
         return phrase_topk_from_positions(self.spark, self.positions(), phrase, k)
 
+    def proximity_topk(self, query: str, k: int = 10) -> DataFrame:
+        """Index-backed min-span proximity search: decode position
+        blocks for the query's terms only and sweep for the smallest
+        covering window per doc — rank-identical to
+        engine/phrase.proximity_topk (DuckDB mirror proximity_topk_sql
+        is the oracle)."""
+        from .positions import proximity_topk_from_positions
+
+        return proximity_topk_from_positions(self.spark, self.positions(), query, k)
+
     def anchor_topk(self, query: str, k: int = 100) -> DataFrame:
         """Index-backed `/search_anchor`: distinct-query-term count over
         the build-time anchor-terms table (inbound-link anchor text).

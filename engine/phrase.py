@@ -31,7 +31,7 @@ run; the query path above doesn't need it.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .textops import tokens_filtered_col
@@ -108,6 +108,61 @@ def phrase_topk(
     return _ranked(occ, "n_occ", k)
 
 
+# ----------------------------------------------- proximity (min-span)
+
+def proximity_topk(
+    spark: SparkSession, corpus: DataFrame, query: str, k: int = 10
+) -> DataFrame:
+    """(rank, doc_id, min_span) — docs containing ALL distinct query
+    terms, ranked by the length of the smallest token window covering
+    them (asc; ties broken asc doc_id). Same pinned token semantics as
+    phrase search: 0-based offsets in the ordered, stopword-filtered,
+    UNSTEMMED stream; query terms are deduped (a single-term query
+    scores every containing doc min_span = 1).
+
+    Algorithm (the classic last-occurrence sweep, fully relational):
+    over the per-doc position stream of ONLY the query's m terms,
+    a running ``max(pos) filter term = t_j`` window per term gives, at
+    every event position p, the latest occurrence of each term ≤ p;
+    where all m are present, ``p - least(last_0..last_{m-1}) + 1`` is
+    the minimal window ENDING at p, and the per-doc min over p is the
+    global minimum span.
+
+    Scale shape: the isin filter prunes the exploded stream to query-
+    term events BEFORE the only shuffle (window partitionBy doc_id);
+    the groupBy(doc_id) agg reuses that hash partitioning, so the whole
+    query is scan → tiny-event shuffle → window+agg → top-k
+    (plan-tested: exactly one exchange before the final ordering)."""
+    from .ranking import _ranked_asc
+
+    terms = sorted(set(tokenize(query, use_stem=False)))
+    if not terms:
+        return spark.createDataFrame([], "rank int, doc_id long, min_span long")
+    ev = term_positions(corpus).where(F.col("term").isin(terms))
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    lasts = [
+        F.max(F.when(F.col("term") == t, F.col("pos"))).over(w).alias(f"_l{j}")
+        for j, t in enumerate(terms)
+    ]
+    run = ev.select("doc_id", "pos", *lasts)
+    last_cols = [F.col(f"_l{j}") for j in range(len(terms))]
+    least = last_cols[0] if len(terms) == 1 else F.least(*last_cols)
+    valid = last_cols[0].isNotNull()
+    for c in last_cols[1:]:
+        valid = valid & c.isNotNull()
+    spans = run.where(valid).select(
+        "doc_id", (F.col("pos") - least + F.lit(1)).alias("span")
+    )
+    agg = spans.groupBy("doc_id").agg(
+        F.min("span").cast("long").alias("min_span")
+    )
+    return _ranked_asc(agg, "min_span", k)
+
+
 # ------------------------------------------------------------------ SQL
 # DuckDB mirrors over the `documents` view (doc_id, text, ...).
 
@@ -133,6 +188,50 @@ FROM tokd
 
 def _phrase_list_sql(terms: list[str]) -> str:
     return "[" + ", ".join("'" + t.replace("'", "''") + "'" for t in terms) + "]"
+
+
+def proximity_topk_sql(query: str, k: int = 10) -> str:
+    """DuckDB mirror of proximity_topk — same last-occurrence sweep via
+    window functions over the unnested token stream."""
+    terms = sorted(set(tokenize(query, use_stem=False)))
+    if not terms:
+        return (
+            "SELECT 0::INTEGER AS rank, 0::BIGINT AS doc_id, "
+            "0::BIGINT AS min_span WHERE false"
+        )
+    quoted = [t.replace("'", "''") for t in terms]
+    in_list = ", ".join(f"'{t}'" for t in quoted)
+    lasts = ",\n         ".join(
+        f"max(CASE WHEN term = '{t}' THEN pos END) OVER w AS l{j}"
+        for j, t in enumerate(quoted)
+    )
+    lcols = [f"l{j}" for j in range(len(terms))]
+    least = lcols[0] if len(terms) == 1 else f"least({', '.join(lcols)})"
+    notnull = " AND ".join(f"{c} IS NOT NULL" for c in lcols)
+    return f"""
+WITH {_tokd_cte()},
+ev AS (
+  SELECT doc_id, term, pos FROM (
+    SELECT doc_id, unnest(toks) AS term,
+           (generate_subscripts(toks, 1) - 1)::BIGINT AS pos
+    FROM tokd
+  ) WHERE term IN ({in_list})
+),
+run AS (
+  SELECT doc_id, pos,
+         {lasts}
+  FROM ev
+  WINDOW w AS (PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+agg AS (
+  SELECT doc_id, min(pos - {least} + 1)::BIGINT AS min_span
+  FROM run WHERE {notnull} GROUP BY doc_id
+)
+SELECT row_number() OVER (ORDER BY min_span ASC, doc_id ASC)::INTEGER AS rank,
+       doc_id, min_span
+FROM agg ORDER BY min_span ASC, doc_id ASC LIMIT {k}
+"""
 
 
 def phrase_topk_sql(phrase: str, k: int = 10) -> str:

@@ -181,6 +181,86 @@ def _phrase_kernel(terms: list[str]):
     return kernel
 
 
+def _proximity_kernel(terms: list[str]):
+    """Per-shard min-span sweep over decoded position streams.
+
+    Vectorized last-occurrence sweep: all events of the m query terms
+    (restricted to docs containing ALL of them) are sorted by
+    (doc, pos); for each term j a ``maximum.accumulate`` over
+    ``(doc_idx << 32) | pos`` keys (−1 where the event is another term)
+    yields term j's latest occurrence at or before every event, with
+    the high bits guarding against bleed-over from the previous doc.
+    The minimal window ending at each event is ``pos − min_j(last_j) +
+    1``; a ``minimum.reduceat`` at doc boundaries takes the per-doc
+    min. O(E log E) for E = query-term occurrences in the shard — no
+    per-doc Python loop."""
+    m = len(terms)
+    empty = pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                          "min_span": pd.Series(dtype="int64")})
+
+    def kernel(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        per: dict[str, tuple[np.ndarray, np.ndarray]] = {}
+        for term, grp in pdf.groupby("term"):
+            per[str(term)] = _decode_blocks(grp)
+        if any(t not in per for t in terms):
+            return empty
+        common = np.unique(per[terms[0]][0])
+        for t in terms[1:]:
+            common = np.intersect1d(common, np.unique(per[t][0]),
+                                    assume_unique=True)
+            if common.size == 0:
+                return empty
+        didx_parts, pos_parts, tid_parts = [], [], []
+        for j, t in enumerate(terms):
+            d, p = per[t]
+            sel = np.isin(d, common)
+            didx_parts.append(np.searchsorted(common, d[sel]))
+            pos_parts.append(p[sel])
+            tid_parts.append(np.full(int(sel.sum()), j, dtype=np.int64))
+        didx = np.concatenate(didx_parts)
+        pos = np.concatenate(pos_parts)
+        tid = np.concatenate(tid_parts)
+        order = np.lexsort((pos, didx))
+        didx, pos, tid = didx[order], pos[order], tid[order]
+        key64 = (didx << np.int64(32)) | pos
+        min_last = np.full(didx.size, np.int64(2**62), dtype=np.int64)
+        valid = np.ones(didx.size, dtype=bool)
+        for j in range(m):
+            run = np.maximum.accumulate(np.where(tid == j, key64, np.int64(-1)))
+            ok = (run >= 0) & ((run >> np.int64(32)) == didx)
+            valid &= ok
+            lastp = run & np.int64(0xFFFFFFFF)
+            min_last = np.where(ok, np.minimum(min_last, lastp), min_last)
+        span = np.where(valid, pos - min_last + 1, np.int64(2**62))
+        starts = np.searchsorted(didx, np.arange(common.size))
+        min_span = np.minimum.reduceat(span, starts)
+        # every common doc has ≥1 valid window (the event completing
+        # its first full cover), so no sentinel survives the reduceat
+        return pd.DataFrame({"doc_id": common, "min_span": min_span})
+
+    return kernel
+
+
+def proximity_topk_from_positions(
+    spark: SparkSession, positions: DataFrame, query: str, k: int = 10
+) -> DataFrame:
+    """(rank, doc_id, min_span) — min-span proximity top-k served from
+    the positions artifact; rank-identical to
+    engine/phrase.proximity_topk (DuckDB mirror proximity_topk_sql is
+    the oracle). Decodes position blocks for ONLY the query's terms
+    (isin pushdown, same J2 shape as phrase serving)."""
+    from .ranking import _ranked_asc
+
+    terms = sorted(set(tokenize(query, use_stem=False)))
+    if not terms:
+        return spark.createDataFrame([], "rank int, doc_id long, min_span long")
+    blocks = positions.where(F.col("term").isin(terms))
+    spans = blocks.groupBy("shard").applyInPandas(
+        _proximity_kernel(terms), "doc_id long, min_span long"
+    )
+    return _ranked_asc(spans, "min_span", k)
+
+
 def phrase_topk_from_positions(
     spark: SparkSession, positions: DataFrame, phrase: str, k: int = 10
 ) -> DataFrame:

@@ -70,6 +70,16 @@ def _ranked(df: DataFrame, score: str, k: int) -> DataFrame:
     )
 
 
+def _ranked_asc(df: DataFrame, score: str, k: int) -> DataFrame:
+    """asc-score / asc-doc_id top-k (smaller is better — e.g. proximity
+    min-span); same limit-before-window discipline as _ranked."""
+    topk = df.orderBy(F.asc(score), F.asc("doc_id")).limit(k)
+    w = Window.orderBy(F.asc(score), F.asc("doc_id"))
+    return topk.withColumn("rank", F.row_number().over(w)).select(
+        "rank", "doc_id", score
+    )
+
+
 # ------------------------------------------------- tf-idf cosine (Q3)
 
 def tfidf_cosine_topk(

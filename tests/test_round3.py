@@ -497,3 +497,105 @@ def test_index_reader_phrase_topk_via_stage7(spark, tmp_path):
             phrase_topk(spark, corpus.select("doc_id", "content"),
                         "table scan", 10).collect()]
     assert got == want and len(got) > 0
+
+
+# ------------------------------------------------- proximity (min-span)
+
+def test_proximity_brute_force_tiny(spark):
+    """Spark recompute == O(n²) brute force on hand-built docs covering
+    adjacency, repeats, stopword elision, missing terms, and the
+    multi-occurrence 'later window is tighter' case."""
+    from engine.phrase import proximity_topk
+    from engine.tokenizer import tokenize
+
+    docs = [
+        (1, "alpha beta gamma delta scan table"),
+        (2, "table one1 two2 three3 scan"),
+        (3, "scan scan table scan"),
+        (4, "table only here no match"),
+        (5, "the scan of the table"),
+        (6, "scan table"),
+        (7, "nothing relevant at all"),
+        (8, "table xx0 xx1 xx2 xx3 xx4 xx5 scan xx6 table"),
+    ]
+    corpus = spark.createDataFrame(docs, "doc_id long, content string")
+    terms = sorted(set(tokenize("table scan", use_stem=False)))
+
+    def brute(text):
+        toks = tokenize(text, use_stem=False)
+        best = None
+        for i in range(len(toks)):
+            for j in range(i, len(toks)):
+                if all(t in toks[i : j + 1] for t in terms):
+                    s = j - i + 1
+                    best = s if best is None else min(best, s)
+                    break
+        return best
+
+    want = sorted(
+        ((d, brute(t)) for d, t in docs if brute(t) is not None),
+        key=lambda x: (x[1], x[0]),
+    )
+    got = [
+        (r.doc_id, r.min_span)
+        for r in proximity_topk(spark, corpus, "table scan", 20).collect()
+    ]
+    assert got == want
+
+
+def test_proximity_matches_duckdb_at_sf001(spark):
+    import duckdb as dk
+
+    from engine.phrase import proximity_topk, proximity_topk_sql
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", F.col("text").alias("content")
+    )
+    con = dk.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{SF}/documents.parquet'"
+    )
+    for q in ("table scan", "query join window group", "customer"):
+        got = [tuple(r) for r in proximity_topk(spark, docs, q, 20).collect()]
+        want = [tuple(r) for r in con.execute(proximity_topk_sql(q, 20)).fetchall()]
+        assert got == want and len(got) > 0, q
+
+
+def test_proximity_from_positions_matches_recompute(spark, pos_dir):
+    """Index-backed min-span == recompute for multi-term, single-term,
+    repeated-term, all-stopword, and missing-term queries."""
+    from engine.phrase import proximity_topk
+    from engine.positions import proximity_topk_from_positions
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", F.col("text").alias("content")
+    )
+    pos = spark.read.parquet(pos_dir + "/positions")
+    for q in ("table scan", "query join window group", "customer",
+              "scan scan", "the a of", "zzznotaterm scan"):
+        a = [tuple(r) for r in proximity_topk(spark, docs, q, 20).collect()]
+        b = [tuple(r) for r in
+             proximity_topk_from_positions(spark, pos, q, 20).collect()]
+        assert a == b, q
+
+
+def test_proximity_plan_one_exchange(spark):
+    """Scale contract: the isin filter prunes events BEFORE the single
+    hash exchange; the groupBy(doc_id) agg reuses the window's
+    partitioning (no second exchange) and top-k is
+    TakeOrderedAndProject."""
+    import re
+
+    from engine.phrase import proximity_topk
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", F.col("text").alias("content")
+    )
+    plan = (
+        proximity_topk(spark, docs, "table scan fast", 20)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1
+    assert "TakeOrderedAndProject" in plan
+    # the event filter sits under the exchange (prunes pre-shuffle)
+    assert re.search(r"Filter term#\d+ IN", plan)
