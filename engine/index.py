@@ -889,18 +889,40 @@ class IndexReader:
         """(doc_id, score) for EVERY doc matching ≥1 query term — the
         exhaustive union scoring over the index (no top-k cut, no
         pruning). Feeds fusion's max-normalization, which needs the full
-        score distribution, not just the top-k."""
+        score distribution, not just the top-k.
+
+        Like bm25_topk, the idf lookup rides inside the scoring job as
+        a broadcast join of the isin-pruned dictionary onto the blocks
+        (VERDICT r2 #8) — no query_weights() collect round-trip, so a
+        fusion query launches no extra driver job per signal."""
         import pandas as pd
 
-        weights = self.query_weights(query)
+        from collections import Counter
+
+        qtf = Counter(tokenize(query, use_stem=self.use_stem))
         avgdl = self.manifest["stats"]["avgdl"]
-        if not weights:
+        if not qtf:
             return self.spark.createDataFrame([], "doc_id long, score double")
-        blocks = self.postings().where(F.col("term").isin(list(weights)))
+        n = self.manifest["stats"]["n_docs"]
+        qtf_map = {t: float(c) for t, c in qtf.items()}
+        dic = (
+            self.dictionary()
+            .where(F.col("term").isin(list(qtf)))
+            .select(
+                "term",
+                idf_col(F.col("df").cast("double"), F.lit(float(n))).alias("idf"),
+            )
+        )
+        blocks = self.postings().where(F.col("term").isin(list(qtf))).join(
+            F.broadcast(dic), "term"
+        )
 
         def shard_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
             from .wand import topk_shard
 
+            weights = {
+                t: qtf_map[t] * v for t, v in zip(pdf["term"], pdf["idf"])
+            }
             # k = "everything": theta never becomes finite, so the OR
             # phase runs to completion and no accumulator doc is cut
             ids, sc = topk_shard(pdf, weights, avgdl, 1 << 31, prune=False)
