@@ -21,6 +21,9 @@ changing clients:
                      reference's bag-of-words surface): index-backed
                      from the positional-postings artifact when
                      present, else the pure-codegen recompute
+- `/search_proximity` → min-span proximity top-k (smallest token
+                     window covering all query terms); same
+                     index-backed/recompute fallback as /search_phrase
 - `/get_pageview`  → isin-filter lookups over a (doc_id, views) parquet
                      artifact; by default the deterministic synthetic
                      table (engine/pageviews.py — the reference loads a
@@ -158,6 +161,27 @@ class SearchService:
             "n_occ",
         )
 
+    def search_proximity(self, query: str, k: int = 20) -> list[tuple]:
+        """Min-span proximity top-k (smallest token window covering all
+        distinct query terms): index-backed from the positions artifact
+        when present, else the relational recompute
+        (engine/phrase.proximity_topk) — rank-identical,
+        parity-tested."""
+        if self.reader is not None and (
+            self.reader.manifest["stages"].get("positions") == "done"
+        ):
+            return self._with_meta(
+                self.reader.proximity_topk(query, k), "min_span"
+            )
+        from .phrase import proximity_topk
+
+        return self._with_meta(
+            proximity_topk(
+                self.spark, self.corpus.select("doc_id", "content"), query, k
+            ),
+            "min_span",
+        )
+
     def get_pagerank(self, doc_ids: list[int]) -> list[float]:
         """PageRank lookups served from a parquet table by isin-filter
         (parquet row-group pruning on doc_id) — the scale-safe analog of
@@ -236,6 +260,10 @@ def create_app(service: SearchService):
     @app.route("/search_phrase")
     def search_phrase():
         return jsonify(service.search_phrase(_query()))
+
+    @app.route("/search_proximity")
+    def search_proximity():
+        return jsonify(service.search_proximity(_query()))
 
     @app.route("/get_pagerank", methods=["POST"])
     def get_pagerank():

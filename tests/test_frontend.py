@@ -120,3 +120,26 @@ def test_search_phrase_route_both_paths(client, service, spark, tiny_corpus):
     # all-stopword phrase → empty, no throw
     r = client.get("/search_phrase", query_string={"query": "the of and"})
     assert r.status_code == 200 and r.get_json() == []
+
+
+def test_search_proximity_route(client, service):
+    """/search_proximity returns (doc_id, title, min_span) ascending by
+    span, matches the recompute oracle on whichever path the bound
+    index currently serves, and handles degenerate queries."""
+    from engine.phrase import proximity_topk
+
+    q = "index merge"
+    r = client.get("/search_proximity", query_string={"query": q})
+    assert r.status_code == 200
+    body = r.get_json()
+    assert body, "fixture corpus should contain both terms somewhere"
+    spans = [row[2] for row in body]
+    assert spans == sorted(spans)
+    want = proximity_topk(
+        service.spark, service.corpus.select("doc_id", "content"), q, 20
+    ).collect()
+    assert [row[0] for row in body] == [x["doc_id"] for x in want]
+    # all-stopword and unknown-term queries → empty, no throw
+    for bad in ("the of and", "zzznotaterm qqqalsonot"):
+        r = client.get("/search_proximity", query_string={"query": bad})
+        assert r.status_code == 200 and r.get_json() == []
