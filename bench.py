@@ -121,6 +121,9 @@ def main() -> None:
         t = time.perf_counter()
         reader.proximity_topk("table scan fast", 20).collect()
         timings["proximity_indexed"] = time.perf_counter() - t
+        # (no boolean_indexed row here: this reader is stemmed and
+        # boolean semantics are pinned unstemmed — boolean_topk below
+        # times the recompute path; the indexed twin is driver-checked)
 
         # IVF: build-time cell partitioning, then the pruned probe
         from engine.sim import build_ivf, ivf_topk_indexed, load_embeddings, query_vector
@@ -152,6 +155,7 @@ def main() -> None:
             "pagerank",
             "phrase_topk",
             "proximity_topk",
+            "boolean_topk",
         ):
             t = time.perf_counter()
             dq.spark_queries()[name](spark, sf_dir).count()

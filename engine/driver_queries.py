@@ -296,6 +296,21 @@ def _q_proximity_indexed(spark, sf_dir):
     )
 
 
+# pinned boolean clauses for the driver entries: conjunction + optional
+# boosts + exclusion, all three clause kinds exercised at once
+BOOL_CLAUSES = {"must": "table scan", "should": "fast quick", "must_not": "customer"}
+
+
+def _q_boolean(spark, sf_dir):
+    from .boolean import boolean_topk
+
+    return boolean_topk(spark, _docs(spark, sf_dir), k=20, **BOOL_CLAUSES)
+
+
+def _q_boolean_indexed(spark, sf_dir):
+    return _index_reader(spark, sf_dir).boolean_topk(k=20, **BOOL_CLAUSES)
+
+
 def _q_pageviews(spark, sf_dir):
     # deterministic synthetic pageview signal (engine/pageviews.py) —
     # the reference's pickled-Counter data source, hash-checkable
@@ -593,6 +608,8 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phrase_topk_indexed": _q_phrase_indexed,
         "proximity_topk": _q_proximity,
         "proximity_topk_indexed": _q_proximity_indexed,
+        "boolean_topk": _q_boolean,
+        "boolean_topk_indexed": _q_boolean_indexed,
         "pagerank": _q_pagerank,
     }
     for name, text in FIXED_QUERIES.items():
@@ -695,6 +712,7 @@ def oracle_sqls() -> dict[str, str]:
             "media_frames": frames_sql(),
         }
     )
+    from .boolean import boolean_topk_sql
     from .pageviews import pageviews_sql
     from .phrase import phrase_topk_sql, proximity_topk_sql, term_positions_sql
     from .ranking import (
@@ -724,6 +742,8 @@ def oracle_sqls() -> dict[str, str]:
             "proximity_topk_indexed": proximity_topk_sql(
                 FIXED_QUERIES["q_multi"], 20
             ),
+            "boolean_topk": boolean_topk_sql(k=20, **BOOL_CLAUSES),
+            "boolean_topk_indexed": boolean_topk_sql(k=20, **BOOL_CLAUSES),
             "pagerank": pagerank_sql(),
         }
     )

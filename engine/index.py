@@ -577,6 +577,29 @@ class IndexReader:
 
         return proximity_topk_from_positions(self.spark, self.positions(), query, k)
 
+    def boolean_topk(
+        self,
+        must: str = "",
+        should: str = "",
+        must_not: str = "",
+        k: int = 10,
+    ) -> DataFrame:
+        """Index-backed boolean retrieval (must/should/must-not) over
+        the posting blocks' doc_id runs — rank-identical to
+        engine/boolean.boolean_topk (DuckDB mirror boolean_topk_sql is
+        the oracle). Boolean semantics are pinned to unstemmed terms,
+        so this requires an unstemmed index."""
+        if self.use_stem:
+            raise ValueError(
+                "boolean_topk is pinned to unstemmed terms; this index "
+                "was built with use_stem=True"
+            )
+        from .boolean import boolean_topk_from_postings
+
+        return boolean_topk_from_postings(
+            self.spark, self.postings(), must, should, must_not, k
+        )
+
     def anchor_topk(self, query: str, k: int = 100) -> DataFrame:
         """Index-backed `/search_anchor`: distinct-query-term count over
         the build-time anchor-terms table (inbound-link anchor text).

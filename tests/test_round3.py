@@ -599,3 +599,138 @@ def test_proximity_plan_one_exchange(spark):
     assert "TakeOrderedAndProject" in plan
     # the event filter sits under the exchange (prunes pre-shuffle)
     assert re.search(r"Filter term#\d+ IN", plan)
+
+
+# ------------------------------------------------- boolean retrieval
+
+def test_boolean_brute_force_tiny(spark):
+    """Spark recompute == Python brute force over hand-built docs for
+    every clause combination (must-only, should-only, exclusion,
+    overlap, degenerate)."""
+    from engine.boolean import boolean_topk
+    from engine.tokenizer import tokenize
+
+    docs = [
+        (1, "table scan fast"),            # must both + 1 should
+        (2, "table scan quick fast"),      # must both + 2 should
+        (3, "table scan customer"),        # excluded by must_not
+        (4, "table only no second term"),  # fails must
+        (5, "scan table"),                 # must both, no should
+        (6, "quick fast nothing else"),    # fails must
+    ]
+    corpus = spark.createDataFrame(docs, "doc_id long, content string")
+
+    def brute(must, should, must_not):
+        m = sorted(set(tokenize(must, use_stem=False)))
+        s = [t for t in sorted(set(tokenize(should, use_stem=False)))
+             if t not in m]
+        n = sorted(set(tokenize(must_not, use_stem=False)))
+        if not m and not s:
+            return []
+        out = []
+        for d, text in docs:
+            toks = set(tokenize(text, use_stem=False))
+            if m and not all(t in toks for t in m):
+                continue
+            if not m and not any(t in toks for t in s):
+                continue
+            if any(t in toks for t in n):
+                continue
+            out.append((d, sum(1 for t in m + s if t in toks)))
+        out.sort(key=lambda x: (-x[1], x[0]))
+        return out
+
+    cases = [
+        ("table scan", "fast quick", "customer"),
+        ("", "quick customer", ""),
+        ("table", "", "fast"),
+        ("", "", "table"),
+        ("the of", "", ""),
+    ]
+    for must, should, must_not in cases:
+        got = [
+            (r.doc_id, r.score)
+            for r in boolean_topk(
+                spark, corpus, must, should, must_not, 20
+            ).collect()
+        ]
+        assert got == brute(must, should, must_not), (must, should, must_not)
+
+
+def test_boolean_matches_duckdb_at_sf001(spark):
+    import duckdb as dk
+
+    from engine.boolean import boolean_topk, boolean_topk_sql
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", F.col("text").alias("content")
+    )
+    con = dk.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{SF}/documents.parquet'"
+    )
+    cases = [
+        dict(must="table scan", should="fast quick", must_not="customer"),
+        dict(must="", should="table scan window", must_not=""),
+        dict(must="query", should="", must_not="table"),
+    ]
+    for c in cases:
+        got = [tuple(r) for r in boolean_topk(spark, docs, k=20, **c).collect()]
+        want = [tuple(r) for r in
+                con.execute(boolean_topk_sql(k=20, **c)).fetchall()]
+        assert got == want and len(got) > 0, c
+
+
+def test_boolean_indexed_matches_recompute(spark, tmp_path_factory):
+    """Index-backed boolean == recompute on an unstemmed index; the
+    stemmed guard raises."""
+    from engine.boolean import boolean_topk
+    from engine.index import build_index
+    from engine.io import documents_as_corpus, with_identity
+
+    corpus = documents_as_corpus(spark, SF).withColumn(
+        "content_sha256", F.sha2(F.col("content"), 256)
+    )
+    d = str(tmp_path_factory.mktemp("bool_idx"))
+    r = build_index(spark, corpus, d, use_stem=False, n_shards=4, n_chunks=1)
+    docs = corpus.select("doc_id", "content")
+    cases = [
+        dict(must="table scan", should="fast quick", must_not="customer"),
+        dict(must="", should="table scan window", must_not=""),
+        dict(must="query", should="", must_not="table"),
+        dict(must="zzznope", should="", must_not=""),
+    ]
+    for c in cases:
+        a = [tuple(x) for x in boolean_topk(spark, docs, k=20, **c).collect()]
+        b = [tuple(x) for x in r.boolean_topk(k=20, **c).collect()]
+        assert a == b, c
+
+    d2 = str(tmp_path_factory.mktemp("bool_idx_stem"))
+    r2 = build_index(spark, corpus, d2, use_stem=True, n_shards=4, n_chunks=1)
+    with pytest.raises(ValueError):
+        r2.boolean_topk(must="table")
+
+
+def test_boolean_plan_scan_only(spark):
+    """Scale contract: a boolean query is a pure scan — zero exchanges
+    before TakeOrderedAndProject, and the tokenizer appears exactly
+    twice (Filter + Project, each binding the array once — NOT once per
+    clause term, the CollapseProject trap)."""
+    import re
+
+    from engine.boolean import boolean_topk
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", F.col("text").alias("content")
+    )
+    plan = (
+        boolean_topk(spark, docs, "table scan", "fast quick", "customer", 20)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan
+    assert "TakeOrderedAndProject" in plan
+    # Project + Filter (the FileScan line repeats the filter as pushed
+    # metadata, not an extra evaluation)
+    per_op = [len(re.findall(r"regexp_extract_all", ln))
+              for ln in plan.splitlines() if "FileScan" not in ln]
+    assert sum(per_op) == 2, plan
