@@ -24,6 +24,10 @@ changing clients:
 - `/search_proximity` → min-span proximity top-k (smallest token
                      window covering all query terms); same
                      index-backed/recompute fallback as /search_phrase
+- `/search_boolean` → must/should/must_not boolean retrieval
+                     (?must=...&should=...&must_not=...); index-backed
+                     posting-set algebra on unstemmed indexes, else
+                     the scan-only recompute
 - `/get_pageview`  → isin-filter lookups over a (doc_id, views) parquet
                      artifact; by default the deterministic synthetic
                      table (engine/pageviews.py — the reference loads a
@@ -206,6 +210,30 @@ class SearchService:
         got = {r["doc_id"]: float(r["pr"]) for r in rows}
         return [got.get(int(d), 0.0) for d in doc_ids]
 
+    def search_boolean(
+        self, must: str = "", should: str = "", must_not: str = "", k: int = 20
+    ) -> list[tuple]:
+        """Boolean retrieval (engine/boolean.py semantics): index-backed
+        posting-set algebra when the bound index is unstemmed, else the
+        scan-only recompute — rank-identical, parity-tested."""
+        if self.reader is not None and not self.reader.use_stem:
+            return self._with_meta(
+                self.reader.boolean_topk(must, should, must_not, k), "score"
+            )
+        from .boolean import boolean_topk
+
+        return self._with_meta(
+            boolean_topk(
+                self.spark,
+                self.corpus.select("doc_id", "content"),
+                must,
+                should,
+                must_not,
+                k,
+            ),
+            "score",
+        )
+
     def get_pageview(self, doc_ids: list[int]) -> list[int]:
         """Pageview lookups — same isin-filter parquet shape as
         get_pagerank. When no explicit table is bound, serve the
@@ -264,6 +292,16 @@ def create_app(service: SearchService):
     @app.route("/search_proximity")
     def search_proximity():
         return jsonify(service.search_proximity(_query()))
+
+    @app.route("/search_boolean")
+    def search_boolean():
+        return jsonify(
+            service.search_boolean(
+                request.args.get("must", ""),
+                request.args.get("should", ""),
+                request.args.get("must_not", ""),
+            )
+        )
 
     @app.route("/get_pagerank", methods=["POST"])
     def get_pagerank():

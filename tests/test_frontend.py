@@ -143,3 +143,26 @@ def test_search_proximity_route(client, service):
     for bad in ("the of and", "zzznotaterm qqqalsonot"):
         r = client.get("/search_proximity", query_string={"query": bad})
         assert r.status_code == 200 and r.get_json() == []
+
+
+def test_search_boolean_route(client, service):
+    """/search_boolean matches the recompute oracle (the module-scoped
+    index is stemmed, so the service takes the recompute path) and
+    handles degenerate clauses."""
+    from engine.boolean import boolean_topk
+
+    params = {"must": "index merge", "should": "segment", "must_not": "zzz"}
+    r = client.get("/search_boolean", query_string=params)
+    assert r.status_code == 200
+    body = r.get_json()
+    assert body
+    scores = [row[2] for row in body]
+    assert scores == sorted(scores, reverse=True)
+    want = boolean_topk(
+        service.spark, service.corpus.select("doc_id", "content"),
+        params["must"], params["should"], params["must_not"], 20,
+    ).collect()
+    assert [row[0] for row in body] == [x["doc_id"] for x in want]
+    # no positive clause → empty, no throw
+    r = client.get("/search_boolean", query_string={"must_not": "index"})
+    assert r.status_code == 200 and r.get_json() == []
