@@ -24,9 +24,11 @@ import time
 REPO = pathlib.Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(REPO))
 
-CEILING_GATE = 0.85
-PROBE_SLEEP = 480
-DEADLINE_H = 5.0
+import os
+
+CEILING_GATE = float(os.environ.get("WATCH_GATE", "0.85"))
+PROBE_SLEEP = int(os.environ.get("WATCH_SLEEP", "480"))
+DEADLINE_H = float(os.environ.get("WATCH_DEADLINE_H", "5.0"))
 LOG = pathlib.Path("/tmp/scaling_watch.log")
 
 
