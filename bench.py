@@ -156,6 +156,7 @@ def main() -> None:
             "phrase_topk",
             "proximity_topk",
             "boolean_topk",
+            "fuzzy_terms",
         ):
             t = time.perf_counter()
             dq.spark_queries()[name](spark, sf_dir).count()

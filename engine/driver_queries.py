@@ -311,6 +311,23 @@ def _q_boolean_indexed(spark, sf_dir):
     return _index_reader(spark, sf_dir).boolean_topk(k=20, **BOOL_CLAUSES)
 
 
+# pinned fuzzy query: "sow" has two dist-1 vocabulary neighbors (slow,
+# row) so the (dist, df, term) ranking is actually exercised
+FUZZY_TERM = "sow"
+
+
+def _q_fuzzy(spark, sf_dir):
+    from .build import dictionary_df, tokens_df
+    from .fuzzy import fuzzy_terms
+
+    dic = dictionary_df(tokens_df(_docs(spark, sf_dir), use_stem=False))
+    return fuzzy_terms(spark, dic, FUZZY_TERM, 1, 10)
+
+
+def _q_fuzzy_indexed(spark, sf_dir):
+    return _index_reader(spark, sf_dir).fuzzy_terms(FUZZY_TERM, 10)
+
+
 def _q_pageviews(spark, sf_dir):
     # deterministic synthetic pageview signal (engine/pageviews.py) —
     # the reference's pickled-Counter data source, hash-checkable
@@ -610,6 +627,8 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "proximity_topk_indexed": _q_proximity_indexed,
         "boolean_topk": _q_boolean,
         "boolean_topk_indexed": _q_boolean_indexed,
+        "fuzzy_terms": _q_fuzzy,
+        "fuzzy_terms_indexed": _q_fuzzy_indexed,
         "pagerank": _q_pagerank,
     }
     for name, text in FIXED_QUERIES.items():
@@ -713,6 +732,7 @@ def oracle_sqls() -> dict[str, str]:
         }
     )
     from .boolean import boolean_topk_sql
+    from .fuzzy import fuzzy_terms_sql
     from .pageviews import pageviews_sql
     from .phrase import phrase_topk_sql, proximity_topk_sql, term_positions_sql
     from .ranking import (
@@ -744,6 +764,8 @@ def oracle_sqls() -> dict[str, str]:
             ),
             "boolean_topk": boolean_topk_sql(k=20, **BOOL_CLAUSES),
             "boolean_topk_indexed": boolean_topk_sql(k=20, **BOOL_CLAUSES),
+            "fuzzy_terms": fuzzy_terms_sql(FUZZY_TERM, 1, 10),
+            "fuzzy_terms_indexed": fuzzy_terms_sql(FUZZY_TERM, 1, 10),
             "pagerank": pagerank_sql(),
         }
     )

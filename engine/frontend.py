@@ -28,6 +28,8 @@ changing clients:
                      (?must=...&should=...&must_not=...); index-backed
                      posting-set algebra on unstemmed indexes, else
                      the scan-only recompute
+- `/suggest`       → spell-correction candidates (?term=...) via the
+                     deletion-neighborhood fuzzy matcher
 - `/get_pageview`  → isin-filter lookups over a (doc_id, views) parquet
                      artifact; by default the deterministic synthetic
                      table (engine/pageviews.py — the reference loads a
@@ -79,6 +81,7 @@ class SearchService:
         self._pagerank_dir = pagerank_dir
         self._pagerank_df: DataFrame | None = None
         self._pageviews = pageviews
+        self._dictionary: DataFrame | None = None
 
     # ---- result shaping -------------------------------------------------
     def _with_meta(self, df: DataFrame, score_col: str) -> list[tuple]:
@@ -234,6 +237,25 @@ class SearchService:
             "score",
         )
 
+    def suggest(self, term: str, k: int = 10) -> list[list]:
+        """Spell-correction candidates [term, dist, df] for a query
+        term (engine/fuzzy.py): index dictionary when the bound index
+        is unstemmed, else the corpus-derived dictionary."""
+        if self.reader is not None and not self.reader.use_stem:
+            df = self.reader.fuzzy_terms(term, k)
+        else:
+            from .build import dictionary_df, tokens_df
+            from .fuzzy import fuzzy_terms
+
+            if self._dictionary is None:
+                self._dictionary = dictionary_df(
+                    tokens_df(
+                        self.corpus.select("doc_id", "content"), use_stem=False
+                    )
+                )
+            df = fuzzy_terms(self.spark, self._dictionary, term, 1, k)
+        return [[r["term"], r["dist"], r["df"]] for r in df.collect()]
+
     def get_pageview(self, doc_ids: list[int]) -> list[int]:
         """Pageview lookups — same isin-filter parquet shape as
         get_pagerank. When no explicit table is bound, serve the
@@ -302,6 +324,10 @@ def create_app(service: SearchService):
                 request.args.get("must_not", ""),
             )
         )
+
+    @app.route("/suggest")
+    def suggest():
+        return jsonify(service.suggest(request.args.get("term", "")))
 
     @app.route("/get_pagerank", methods=["POST"])
     def get_pagerank():

@@ -600,6 +600,21 @@ class IndexReader:
             self.spark, self.postings(), must, should, must_not, k
         )
 
+    def fuzzy_terms(self, query_term: str, k: int = 10) -> DataFrame:
+        """Spell-correction candidates from the index dictionary
+        (engine/fuzzy.py: deletion-neighborhood join + exact verify) —
+        rank-identical to the full-scan levenshtein verifier (DuckDB
+        mirror fuzzy_terms_sql is the oracle). Pinned to unstemmed
+        vocabularies: suggesting stemmed forms to a user is wrong."""
+        if self.use_stem:
+            raise ValueError(
+                "fuzzy_terms is pinned to unstemmed vocabularies; this "
+                "index was built with use_stem=True"
+            )
+        from .fuzzy import fuzzy_terms
+
+        return fuzzy_terms(self.spark, self.dictionary(), query_term, 1, k)
+
     def anchor_topk(self, query: str, k: int = 100) -> DataFrame:
         """Index-backed `/search_anchor`: distinct-query-term count over
         the build-time anchor-terms table (inbound-link anchor text).

@@ -166,3 +166,19 @@ def test_search_boolean_route(client, service):
     # no positive clause → empty, no throw
     r = client.get("/search_boolean", query_string={"must_not": "index"})
     assert r.status_code == 200 and r.get_json() == []
+
+
+def test_suggest_route(client, service):
+    """/suggest returns [term, dist, df] candidates from the fuzzy
+    matcher (recompute dictionary here: the module index is stemmed)."""
+    r = client.get("/suggest", query_string={"term": "indx"})
+    assert r.status_code == 200
+    body = r.get_json()
+    assert body and body[0][0] == "index" and body[0][1] == 1
+    # exact vocabulary term ranks itself first at distance 0
+    r = client.get("/suggest", query_string={"term": "index"})
+    assert r.get_json()[0][:2] == ["index", 0]
+    # degenerate terms → empty, no throw
+    for bad in ("", "the", "zzzzzzzz"):
+        r = client.get("/suggest", query_string={"term": bad})
+        assert r.status_code == 200 and isinstance(r.get_json(), list), bad

@@ -734,3 +734,70 @@ def test_boolean_plan_scan_only(spark):
     per_op = [len(re.findall(r"regexp_extract_all", ln))
               for ln in plan.splitlines() if "FileScan" not in ln]
     assert sum(per_op) == 2, plan
+
+
+# ------------------------------------------------- fuzzy term matching
+
+def test_fuzzy_join_equals_brute_and_duckdb(spark):
+    """Deletion-neighborhood candidate join == full-scan levenshtein ==
+    DuckDB, including self-match, no-match, stopword, and empty query
+    terms."""
+    import duckdb as dk
+
+    from engine.build import dictionary_df, tokens_df
+    from engine.fuzzy import fuzzy_terms, fuzzy_terms_brute, fuzzy_terms_sql
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", F.col("text").alias("content")
+    )
+    dic = dictionary_df(tokens_df(docs, use_stem=False)).cache()
+    con = dk.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{SF}/documents.parquet'"
+    )
+    for q in ("sow", "scann", "table", "zzznope", "the", ""):
+        a = [tuple(r) for r in fuzzy_terms(spark, dic, q, 1, 10).collect()]
+        b = [tuple(r) for r in fuzzy_terms_brute(spark, dic, q, 1, 10).collect()]
+        w = [tuple(r) for r in con.execute(fuzzy_terms_sql(q, 1, 10)).fetchall()]
+        assert a == b == w, q
+    assert len(
+        fuzzy_terms(spark, dic, "sow", 1, 10).collect()
+    ) == 2  # slow + row: the (dist, df, term) ranking is exercised
+
+
+def test_fuzzy_neighborhood_admits_then_verify_rejects_distance2(spark):
+    """The deletion-neighborhood test alone admits transposition pairs
+    (lev = 2); the exact-verify filter must reject them."""
+    from engine.fuzzy import deletion_keys_py, fuzzy_terms
+
+    dic = spark.createDataFrame(
+        [("abc", 5), ("acb", 3), ("abcd", 2), ("xyz", 1)], "term string, df long"
+    )
+    # neighborhoods of the transposed pair DO intersect...
+    assert set(deletion_keys_py("abc")) & set(deletion_keys_py("acb"))
+    got = [tuple(r) for r in fuzzy_terms(spark, dic, "abc", 1, 10).collect()]
+    # ...but only self (0) and the 1-insert neighbor survive the verify
+    assert got == [(1, "abc", 0, 5), (2, "abcd", 1, 2)]
+
+
+def test_fuzzy_indexed_and_stem_guard(spark, tmp_path_factory):
+    from engine.build import dictionary_df, tokens_df
+    from engine.fuzzy import fuzzy_terms
+    from engine.index import build_index
+    from engine.io import documents_as_corpus
+
+    corpus = documents_as_corpus(spark, SF).withColumn(
+        "content_sha256", F.sha2(F.col("content"), 256)
+    )
+    d = str(tmp_path_factory.mktemp("fuzzy_idx"))
+    r = build_index(spark, corpus, d, use_stem=False, n_shards=4, n_chunks=1)
+    dic = dictionary_df(tokens_df(corpus.select("doc_id", "content"),
+                                  use_stem=False))
+    a = [tuple(x) for x in r.fuzzy_terms("sow", 10).collect()]
+    b = [tuple(x) for x in fuzzy_terms(spark, dic, "sow", 1, 10).collect()]
+    assert a == b and len(a) == 2
+
+    d2 = str(tmp_path_factory.mktemp("fuzzy_idx_stem"))
+    r2 = build_index(spark, corpus, d2, use_stem=True, n_shards=4, n_chunks=1)
+    with pytest.raises(ValueError):
+        r2.fuzzy_terms("sow")
