@@ -157,6 +157,7 @@ def main() -> None:
             "proximity_topk",
             "boolean_topk",
             "fuzzy_terms",
+            "snippet_topk",
         ):
             t = time.perf_counter()
             dq.spark_queries()[name](spark, sf_dir).count()

@@ -195,6 +195,7 @@ def _index_reader(
     *,
     use_stem: bool = False,
     with_positions: bool = False,
+    with_docstore: bool = False,
 ):
     from .index import build_index
     from .io import documents_as_corpus
@@ -210,7 +211,7 @@ def _index_reader(
     # Porter chain (engine/porter_sql.py)
     return build_index(
         spark, corpus, out_dir, use_stem=use_stem, n_shards=8, n_chunks=1,
-        with_positions=with_positions,
+        with_positions=with_positions, with_docstore=with_docstore,
     )
 
 
@@ -299,6 +300,20 @@ def _q_proximity_indexed(spark, sf_dir):
 # pinned boolean clauses for the driver entries: conjunction + optional
 # boosts + exclusion, all three clause kinds exercised at once
 BOOL_CLAUSES = {"must": "table scan", "should": "fast quick", "must_not": "customer"}
+
+
+def _q_snippet(spark, sf_dir):
+    from .phrase import snippet_topk
+
+    return snippet_topk(spark, _docs(spark, sf_dir), FIXED_QUERIES["q_multi"], 10)
+
+
+def _q_snippet_indexed(spark, sf_dir):
+    # snippets served ENTIRELY from artifacts: proximity ranking from
+    # the positions artifact + window text from the docstore (stage 8)
+    return _index_reader(
+        spark, sf_dir, with_positions=True, with_docstore=True
+    ).snippet_topk(FIXED_QUERIES["q_multi"], 10)
 
 
 def _q_boolean(spark, sf_dir):
@@ -629,6 +644,8 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "boolean_topk_indexed": _q_boolean_indexed,
         "fuzzy_terms": _q_fuzzy,
         "fuzzy_terms_indexed": _q_fuzzy_indexed,
+        "snippet_topk": _q_snippet,
+        "snippet_topk_indexed": _q_snippet_indexed,
         "pagerank": _q_pagerank,
     }
     for name, text in FIXED_QUERIES.items():
@@ -734,7 +751,12 @@ def oracle_sqls() -> dict[str, str]:
     from .boolean import boolean_topk_sql
     from .fuzzy import fuzzy_terms_sql
     from .pageviews import pageviews_sql
-    from .phrase import phrase_topk_sql, proximity_topk_sql, term_positions_sql
+    from .phrase import (
+        phrase_topk_sql,
+        proximity_topk_sql,
+        snippet_topk_sql,
+        term_positions_sql,
+    )
     from .ranking import (
         anchor_match_sql,
         fusion_pr_sql,
@@ -766,6 +788,8 @@ def oracle_sqls() -> dict[str, str]:
             "boolean_topk_indexed": boolean_topk_sql(k=20, **BOOL_CLAUSES),
             "fuzzy_terms": fuzzy_terms_sql(FUZZY_TERM, 1, 10),
             "fuzzy_terms_indexed": fuzzy_terms_sql(FUZZY_TERM, 1, 10),
+            "snippet_topk": snippet_topk_sql(FIXED_QUERIES["q_multi"], 10),
+            "snippet_topk_indexed": snippet_topk_sql(FIXED_QUERIES["q_multi"], 10),
             "pagerank": pagerank_sql(),
         }
     )

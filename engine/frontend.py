@@ -30,6 +30,9 @@ changing clients:
                      the scan-only recompute
 - `/suggest`       → spell-correction candidates (?term=...) via the
                      deletion-neighborhood fuzzy matcher
+- `/snippets`      → proximity-ranked results with the matched window
+                     rendered as text; artifact-only when the index
+                     carries positions + docstore, else recompute
 - `/get_pageview`  → isin-filter lookups over a (doc_id, views) parquet
                      artifact; by default the deterministic synthetic
                      table (engine/pageviews.py — the reference loads a
@@ -237,6 +240,28 @@ class SearchService:
             "score",
         )
 
+    def snippets(self, query: str, k: int = 10) -> list[list]:
+        """Proximity-ranked results with the matched window rendered as
+        text [doc_id, min_span, snippet]: artifact-only (positions +
+        docstore) when the bound index carries both, else the corpus
+        recompute (engine/phrase.snippet_topk) — text-identical,
+        parity-tested."""
+        stages = (
+            self.reader.manifest["stages"] if self.reader is not None else {}
+        )
+        if stages.get("positions") == "done" and stages.get("docstore") == "done":
+            df = self.reader.snippet_topk(query, k)
+        else:
+            from .phrase import snippet_topk
+
+            df = snippet_topk(
+                self.spark, self.corpus.select("doc_id", "content"), query, k
+            )
+        return [
+            [r["doc_id"], r["min_span"], r["snippet"]]
+            for r in df.orderBy("rank").collect()
+        ]
+
     def suggest(self, term: str, k: int = 10) -> list[list]:
         """Spell-correction candidates [term, dist, df] for a query
         term (engine/fuzzy.py): index dictionary when the bound index
@@ -328,6 +353,10 @@ def create_app(service: SearchService):
     @app.route("/suggest")
     def suggest():
         return jsonify(service.suggest(request.args.get("term", "")))
+
+    @app.route("/snippets")
+    def snippets():
+        return jsonify(service.snippets(_query()))
 
     @app.route("/get_pagerank", methods=["POST"])
     def get_pagerank():

@@ -90,6 +90,7 @@ def build_index(
     block_docs: int = BLOCK_DOCS,
     resume: bool = True,
     with_positions: bool = False,
+    with_docstore: bool = False,
 ) -> "IndexReader":
     """Build (or resume building) the index for a corpus that already
     carries ``doc_id`` and ``content_sha256`` (engine.io.with_identity)."""
@@ -462,6 +463,30 @@ def build_index(
         man["stage_times"]["positions"] = round(time.perf_counter() - t0, 2)
         _write_manifest(out_dir, man)
 
+    # ---- stage 8 (optional): document store (forward index) ------------
+    # doc_id → content, shard-partitioned with the index's doc-hash
+    # contract so point fetches (snippets) prune to one shard's files;
+    # same in-place upgrade semantics as stage 7.
+    if with_docstore and man["stages"].get("docstore") != "done":
+        t0 = time.perf_counter()
+        (
+            corpus.select(
+                "doc_id",
+                "content",
+                F.pmod(F.xxhash64("doc_id"), F.lit(n_shards))
+                .cast("int")
+                .alias("shard"),
+            )
+            .repartition(n_shards, "shard")
+            .write.mode("overwrite")
+            .partitionBy("shard")
+            .option("compression", "zstd")
+            .parquet(os.path.join(out_dir, "docstore"))
+        )
+        man["stages"]["docstore"] = "done"
+        man["stage_times"]["docstore"] = round(time.perf_counter() - t0, 2)
+        _write_manifest(out_dir, man)
+
     if man["stages"].get("complete") != "done":
         man["stages"]["complete"] = "done"
         _write_manifest(out_dir, man)
@@ -566,6 +591,39 @@ class IndexReader:
         from .positions import phrase_topk_from_positions
 
         return phrase_topk_from_positions(self.spark, self.positions(), phrase, k)
+
+    def docstore(self) -> DataFrame:
+        p = os.path.join(self.dir, "docstore")
+        if self.manifest["stages"].get("docstore") != "done":
+            raise FileNotFoundError(
+                f"no docstore artifact at {p} — build with "
+                "build_index(..., with_docstore=True)"
+            )
+        return self.spark.read.parquet(p)
+
+    def snippet_topk(self, query: str, k: int = 10, pad: int | None = None) -> DataFrame:
+        """Index-backed snippet generation: proximity ranking from the
+        positions artifact, then the k winning windows rendered from
+        the docstore (forward index) — no corpus access at all.
+        Rank- and text-identical to engine/phrase.snippet_topk (DuckDB
+        mirror snippet_topk_sql is the oracle)."""
+        from .phrase import SNIPPET_PAD, _SPAN_PACK, render_snippets
+        from .positions import proximity_keys_from_positions
+
+        pad = SNIPPET_PAD if pad is None else pad
+        terms = sorted(set(tokenize(query, use_stem=False)))
+        out_schema = "rank int, doc_id long, min_span long, snippet string"
+        if not terms:
+            return self.spark.createDataFrame([], out_schema)
+        spans = proximity_keys_from_positions(self.positions(), terms)
+        topk = spans.orderBy(
+            F.asc((F.col("key") / _SPAN_PACK).cast("long")), F.asc("doc_id")
+        ).limit(k)
+        rows = topk.collect()  # k rows — the deliberate driver-side cut
+        if not rows:
+            return self.spark.createDataFrame([], out_schema)
+        picked = {int(r["doc_id"]): int(r["key"]) for r in rows}
+        return render_snippets(self.spark, self.docstore(), picked, pad)
 
     def proximity_topk(self, query: str, k: int = 10) -> DataFrame:
         """Index-backed min-span proximity search: decode position

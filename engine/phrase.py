@@ -138,6 +138,25 @@ def proximity_topk(
     terms = sorted(set(tokenize(query, use_stem=False)))
     if not terms:
         return spark.createDataFrame([], "rank int, doc_id long, min_span long")
+    spans = _proximity_events(corpus, terms).select("doc_id", "span")
+    agg = spans.groupBy("doc_id").agg(
+        F.min("span").cast("long").alias("min_span")
+    )
+    return _ranked_asc(agg, "min_span", k)
+
+
+# ---------------------------------------------- snippets (best window)
+
+SNIPPET_PAD = 2
+# span/start packed into one orderable int64 so min() picks (smallest
+# span, then smallest start) identically in Spark and DuckDB; positions
+# are token offsets, always < 1e9
+_SPAN_PACK = 1_000_000_000
+
+
+def _proximity_events(corpus: DataFrame, terms: list[str]):
+    """Shared proximity event frame: (doc_id, pos, span, start) for
+    every event position where all terms have occurred."""
     ev = term_positions(corpus).where(F.col("term").isin(terms))
     w = (
         Window.partitionBy("doc_id")
@@ -154,13 +173,133 @@ def proximity_topk(
     valid = last_cols[0].isNotNull()
     for c in last_cols[1:]:
         valid = valid & c.isNotNull()
-    spans = run.where(valid).select(
-        "doc_id", (F.col("pos") - least + F.lit(1)).alias("span")
+    return run.where(valid).select(
+        "doc_id",
+        (F.col("pos") - least + F.lit(1)).alias("span"),
+        least.alias("start"),
     )
-    agg = spans.groupBy("doc_id").agg(
-        F.min("span").cast("long").alias("min_span")
+
+
+def snippet_topk(
+    spark: SparkSession,
+    corpus: DataFrame,
+    query: str,
+    k: int = 10,
+    pad: int = SNIPPET_PAD,
+) -> DataFrame:
+    """(rank, doc_id, min_span, snippet) — proximity top-k with the
+    matched window rendered as text: the smallest token window covering
+    all distinct query terms (ties → smallest start), padded by ``pad``
+    tokens each side and space-joined from the filtered token stream.
+
+    Scale shape: ranking runs on the pruned event stream exactly like
+    proximity_topk; the top-k doc_ids (k rows) are then collected and
+    pushed down as an isin predicate for the snippet-extraction scan —
+    only k documents are re-read and re-tokenized, never the corpus."""
+    terms = sorted(set(tokenize(query, use_stem=False)))
+    out_schema = "rank int, doc_id long, min_span long, snippet string"
+    if not terms:
+        return spark.createDataFrame([], out_schema)
+    spans = _proximity_events(corpus, terms).select(
+        "doc_id",
+        (F.col("span") * F.lit(_SPAN_PACK) + F.col("start")).alias("key"),
     )
-    return _ranked_asc(agg, "min_span", k)
+    agg = spans.groupBy("doc_id").agg(F.min("key").alias("key"))
+    topk = agg.orderBy(
+        F.asc((F.col("key") / _SPAN_PACK).cast("long")), F.asc("doc_id")
+    ).limit(k)
+    rows = topk.collect()  # k rows — the deliberate driver-side cut
+    if not rows:
+        return spark.createDataFrame([], out_schema)
+    picked = {int(r["doc_id"]): int(r["key"]) for r in rows}
+    return render_snippets(spark, corpus, picked, pad)
+
+
+def render_snippets(
+    spark: SparkSession,
+    docs: DataFrame,
+    picked: dict[int, int],
+    pad: int = SNIPPET_PAD,
+) -> DataFrame:
+    """(rank, doc_id, min_span, snippet) for the picked docs — ``picked``
+    maps doc_id → packed (span, start) key (_SPAN_PACK contract).
+    ``docs`` carries (doc_id, content); the isin cut on the k picked ids
+    is pushed into its scan (parquet row-group pruning on the docstore),
+    so only k documents are read and tokenized."""
+    docs = docs.where(F.col("doc_id").isin(list(picked)))
+    key_map = F.create_map(
+        *[x for d, kk in sorted(picked.items()) for x in (F.lit(d), F.lit(kk))]
+    )
+    key = key_map[F.col("doc_id")]
+    span = (key / _SPAN_PACK).cast("long")
+    start = (key % _SPAN_PACK).cast("long")  # 0-based token offset
+    toks = tokens_filtered_col(F.col("content"))
+    s_tok = F.greatest(start + F.lit(1) - F.lit(pad), F.lit(1))  # 1-based
+    length = (start + span + F.lit(pad)).cast("int") - s_tok.cast("int") + F.lit(1)
+    snip = F.array_join(F.slice(toks, s_tok.cast("int"), length), " ")
+    out = docs.select(
+        "doc_id", span.alias("min_span"), snip.alias("snippet")
+    )
+    w = Window.orderBy(F.asc("min_span"), F.asc("doc_id"))
+    return (
+        out.orderBy(F.asc("min_span"), F.asc("doc_id"))
+        .withColumn("rank", F.row_number().over(w))
+        .select("rank", "doc_id", "min_span", "snippet")
+    )
+
+
+def snippet_topk_sql(query: str, k: int = 10, pad: int = SNIPPET_PAD) -> str:
+    """DuckDB mirror of snippet_topk — same packed (span, start) min
+    and 1-based clamped list slice."""
+    terms = sorted(set(tokenize(query, use_stem=False)))
+    if not terms:
+        return (
+            "SELECT 0::INTEGER AS rank, 0::BIGINT AS doc_id, "
+            "0::BIGINT AS min_span, '' AS snippet WHERE false"
+        )
+    quoted = [t.replace("'", "''") for t in terms]
+    in_list = ", ".join(f"'{t}'" for t in quoted)
+    lasts = ",\n         ".join(
+        f"max(CASE WHEN term = '{t}' THEN pos END) OVER w AS l{j}"
+        for j, t in enumerate(quoted)
+    )
+    lcols = [f"l{j}" for j in range(len(terms))]
+    least = lcols[0] if len(terms) == 1 else f"least({', '.join(lcols)})"
+    notnull = " AND ".join(f"{c} IS NOT NULL" for c in lcols)
+    return f"""
+WITH {_tokd_cte()},
+ev AS (
+  SELECT doc_id, term, pos FROM (
+    SELECT doc_id, unnest(toks) AS term,
+           (generate_subscripts(toks, 1) - 1)::BIGINT AS pos
+    FROM tokd
+  ) WHERE term IN ({in_list})
+),
+run AS (
+  SELECT doc_id, pos,
+         {lasts}
+  FROM ev
+  WINDOW w AS (PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+agg AS (
+  SELECT doc_id,
+         min((pos - {least} + 1) * {_SPAN_PACK} + {least})::BIGINT AS key
+  FROM run WHERE {notnull} GROUP BY doc_id
+),
+topk AS (
+  SELECT doc_id, key, (key // {_SPAN_PACK})::BIGINT AS min_span,
+         (key % {_SPAN_PACK})::BIGINT AS start
+  FROM agg ORDER BY (key // {_SPAN_PACK}), doc_id LIMIT {k}
+)
+SELECT row_number() OVER (ORDER BY t.min_span ASC, t.doc_id ASC)::INTEGER AS rank,
+       t.doc_id, t.min_span,
+       array_to_string(
+         d.toks[greatest(t.start + 1 - {pad}, 1) :
+                (t.start + t.min_span + {pad})::INTEGER], ' ') AS snippet
+FROM topk t JOIN tokd d ON t.doc_id = d.doc_id
+ORDER BY t.min_span ASC, t.doc_id ASC
+"""
 
 
 # ------------------------------------------------------------------ SQL

@@ -194,9 +194,11 @@ def _proximity_kernel(terms: list[str]):
     1``; a ``minimum.reduceat`` at doc boundaries takes the per-doc
     min. O(E log E) for E = query-term occurrences in the shard — no
     per-doc Python loop."""
+    from .phrase import _SPAN_PACK
+
     m = len(terms)
     empty = pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
-                          "min_span": pd.Series(dtype="int64")})
+                          "key": pd.Series(dtype="int64")})
 
     def kernel(key, pdf: pd.DataFrame) -> pd.DataFrame:
         per: dict[str, tuple[np.ndarray, np.ndarray]] = {}
@@ -231,12 +233,19 @@ def _proximity_kernel(terms: list[str]):
             valid &= ok
             lastp = run & np.int64(0xFFFFFFFF)
             min_last = np.where(ok, np.minimum(min_last, lastp), min_last)
-        span = np.where(valid, pos - min_last + 1, np.int64(2**62))
+        # packed (span, start) key — min() picks smallest span, then
+        # smallest window start (the phrase.py _SPAN_PACK contract, so
+        # the indexed snippet path is tie-identical to the recompute)
+        packed = np.where(
+            valid,
+            (pos - min_last + 1) * np.int64(_SPAN_PACK) + min_last,
+            np.int64(2**62),
+        )
         starts = np.searchsorted(didx, np.arange(common.size))
-        min_span = np.minimum.reduceat(span, starts)
+        min_key = np.minimum.reduceat(packed, starts)
         # every common doc has ≥1 valid window (the event completing
         # its first full cover), so no sentinel survives the reduceat
-        return pd.DataFrame({"doc_id": common, "min_span": min_span})
+        return pd.DataFrame({"doc_id": common, "key": min_key})
 
     return kernel
 
@@ -254,11 +263,28 @@ def proximity_topk_from_positions(
     terms = sorted(set(tokenize(query, use_stem=False)))
     if not terms:
         return spark.createDataFrame([], "rank int, doc_id long, min_span long")
-    blocks = positions.where(F.col("term").isin(terms))
-    spans = blocks.groupBy("shard").applyInPandas(
-        _proximity_kernel(terms), "doc_id long, min_span long"
+    spans = proximity_keys_from_positions(positions, terms).select(
+        "doc_id", (F.col("key") / _pack()).cast("long").alias("min_span")
     )
     return _ranked_asc(spans, "min_span", k)
+
+
+def _pack() -> int:
+    from .phrase import _SPAN_PACK
+
+    return _SPAN_PACK
+
+
+def proximity_keys_from_positions(
+    positions: DataFrame, terms: list[str]
+) -> DataFrame:
+    """(doc_id, key) — per-doc packed min (span, start) from the
+    positions artifact; key follows the phrase.py _SPAN_PACK contract.
+    Shared by proximity ranking and snippet serving."""
+    blocks = positions.where(F.col("term").isin(terms))
+    return blocks.groupBy("shard").applyInPandas(
+        _proximity_kernel(terms), "doc_id long, key long"
+    )
 
 
 def phrase_topk_from_positions(

@@ -182,3 +182,23 @@ def test_suggest_route(client, service):
     for bad in ("", "the", "zzzzzzzz"):
         r = client.get("/suggest", query_string={"term": bad})
         assert r.status_code == 200 and isinstance(r.get_json(), list), bad
+
+
+def test_snippets_route(client, service):
+    """/snippets returns [doc_id, min_span, snippet] ascending by span;
+    snippet text contains every query term."""
+    from engine.tokenizer import tokenize
+
+    q = "index merge"
+    r = client.get("/snippets", query_string={"query": q})
+    assert r.status_code == 200
+    body = r.get_json()
+    assert body
+    spans = [row[1] for row in body]
+    assert spans == sorted(spans)
+    terms = set(tokenize(q, use_stem=False))
+    for _, _, snippet in body:
+        toks = set(tokenize(snippet, use_stem=False))
+        assert terms <= toks, snippet
+    r = client.get("/snippets", query_string={"query": "the of and"})
+    assert r.status_code == 200 and r.get_json() == []

@@ -801,3 +801,67 @@ def test_fuzzy_indexed_and_stem_guard(spark, tmp_path_factory):
     r2 = build_index(spark, corpus, d2, use_stem=True, n_shards=4, n_chunks=1)
     with pytest.raises(ValueError):
         r2.fuzzy_terms("sow")
+
+
+# ------------------------------------------------- snippets (best window)
+
+def test_snippet_matches_duckdb_at_sf001(spark):
+    import duckdb as dk
+
+    from engine.phrase import snippet_topk, snippet_topk_sql
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", F.col("text").alias("content")
+    )
+    con = dk.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{SF}/documents.parquet'"
+    )
+    for q in ("table scan", "query join window group", "customer", "the of"):
+        got = snippet_topk(spark, docs, q, 10).toPandas()
+        want = con.execute(snippet_topk_sql(q, 10)).fetchdf()
+        assert got.reset_index(drop=True).equals(
+            want.reset_index(drop=True)
+        ), q
+
+
+def test_snippet_edge_clamping(spark):
+    """Windows at token-stream edges clamp the pad instead of erroring;
+    snippet text is the padded window of FILTERED tokens."""
+    from engine.phrase import snippet_topk
+
+    docs = [
+        (1, "scan table"),                      # window is the whole doc
+        (2, "aaa0 bbb1 scan table ccc2 ddd3"),  # full pad both sides
+        (3, "scan xxx0 xxx1 xxx2 table"),       # window = doc, no pad room
+    ]
+    corpus = spark.createDataFrame(docs, "doc_id long, content string")
+    rows = {r.doc_id: r for r in snippet_topk(spark, corpus, "table scan", 10).collect()}
+    assert rows[1].snippet == "scan table" and rows[1].min_span == 2
+    assert rows[2].snippet == "aaa0 bbb1 scan table ccc2 ddd3"
+    assert rows[3].snippet == "scan xxx0 xxx1 xxx2 table" and rows[3].min_span == 5
+
+
+def test_snippet_indexed_matches_recompute(spark, tmp_path_factory):
+    """Artifact-only snippets (positions + docstore) == corpus
+    recompute; the docstore guard raises when stage 8 wasn't built."""
+    from engine.index import build_index
+    from engine.io import documents_as_corpus
+    from engine.phrase import snippet_topk
+
+    corpus = documents_as_corpus(spark, SF).withColumn(
+        "content_sha256", F.sha2(F.col("content"), 256)
+    )
+    d = str(tmp_path_factory.mktemp("snip_idx"))
+    r = build_index(spark, corpus, d, use_stem=False, n_shards=4, n_chunks=1,
+                    with_positions=True)
+    with pytest.raises(FileNotFoundError):
+        r.docstore()
+    # stage-8 upgrade in place
+    r = build_index(spark, corpus, d, use_stem=False, n_shards=4, n_chunks=1,
+                    with_positions=True, with_docstore=True)
+    docs = corpus.select("doc_id", "content")
+    for q in ("table scan", "query join window group", "the of"):
+        a = snippet_topk(spark, docs, q, 10).toPandas()
+        b = r.snippet_topk(q, 10).toPandas()
+        assert a.equals(b), q
