@@ -45,6 +45,19 @@ def probe() -> float:
     return mp_ceiling(4, 16, n_docs=120_000)["ceiling_eff"]
 
 
+def other_spark_running() -> bool:
+    """True when another local Spark JVM (tests, smoke scripts, bench)
+    is alive — launching the measured run then would double-book the
+    cores and produce a garbage efficiency number (observed 16:21-17:00:
+    raw 0.197 while pytest ran alongside)."""
+    out = subprocess.run(
+        ["pgrep", "-f", "spark-submit|SparkSubmit|pyspark"],
+        capture_output=True, text=True,
+    )
+    pids = [p for p in out.stdout.split() if p]
+    return len(pids) > 0
+
+
 def full_run() -> dict | None:
     proc = subprocess.run(
         [sys.executable, "scripts/bench_scaling.py", "--docs", "1200000",
@@ -69,6 +82,10 @@ def main() -> None:
             continue
         log(f"ceiling probe: {eff}")
         if eff >= CEILING_GATE:
+            if other_spark_running():
+                log("quiet host but local spark jvm active — holding off")
+                time.sleep(PROBE_SLEEP)
+                continue
             log("quiet window — launching full scaling run")
             try:
                 out = full_run()
