@@ -314,3 +314,40 @@ def merge_indexes(
     man["stages"]["complete"] = "done"
     _write_manifest(out_dir, man)
     return IndexReader(spark, out_dir)
+
+
+def add_documents(
+    spark: SparkSession,
+    index_dir: str,
+    new_corpus: DataFrame,
+    out_dir: str,
+    *,
+    delta_dir: str | None = None,
+) -> IndexReader:
+    """Incremental ingestion: extend an existing index with NEW
+    documents (disjoint doc_ids) without a full rebuild.
+
+    Builds a delta index over ``new_corpus`` with the base index's
+    EXACT config (stemming, sharding, block size — read from the
+    manifest, so the merge precondition holds by construction; the
+    stage-7 positions artifact is carried iff the base has it), then
+    runs the byte-identity segment merge. By the merge contract the
+    result is indistinguishable from rebuilding over old ∪ new, at the
+    cost of indexing only the delta — the standard big-corpus ingestion
+    cadence (hourly delta builds + merge, periodic compaction)."""
+    from .index import build_index
+
+    base = IndexReader(spark, index_dir)
+    cfg = base.manifest["config"]
+    delta_dir = delta_dir or out_dir.rstrip("/") + "_delta"
+    build_index(
+        spark,
+        new_corpus,
+        delta_dir,
+        use_stem=cfg["use_stem"],
+        n_shards=cfg["n_shards"],
+        block_docs=cfg["block_docs"],
+        n_chunks=1,
+        with_positions=base.manifest["stages"].get("positions") == "done",
+    )
+    return merge_indexes(spark, index_dir, delta_dir, out_dir)

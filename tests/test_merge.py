@@ -129,3 +129,47 @@ def test_merged_positions_byte_identical_and_phrase_serves(spark, split_dirs):
     f = [tuple(r) for r in full.phrase_topk("inverted index", 10).collect()]
     m = [tuple(r) for r in merged.phrase_topk("inverted index", 10).collect()]
     assert f == m
+
+
+def test_add_documents_equals_full_rebuild(spark, tmp_path_factory):
+    """Incremental ingestion (engine/merge.add_documents): base index +
+    delta docs == full rebuild over the union, posting blocks
+    byte-identical, and BM25 serving from the incremented index matches
+    the recompute oracle."""
+    from engine.io import documents_as_corpus
+    from engine.merge import add_documents
+    from pyspark.sql import functions as F
+
+    corpus = documents_as_corpus(spark, "/root/testdata/sf0.01").withColumn(
+        "content_sha256", F.sha2(F.col("content"), 256)
+    )
+    old = corpus.where(F.col("doc_id") % 3 != 0)
+    new = corpus.where(F.col("doc_id") % 3 == 0)
+    root = tmp_path_factory.mktemp("incr")
+    from engine.index import build_index
+
+    build_index(spark, old, str(root / "base"), use_stem=False,
+                n_shards=4, n_chunks=1)
+    r_inc = add_documents(spark, str(root / "base"), new, str(root / "inc"))
+    r_full = build_index(spark, corpus, str(root / "full"), use_stem=False,
+                         n_shards=4, n_chunks=1)
+
+    cols = ["shard", "term", "block_id", "doc_ids_blob", "tfs_blob",
+            "doc_lens_blob"]
+    a = r_inc.postings().select(cols).toPandas().sort_values(
+        ["shard", "term", "block_id"], ignore_index=True)
+    b = r_full.postings().select(cols).toPandas().sort_values(
+        ["shard", "term", "block_id"], ignore_index=True)
+    assert len(a) == len(b) > 0
+    for c in cols:
+        av, bv = a[c].tolist(), b[c].tolist()
+        assert all(
+            bytes(x) == bytes(y) if isinstance(x, (bytes, bytearray)) else x == y
+            for x, y in zip(av, bv)
+        ), c
+
+    got = [tuple(x) for x in
+           r_inc.bm25_topk("table scan fast", 10, prune=True).collect()]
+    want = [tuple(x) for x in
+            r_full.bm25_topk("table scan fast", 10, prune=True).collect()]
+    assert got == want and len(got) > 0
