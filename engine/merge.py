@@ -70,21 +70,43 @@ def merge_indexes(
     spark: SparkSession, dir_a: str, dir_b: str, out_dir: str
 ) -> IndexReader:
     """Merge two complete indexes over DISJOINT document sets into a
-    new index at ``out_dir`` (resumable via the same manifest scheme)."""
-    a, b = IndexReader(spark, dir_a), IndexReader(spark, dir_b)
-    ca, cb = a.manifest["config"], b.manifest["config"]
-    if ca != cb:
-        raise ValueError(f"index configs differ: {ca} vs {cb}")
+    new index at ``out_dir`` (resumable via the same manifest scheme).
+    The 2-ary special case of merge_many."""
+    return merge_many(spark, [dir_a, dir_b], out_dir)
+
+
+def merge_many(
+    spark: SparkSession, dirs: list[str], out_dir: str
+) -> IndexReader:
+    """K-way segment merge: every stage is a union over the K sides,
+    so merging K segments in ONE pass costs the same shuffle work as
+    merging two — the production compaction shape (hourly delta
+    segments → one nightly K-way merge), not log2(K) pairwise passes.
+    Same byte-identity contract as merge_indexes, any K ≥ 2."""
+    if len(dirs) < 2:
+        raise ValueError(f"merge_many needs >= 2 indexes, got {len(dirs)}")
+    readers = [IndexReader(spark, d) for d in dirs]
+    ca = readers[0].manifest["config"]
+    for r in readers[1:]:
+        if r.manifest["config"] != ca:
+            raise ValueError(
+                f"index configs differ: {ca} vs {r.manifest['config']}"
+            )
+
+    from functools import reduce
+
+    def _union(frames):
+        return reduce(lambda x, y: x.unionByName(y), frames)
 
     os.makedirs(out_dir, exist_ok=True)
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    src_fp = [a.manifest.get("fingerprint"), b.manifest.get("fingerprint")]
+    src_fp = [r.manifest.get("fingerprint") for r in readers]
     man = _read_manifest(out_dir)
     if man is None or man.get("source_fp") != src_fp or man.get("config") != ca:
         man = {
             "version": 1,
             "config": dict(ca),
-            "merge_of": [os.path.abspath(dir_a), os.path.abspath(dir_b)],
+            "merge_of": [os.path.abspath(d) for d in dirs],
             "source_fp": src_fp,
             "stages": {},
             "chunks": {},
@@ -92,10 +114,10 @@ def merge_indexes(
             "created_unix": time.time(),
         }
 
-    sa, sb = a.manifest["stats"], b.manifest["stats"]
-    n = sa["n_docs"] + sb["n_docs"]
-    dl_sum = sa.get("dl_sum", round(sa["avgdl"] * sa["n_docs"])) + sb.get(
-        "dl_sum", round(sb["avgdl"] * sb["n_docs"])
+    stats = [r.manifest["stats"] for r in readers]
+    n = sum(s["n_docs"] for s in stats)
+    dl_sum = sum(
+        s.get("dl_sum", round(s["avgdl"] * s["n_docs"])) for s in stats
     )
     avgdl = (dl_sum / n) if n else 0.0
     man["stats"] = {"n_docs": n, "avgdl": avgdl, "dl_sum": dl_sum}
@@ -104,7 +126,7 @@ def merge_indexes(
     # ---- doc_stats: disjoint union + collision guard -------------------
     if man["stages"].get("doc_stats") != "done":
         t0 = time.perf_counter()
-        ds = a.doc_stats().unionByName(b.doc_stats())
+        ds = _union([r.doc_stats() for r in readers])
         ds.write.mode("overwrite").parquet(os.path.join(out_dir, "doc_stats"))
         got = (
             spark.read.parquet(os.path.join(out_dir, "doc_stats"))
@@ -126,7 +148,7 @@ def merge_indexes(
     # ---- postings: per-shard decode → merge-sort → re-encode -----------
     if man["stages"].get("postings") != "done":
         t0 = time.perf_counter()
-        both = a.postings().unionByName(b.postings())
+        both = _union([r.postings() for r in readers])
 
         def _merge_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
             toks = _decode_shard_to_tokens(pdf)
@@ -149,9 +171,7 @@ def merge_indexes(
     if man["stages"].get("dictionary") != "done":
         t0 = time.perf_counter()
         d = (
-            a.dictionary()
-            .select("term", "df", "cf")
-            .unionByName(b.dictionary().select("term", "df", "cf"))
+            _union([r.dictionary().select("term", "df", "cf") for r in readers])
             .groupBy("term")
             .agg(F.sum("df").alias("df"), F.sum("cf").alias("cf"))
         )
@@ -258,8 +278,7 @@ def merge_indexes(
     if man["stages"].get("title_terms") != "done":
         t0 = time.perf_counter()
         (
-            a.title_terms()
-            .unionByName(b.title_terms())
+            _union([r.title_terms() for r in readers])
             .write.mode("overwrite")
             .parquet(os.path.join(out_dir, "title_terms"))
         )
@@ -274,14 +293,13 @@ def merge_indexes(
     # sort-then-block is a pure function of that multiset. Merged only
     # when BOTH sides carry the artifact (it is optional per index).
     if (
-        a.manifest["stages"].get("positions") == "done"
-        and b.manifest["stages"].get("positions") == "done"
+        all(r.manifest["stages"].get("positions") == "done" for r in readers)
         and man["stages"].get("positions") != "done"
     ):
         t0 = time.perf_counter()
         from .positions import POS_COLUMNS, POS_SCHEMA, _decode_blocks, _encode_group
 
-        both_pos = a.positions().unionByName(b.positions())
+        both_pos = _union([r.positions() for r in readers])
 
         def _pos_merge_kernel(key, pdf: pd.DataFrame) -> pd.DataFrame:
             d, p = _decode_blocks(pdf)
@@ -299,6 +317,23 @@ def merge_indexes(
         )
         man["stages"]["positions"] = "done"
         man["stage_times"]["positions"] = round(time.perf_counter() - t0, 2)
+        _write_manifest(out_dir, man)
+
+    # ---- docstore (optional stage-8 artifact): disjoint union ----------
+    if (
+        all(r.manifest["stages"].get("docstore") == "done" for r in readers)
+        and man["stages"].get("docstore") != "done"
+    ):
+        t0 = time.perf_counter()
+        (
+            _union([r.docstore() for r in readers])
+            .write.mode("overwrite")
+            .option("compression", "zstd")
+            .partitionBy("shard")
+            .parquet(os.path.join(out_dir, "docstore"))
+        )
+        man["stages"]["docstore"] = "done"
+        man["stage_times"]["docstore"] = round(time.perf_counter() - t0, 2)
         _write_manifest(out_dir, man)
 
     # ---- anchor_terms: RECOMPUTED — graph ranks follow global order ----
@@ -349,5 +384,6 @@ def add_documents(
         block_docs=cfg["block_docs"],
         n_chunks=1,
         with_positions=base.manifest["stages"].get("positions") == "done",
+        with_docstore=base.manifest["stages"].get("docstore") == "done",
     )
     return merge_indexes(spark, index_dir, delta_dir, out_dir)

@@ -173,3 +173,48 @@ def test_add_documents_equals_full_rebuild(spark, tmp_path_factory):
     want = [tuple(x) for x in
             r_full.bm25_topk("table scan fast", 10, prune=True).collect()]
     assert got == want and len(got) > 0
+
+
+def test_merge_many_3way_equals_full_rebuild(spark, tmp_path_factory):
+    """ONE K-way pass over three doc_id-residue segments (built with
+    positions + docstore) == full union rebuild: posting AND position
+    blocks byte-identical, docstore carried, snippets artifact-served
+    from the merged index match the recompute path."""
+    from engine.io import documents_as_corpus
+    from engine.merge import merge_many
+    from engine.phrase import snippet_topk
+    from pyspark.sql import functions as F
+
+    corpus = documents_as_corpus(spark, "/root/testdata/sf0.01").withColumn(
+        "content_sha256", F.sha2(F.col("content"), 256)
+    )
+    root = tmp_path_factory.mktemp("kway")
+    dirs = []
+    for par in (0, 1, 2):
+        d = str(root / f"seg{par}")
+        build_index(spark, corpus.where(F.col("doc_id") % 3 == par), d,
+                    use_stem=False, n_shards=4, n_chunks=1,
+                    with_positions=True, with_docstore=True)
+        dirs.append(d)
+    merged = merge_many(spark, dirs, str(root / "merged"))
+    full = build_index(spark, corpus, str(root / "full"), use_stem=False,
+                       n_shards=4, n_chunks=1,
+                       with_positions=True, with_docstore=True)
+
+    def blobs(reader, table, cols, keys):
+        pdf = getattr(reader, table)().select(keys + cols).toPandas()
+        pdf = pdf.sort_values(keys, ignore_index=True)
+        return [tuple(bytes(x) for x in row) for row in pdf[cols].itertuples(index=False)]
+
+    keys = ["shard", "term", "block_id"]
+    assert blobs(merged, "postings", ["doc_ids_blob", "tfs_blob"], keys) == \
+           blobs(full, "postings", ["doc_ids_blob", "tfs_blob"], keys)
+    assert blobs(merged, "positions", ["doc_ids_blob", "pos_blob"], keys) == \
+           blobs(full, "positions", ["doc_ids_blob", "pos_blob"], keys)
+    assert merged.manifest["stages"].get("docstore") == "done"
+    assert merged.docstore().count() == full.docstore().count() > 0
+
+    docs = corpus.select("doc_id", "content")
+    a = snippet_topk(spark, docs, "table scan fast", 10).toPandas()
+    b = merged.snippet_topk("table scan fast", 10).toPandas()
+    assert a.equals(b)
