@@ -158,6 +158,10 @@ def main() -> None:
             "boolean_topk",
             "fuzzy_terms",
             "snippet_topk",
+            "wildcard_topk",
+            "related_terms",
+            "more_like_this",
+            "facet_counts_lang",
         ):
             t = time.perf_counter()
             dq.spark_queries()[name](spark, sf_dir).count()

@@ -212,11 +212,15 @@ def boolean_topk_from_postings(
     should: str = "",
     must_not: str = "",
     k: int = 10,
+    *,
+    tombstones: DataFrame | None = None,
 ) -> DataFrame:
     """Index-backed boolean retrieval over the BM25 posting blocks
     (doc_id runs only — tf/doc_len blobs stay undecoded); rank-identical
     to boolean_topk (same DuckDB oracle). NOTE: valid for UNSTEMMED
-    indexes — boolean semantics are pinned to unstemmed terms."""
+    indexes — boolean semantics are pinned to unstemmed terms.
+    ``tombstones`` (deleted doc_ids, engine/compact.py) are anti-joined
+    before the top-k cut."""
     from .ranking import _ranked
 
     m_terms, s_terms, n_terms = _split_clauses(must, should, must_not)
@@ -227,4 +231,6 @@ def boolean_topk_from_postings(
     hits = blocks.groupBy("shard").applyInPandas(
         _boolean_kernel(m_terms, s_terms, n_terms), "doc_id long, score long"
     )
+    if tombstones is not None:
+        hits = hits.join(F.broadcast(tombstones), "doc_id", "left_anti")
     return _ranked(hits, "score", k)

@@ -48,27 +48,31 @@ def _sql_pat() -> str:
     return TOKEN_PATTERN_RE2.replace("'", "''")
 
 
-def _base_ctes(stemmed: bool = False) -> str:
+def _base_ctes(stemmed: bool = False, *, corpus_where: str | None = None) -> str:
     """tok→ft→[porter]→tfv→dl→stats→dict CTE chain. ``stemmed`` routes
     the filtered tokens through the generated SQL Porter chain
     (engine/porter_sql.py, parity-tested vs the vendored stemmer) —
-    this is what gives the stemmed BM25 entries a value-hash oracle."""
+    this is what gives the stemmed BM25 entries a value-hash oracle.
+    ``corpus_where`` restricts the corpus before ANY statistic is
+    computed (the compacted-index oracle)."""
     src = "ft"
     porter = ""
+    cw = f" WHERE {corpus_where}" if corpus_where else ""
     if stemmed:
         from .porter_sql import porter_ctes
 
         chain, src = porter_ctes("ft", carry=("doc_id",), prefix="st")
         porter = chain + ",\n"
     return f"""
+docs AS (SELECT * FROM documents{cw}),
 tok AS (
   SELECT doc_id, unnest(regexp_extract_all(lower(text), '{_sql_pat()}')) AS term
-  FROM documents
+  FROM docs
 ),
 ft AS (SELECT doc_id, term FROM tok WHERE term NOT IN {stopwords_sql_list()}),
 {porter}tfv AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM {src} GROUP BY doc_id, term),
 dl AS (SELECT d.doc_id, coalesce(sum(tfv.tf), 0)::BIGINT AS doc_len
-       FROM documents d LEFT JOIN tfv USING (doc_id) GROUP BY d.doc_id),
+       FROM docs d LEFT JOIN tfv USING (doc_id) GROUP BY d.doc_id),
 stats AS (SELECT count(*)::BIGINT AS n_docs, avg(doc_len)::DOUBLE AS avgdl FROM dl),
 dict AS (SELECT term, count(*)::BIGINT AS df,
                 sum(least(tf, 65535))::BIGINT AS cf
@@ -76,7 +80,19 @@ dict AS (SELECT term, count(*)::BIGINT AS df,
 """
 
 
-def _bm25_sql(query_text: str, k: int = K, *, stemmed: bool = False) -> str:
+def _bm25_sql(
+    query_text: str,
+    k: int = K,
+    *,
+    stemmed: bool = False,
+    corpus_where: str | None = None,
+    emit_where: str | None = None,
+) -> str:
+    """``corpus_where`` filters the corpus BEFORE statistics (the
+    compacted-index oracle: fresh N/avgdl/df over survivors);
+    ``emit_where`` filters scored docs AFTER statistics (the
+    tombstoned-index oracle: Lucene's stale-weights delete semantics —
+    original weights, deleted docs simply never emitted)."""
     qtf = Counter(tokenize(query_text, use_stem=stemmed))
     if not qtf:
         vals = "(SELECT NULL::VARCHAR AS term, NULL::BIGINT AS qtf WHERE false)"
@@ -87,9 +103,31 @@ def _bm25_sql(query_text: str, k: int = K, *, stemmed: bool = False) -> str:
             for t, c in sorted(qtf.items())
         )
         qcte = f"q(term, qtf) AS (VALUES {rows})"
+    emit = f"WHERE {emit_where}" if emit_where else ""
     return f"""
-WITH {_base_ctes(stemmed)},
+WITH {_base_ctes(stemmed, corpus_where=corpus_where)},
 {qcte},
+scored AS (
+  SELECT tfv.doc_id,
+         q.qtf * ln(1.0 + (s.n_docs - dict.df + 0.5) / (dict.df + 0.5))
+               * least(tfv.tf, 65535) * 2.5
+               / (least(tfv.tf, 65535) + 1.5 * (1.0 - 0.75 + 0.75 * dl.doc_len / s.avgdl))
+           AS partial
+  FROM tfv JOIN q USING (term) JOIN dict USING (term) JOIN dl USING (doc_id)
+  CROSS JOIN stats s
+),
+agg AS (SELECT doc_id, round(sum(partial), {ROUND}) AS score FROM scored {emit} GROUP BY doc_id)
+SELECT row_number() OVER (ORDER BY score DESC, doc_id ASC)::INTEGER AS rank,
+       doc_id, score
+FROM agg ORDER BY score DESC, doc_id ASC LIMIT {k}
+"""
+
+
+def _bm25_tail_sql(k: int) -> str:
+    """The scored→agg→ranked tail shared by every BM25-shaped oracle;
+    expects CTEs `tfv dl dict stats` (from _base_ctes) and `q(term,
+    qtf)` to be in scope."""
+    return f"""
 scored AS (
   SELECT tfv.doc_id,
          q.qtf * ln(1.0 + (s.n_docs - dict.df + 0.5) / (dict.df + 0.5))
@@ -103,6 +141,95 @@ agg AS (SELECT doc_id, round(sum(partial), {ROUND}) AS score FROM scored GROUP B
 SELECT row_number() OVER (ORDER BY score DESC, doc_id ASC)::INTEGER AS rank,
        doc_id, score
 FROM agg ORDER BY score DESC, doc_id ASC LIMIT {k}
+"""
+
+
+def wildcard_sql(prefix: str, k: int = K, max_expansions: int = 50) -> str:
+    """DuckDB mirror of engine/wildcard.wildcard_topk — dictionary
+    prefix expansion (df DESC, term ASC, capped) scored as qtf=1 BM25."""
+    from .wildcard import normalize_prefix
+
+    p = normalize_prefix(prefix).replace("'", "''")
+    return f"""
+WITH {_base_ctes()},
+exp AS (SELECT term FROM dict WHERE starts_with(term, '{p}')
+        ORDER BY df DESC, term ASC LIMIT {max_expansions}),
+q AS (SELECT term, 1::BIGINT AS qtf FROM exp),
+{_bm25_tail_sql(k)}"""
+
+
+def related_terms_sql(term: str, k: int = K, min_cooc: int = 2) -> str:
+    """DuckDB mirror of engine/mlt.related_terms — doc-level PMI."""
+    t = tokenize(term, use_stem=False)[0].replace("'", "''")
+    return f"""
+WITH {_base_ctes()},
+hits AS (SELECT doc_id FROM tfv WHERE term = '{t}'),
+tdf AS (SELECT df AS df_t FROM dict WHERE term = '{t}'),
+co AS (SELECT term, count(*)::BIGINT AS n_tu
+       FROM tfv JOIN hits USING (doc_id) WHERE term <> '{t}'
+       GROUP BY term HAVING count(*) >= {min_cooc}),
+pm AS (SELECT co.term, co.n_tu,
+              round(ln((co.n_tu * s.n_docs)::DOUBLE
+                       / (tdf.df_t * dict.df)::DOUBLE), {ROUND}) AS pmi
+       FROM co JOIN dict USING (term) CROSS JOIN tdf CROSS JOIN stats s)
+SELECT row_number() OVER (ORDER BY pmi DESC, term ASC)::INTEGER AS rank,
+       term, n_tu, pmi
+FROM pm ORDER BY pmi DESC, term ASC LIMIT {k}
+"""
+
+
+def more_like_this_sql(k: int = K, m_terms: int = 5) -> str:
+    """DuckDB mirror of engine/mlt.more_like_this — min-doc_id source,
+    top-m tf-idf seed terms (rounded sort key), qtf=1 BM25, source
+    excluded."""
+    return f"""
+WITH {_base_ctes()},
+src AS (SELECT min(doc_id) AS src_id FROM documents),
+seed AS (SELECT tfv.term,
+                round((1.0 + log10(least(tfv.tf, 65535)::DOUBLE))
+                      * log10(s.n_docs::DOUBLE / dict.df::DOUBLE), 6) AS w
+         FROM tfv CROSS JOIN src JOIN dict USING (term) CROSS JOIN stats s
+         WHERE tfv.doc_id = src.src_id
+         ORDER BY w DESC, tfv.term ASC LIMIT {m_terms}),
+q AS (SELECT term, 1::BIGINT AS qtf FROM seed),
+scored AS (
+  SELECT tfv.doc_id,
+         q.qtf * ln(1.0 + (s.n_docs - dict.df + 0.5) / (dict.df + 0.5))
+               * least(tfv.tf, 65535) * 2.5
+               / (least(tfv.tf, 65535) + 1.5 * (1.0 - 0.75 + 0.75 * dl.doc_len / s.avgdl))
+           AS partial
+  FROM tfv JOIN q USING (term) JOIN dict USING (term) JOIN dl USING (doc_id)
+  CROSS JOIN stats s
+),
+agg AS (SELECT doc_id, round(sum(partial), {ROUND}) AS score FROM scored
+        CROSS JOIN src WHERE doc_id <> src.src_id GROUP BY doc_id)
+SELECT row_number() OVER (ORDER BY score DESC, doc_id ASC)::INTEGER AS rank,
+       doc_id, score
+FROM agg ORDER BY score DESC, doc_id ASC LIMIT {k}
+"""
+
+
+def facet_counts_sql(query: str, facet: str, k: int = 20) -> str:
+    """DuckDB mirror of engine/facets.facet_counts — OR-match set
+    grouped by a metadata column (NULL facets excluded)."""
+    from .phrase import _phrase_list_sql, _tokd_cte
+
+    terms = sorted(set(tokenize(query, use_stem=False)))
+    if not terms:
+        return (
+            "SELECT 0::INTEGER AS rank, ''::VARCHAR AS facet, "
+            "0::BIGINT AS n_docs WHERE false"
+        )
+    return f"""
+WITH {_tokd_cte()},
+m AS (SELECT d.{facet} AS facet
+      FROM tokd t JOIN documents d USING (doc_id)
+      WHERE d.{facet} IS NOT NULL
+        AND list_has_any(t.toks, {_phrase_list_sql(terms)})),
+c AS (SELECT facet, count(*)::BIGINT AS n_docs FROM m GROUP BY facet)
+SELECT row_number() OVER (ORDER BY n_docs DESC, facet ASC)::INTEGER AS rank,
+       facet, n_docs
+FROM c ORDER BY n_docs DESC, facet ASC LIMIT {k}
 """
 
 
@@ -331,6 +458,57 @@ def _q_boolean_indexed(spark, sf_dir):
 FUZZY_TERM = "sow"
 
 
+# pinned prefix query: "s" expands to 6 vocabulary terms at every SF;
+# max_expansions=4 makes the (df DESC, term ASC) cap actually bind
+WILDCARD_PREFIX = "s"
+WILDCARD_MAX_EXP = 4
+
+# pinned PMI target + facet query
+RELATED_TERM = "join"
+FACET_QUERY = FIXED_QUERIES["q_multi"]
+
+
+def _q_wildcard(spark, sf_dir):
+    from .wildcard import wildcard_topk
+
+    return wildcard_topk(
+        spark, _docs(spark, sf_dir), WILDCARD_PREFIX, K, WILDCARD_MAX_EXP,
+        round_scores=ROUND,
+    )
+
+
+def _q_wildcard_indexed(spark, sf_dir):
+    return _index_reader(spark, sf_dir).wildcard_topk(
+        WILDCARD_PREFIX, K, WILDCARD_MAX_EXP, round_scores=ROUND
+    )
+
+
+def _q_related_terms(spark, sf_dir):
+    from .mlt import related_terms
+
+    return related_terms(
+        spark, _docs(spark, sf_dir), RELATED_TERM, K, 2, round_scores=ROUND
+    )
+
+
+def _q_more_like_this(spark, sf_dir):
+    from .mlt import more_like_this
+
+    return more_like_this(
+        spark, _docs(spark, sf_dir), K, 5, round_scores=ROUND
+    )
+
+
+def _q_facet_lang(spark, sf_dir):
+    from .facets import facet_counts
+    from .io import normalize_splits
+
+    ensure_importable(spark)
+    d = normalize_splits(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+    corpus = d.select("doc_id", F.col("text").alias("content"), "lang")
+    return facet_counts(corpus, FACET_QUERY, "lang", 20)
+
+
 def _q_fuzzy(spark, sf_dir):
     from .build import dictionary_df, tokens_df
     from .fuzzy import fuzzy_terms
@@ -399,6 +577,66 @@ def _merged_reader(spark: SparkSession, sf_dir: str):
 
 def _q_bm25_merged_indexed(spark, sf_dir):
     return _merged_reader(spark, sf_dir).bm25_topk(
+        FIXED_QUERIES["q_multi"], K, prune=True, round_scores=ROUND
+    )
+
+
+# deleted set pinned for the delete/compact lifecycle entries — works
+# at every SF and is expressible in both engines
+DELETE_RESIDUE = 3  # docs with doc_id % 7 == 3 are tombstoned
+LIVE_WHERE = f"doc_id % 7 <> {DELETE_RESIDUE}"
+
+
+def _lifecycle_readers(spark: SparkSession, sf_dir: str):
+    """Driver-proven DELETE + COMPACT (engine/compact.py, Lucene
+    liveDocs semantics): copy the cached base index, tombstone the
+    pinned residue class, compact into a fresh dir. Returns
+    (tombstoned_reader, compacted_reader); both are cached across
+    driver queries."""
+    import shutil
+
+    from .compact import compact_index, delete_documents
+    from .index import IndexReader, _read_manifest
+
+    base = _index_reader(spark, sf_dir)
+    key = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    ddel = os.path.join(_DRIVER_CACHE, f"index_tomb_{key}")
+    dcomp = os.path.join(_DRIVER_CACHE, f"index_compact_{key}")
+    man_d, man_c = _read_manifest(ddel), _read_manifest(dcomp)
+    if not (
+        man_d
+        and man_d.get("fingerprint") == base.manifest["fingerprint"]
+        and man_d.get("stages", {}).get("tombstones") == "done"
+        and man_c
+        and man_c.get("stages", {}).get("complete") == "done"
+    ):
+        shutil.rmtree(ddel, ignore_errors=True)
+        shutil.rmtree(dcomp, ignore_errors=True)
+        shutil.copytree(base.dir, ddel)
+        dele = (
+            spark.read.parquet(os.path.join(ddel, "doc_stats"))
+            .select("doc_id")
+            .where(F.col("doc_id") % 7 == DELETE_RESIDUE)
+        )
+        delete_documents(spark, ddel, dele)
+        compact_index(spark, ddel, dcomp)
+    return IndexReader(spark, ddel), IndexReader(spark, dcomp)
+
+
+def _q_bm25_deleted_indexed(spark, sf_dir):
+    """Tombstoned index: stale corpus weights, deleted docs never
+    emitted — oracle scores with the FULL corpus and filters at emit."""
+    tomb, _ = _lifecycle_readers(spark, sf_dir)
+    return tomb.bm25_topk(
+        FIXED_QUERIES["q_multi"], K, prune=True, round_scores=ROUND
+    )
+
+
+def _q_bm25_compacted_indexed(spark, sf_dir):
+    """Compacted index: statistics fully refreshed — oracle scores over
+    the survivor corpus only (compact == build(A ∖ D))."""
+    _, comp = _lifecycle_readers(spark, sf_dir)
+    return comp.bm25_topk(
         FIXED_QUERIES["q_multi"], K, prune=True, round_scores=ROUND
     )
 
@@ -646,6 +884,11 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fuzzy_terms_indexed": _q_fuzzy_indexed,
         "snippet_topk": _q_snippet,
         "snippet_topk_indexed": _q_snippet_indexed,
+        "wildcard_topk": _q_wildcard,
+        "wildcard_topk_indexed": _q_wildcard_indexed,
+        "related_terms": _q_related_terms,
+        "more_like_this": _q_more_like_this,
+        "facet_counts_lang": _q_facet_lang,
         "pagerank": _q_pagerank,
     }
     for name, text in FIXED_QUERIES.items():
@@ -667,6 +910,9 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["fusion_pv_topk_indexed"] = _q_fusion_pv_indexed
     # segment merge driver-proven: serve from merge(build(even), build(odd))
     out["bm25_merged_indexed"] = _q_bm25_merged_indexed
+    # delete/compact lifecycle driver-proven (engine/compact.py)
+    out["bm25_deleted_indexed"] = _q_bm25_deleted_indexed
+    out["bm25_compacted_indexed"] = _q_bm25_compacted_indexed
     return out
 
 
@@ -790,6 +1036,13 @@ def oracle_sqls() -> dict[str, str]:
             "fuzzy_terms_indexed": fuzzy_terms_sql(FUZZY_TERM, 1, 10),
             "snippet_topk": snippet_topk_sql(FIXED_QUERIES["q_multi"], 10),
             "snippet_topk_indexed": snippet_topk_sql(FIXED_QUERIES["q_multi"], 10),
+            "wildcard_topk": wildcard_sql(WILDCARD_PREFIX, K, WILDCARD_MAX_EXP),
+            "wildcard_topk_indexed": wildcard_sql(
+                WILDCARD_PREFIX, K, WILDCARD_MAX_EXP
+            ),
+            "related_terms": related_terms_sql(RELATED_TERM, K, 2),
+            "more_like_this": more_like_this_sql(K, 5),
+            "facet_counts_lang": facet_counts_sql(FACET_QUERY, "lang", 20),
             "pagerank": pagerank_sql(),
         }
     )
@@ -812,4 +1065,12 @@ def oracle_sqls() -> dict[str, str]:
     out["fusion_pv_topk_indexed"] = fusion_pv_sql(FIXED_QUERIES["q_multi"])
     # merged serving must equal full-corpus BM25 — same oracle as bm25_q_multi
     out["bm25_merged_indexed"] = _bm25_sql(FIXED_QUERIES["q_multi"])
+    # tombstoned index: full-corpus weights, deleted docs filtered at emit
+    out["bm25_deleted_indexed"] = _bm25_sql(
+        FIXED_QUERIES["q_multi"], emit_where=LIVE_WHERE
+    )
+    # compacted index: statistics recomputed over survivors only
+    out["bm25_compacted_indexed"] = _bm25_sql(
+        FIXED_QUERIES["q_multi"], corpus_where=LIVE_WHERE
+    )
     return out

@@ -1,0 +1,65 @@
+"""Faceted search — per-field match counts for a free-text query.
+
+Every production search frontend pairs ranked results with facet
+counts ("12 034 matches in lang=en, 811 in lang=de"); the reference
+family's routes return ranked ids only, so this is added as a
+first-class §2-adjacent operator with the usual oracle discipline.
+
+Pinned semantics
+----------------
+- The query is tokenized with the ordered, stopword-filtered,
+  UNSTEMMED pipeline and deduped; a doc MATCHES iff its token set
+  intersects the query terms (OR semantics — the match set of ranked
+  retrieval, not the top-k).
+- Facet value = the row's ``facet_col``; NULL facet values are
+  dropped (Spark sorts NULL first in ASC, DuckDB last — excluding
+  them pins a cross-engine total order); count = matching docs.
+- Top-k facets by (n_docs DESC, facet ASC); empty query → empty.
+
+Scale shape
+-----------
+One pruned corpus scan (the match predicate is whole-stage codegen
+over the token array — same HOF discipline as engine/boolean.py) into
+a groupBy over facet-value cardinality rows — map-side combined, so
+the exchange carries |distinct facet values| rows per partition, not
+docs. A facet count over 100 TB is a scan plus a kilobyte shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .textops import tokens_filtered_col
+from .tokenizer import tokenize
+
+
+def facet_counts(
+    corpus: DataFrame,
+    query: str,
+    facet_col: str,
+    k: int = 20,
+) -> DataFrame:
+    """(rank, facet, n_docs) — facet-value counts over the OR-match set.
+
+    ``corpus`` must carry ``content`` and ``facet_col``. DuckDB mirror:
+    engine/driver_queries.facet_counts_sql."""
+    terms = sorted(set(tokenize(query, use_stem=False)))
+    spark = corpus.sparkSession
+    if not terms:
+        return spark.createDataFrame([], "rank int, facet string, n_docs long")
+    matched = corpus.where(
+        F.col(facet_col).isNotNull()
+        & F.arrays_overlap(
+            tokens_filtered_col(F.col("content")),
+            F.lit(terms).cast("array<string>"),
+        )
+    )
+    counts = matched.groupBy(F.col(facet_col).alias("facet")).agg(
+        F.count("*").alias("n_docs")
+    )
+    topk = counts.orderBy(F.desc("n_docs"), F.asc("facet")).limit(k)
+    w = Window.orderBy(F.desc("n_docs"), F.asc("facet"))
+    return topk.withColumn("rank", F.row_number().over(w)).select(
+        "rank", "facet", "n_docs"
+    )

@@ -281,6 +281,43 @@ class SearchService:
             df = fuzzy_terms(self.spark, self._dictionary, term, 1, k)
         return [[r["term"], r["dist"], r["df"]] for r in df.collect()]
 
+    def search_wildcard(self, prefix: str, k: int = 10) -> list[tuple]:
+        """Prefix (``term*``) search (engine/wildcard.py semantics):
+        index-backed dictionary expansion when the bound index is
+        unstemmed (wildcards are never stemmed), else the recompute
+        path — rank-identical, parity-tested."""
+        if self.reader is not None and not self.reader.use_stem:
+            return self._with_meta(self.reader.wildcard_topk(prefix, k), "score")
+        from .wildcard import wildcard_topk
+
+        return self._with_meta(
+            wildcard_topk(
+                self.spark, self.corpus.select("doc_id", "content"), prefix, k
+            ),
+            "score",
+        )
+
+    def related(self, term: str, k: int = 10) -> list[list]:
+        """Query-expansion suggestions [term, n_tu, pmi] — doc-level
+        PMI co-occurrence (engine/mlt.related_terms)."""
+        from .mlt import related_terms
+
+        df = related_terms(
+            self.spark, self.corpus.select("doc_id", "content"), term, k
+        )
+        return [[r["term"], r["n_tu"], float(r["pmi"])] for r in df.collect()]
+
+    def facets(self, query: str, facet: str = "lang", k: int = 20) -> list[list]:
+        """Facet counts [value, n_docs] over the OR-match set
+        (engine/facets.facet_counts); facet column must exist on the
+        bound corpus."""
+        from .facets import facet_counts
+
+        df = facet_counts(
+            self.corpus.select("doc_id", "content", facet), query, facet, k
+        )
+        return [[r["facet"], r["n_docs"]] for r in df.collect()]
+
     def get_pageview(self, doc_ids: list[int]) -> list[int]:
         """Pageview lookups — same isin-filter parquet shape as
         get_pagerank. When no explicit table is bound, serve the
@@ -353,6 +390,20 @@ def create_app(service: SearchService):
     @app.route("/suggest")
     def suggest():
         return jsonify(service.suggest(request.args.get("term", "")))
+
+    @app.route("/search_wildcard")
+    def search_wildcard():
+        return jsonify(service.search_wildcard(request.args.get("prefix", "")))
+
+    @app.route("/related")
+    def related():
+        return jsonify(service.related(request.args.get("term", "")))
+
+    @app.route("/facets")
+    def facets():
+        return jsonify(
+            service.facets(_query(), request.args.get("facet", "lang"))
+        )
 
     @app.route("/snippets")
     def snippets():

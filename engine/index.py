@@ -541,7 +541,40 @@ class IndexReader:
         self.manifest = m
         self._postings: DataFrame | None = None
         self._dictionary: DataFrame | None = None
+        self._tomb_np = None  # lazy sorted int64 tombstone array
         ensure_importable(self.spark)
+
+    # ---- tombstones (engine/compact.py; Lucene liveDocs semantics) ----
+
+    def tombstones_df(self) -> DataFrame | None:
+        """Deleted doc_ids, or None when the index has no tombstones."""
+        if self.manifest["stages"].get("tombstones") != "done":
+            return None
+        return self.spark.read.parquet(os.path.join(self.dir, "tombstones"))
+
+    def _tomb_array(self):
+        """Sorted int64 tombstone ids (numpy) for kernel-side drops;
+        bounded by deletes-since-compaction (module docstring of
+        engine/compact.py pins the compact-when-large policy)."""
+        import numpy as np
+
+        if self._tomb_np is None:
+            t = self.tombstones_df()
+            self._tomb_np = (
+                np.empty(0, dtype=np.int64)
+                if t is None
+                else np.sort(
+                    np.array([r["doc_id"] for r in t.collect()], dtype=np.int64)
+                )
+            )
+        return self._tomb_np
+
+    def _live(self, df: DataFrame) -> DataFrame:
+        """Anti-join a result frame against the tombstones (no-op when
+        none) — applied BEFORE each surface's top-k cut so ranked
+        results stay exactly-k over live docs."""
+        t = self.tombstones_df()
+        return df if t is None else df.join(F.broadcast(t), "doc_id", "left_anti")
 
     @property
     def use_stem(self) -> bool:
@@ -590,7 +623,10 @@ class IndexReader:
         DuckDB mirror phrase_topk_sql is the oracle)."""
         from .positions import phrase_topk_from_positions
 
-        return phrase_topk_from_positions(self.spark, self.positions(), phrase, k)
+        return phrase_topk_from_positions(
+            self.spark, self.positions(), phrase, k,
+            tombstones=self.tombstones_df(),
+        )
 
     def docstore(self) -> DataFrame:
         p = os.path.join(self.dir, "docstore")
@@ -615,7 +651,7 @@ class IndexReader:
         out_schema = "rank int, doc_id long, min_span long, snippet string"
         if not terms:
             return self.spark.createDataFrame([], out_schema)
-        spans = proximity_keys_from_positions(self.positions(), terms)
+        spans = self._live(proximity_keys_from_positions(self.positions(), terms))
         topk = spans.orderBy(
             F.asc((F.col("key") / _SPAN_PACK).cast("long")), F.asc("doc_id")
         ).limit(k)
@@ -633,7 +669,10 @@ class IndexReader:
         is the oracle)."""
         from .positions import proximity_topk_from_positions
 
-        return proximity_topk_from_positions(self.spark, self.positions(), query, k)
+        return proximity_topk_from_positions(
+            self.spark, self.positions(), query, k,
+            tombstones=self.tombstones_df(),
+        )
 
     def boolean_topk(
         self,
@@ -655,7 +694,8 @@ class IndexReader:
         from .boolean import boolean_topk_from_postings
 
         return boolean_topk_from_postings(
-            self.spark, self.postings(), must, should, must_not, k
+            self.spark, self.postings(), must, should, must_not, k,
+            tombstones=self.tombstones_df(),
         )
 
     def fuzzy_terms(self, query_term: str, k: int = 10) -> DataFrame:
@@ -689,7 +729,7 @@ class IndexReader:
             .groupBy("doc_id")
             .agg(F.count("*").alias("n_hits"))
         )
-        topk = hits.orderBy(F.desc("n_hits"), F.asc("doc_id")).limit(k)
+        topk = self._live(hits).orderBy(F.desc("n_hits"), F.asc("doc_id")).limit(k)
         w = Window.orderBy(F.desc("n_hits"), F.asc("doc_id"))
         return topk.withColumn("rank", F.row_number().over(w)).select(
             "rank", "doc_id", "n_hits"
@@ -713,7 +753,7 @@ class IndexReader:
             .groupBy("doc_id")
             .agg(F.count("*").alias("n_hits"))
         )
-        topk = hits.orderBy(F.desc("n_hits"), F.asc("doc_id")).limit(k)
+        topk = self._live(hits).orderBy(F.desc("n_hits"), F.asc("doc_id")).limit(k)
         w = Window.orderBy(F.desc("n_hits"), F.asc("doc_id"))
         return topk.withColumn("rank", F.row_number().over(w)).select(
             "rank", "doc_id", "n_hits"
@@ -797,7 +837,7 @@ class IndexReader:
             )
             .where(F.col("cos") > 0)
         )
-        topk = scored.orderBy(F.desc("cos"), F.asc("doc_id")).limit(k)
+        topk = self._live(scored).orderBy(F.desc("cos"), F.asc("doc_id")).limit(k)
         w = Window.orderBy(F.desc("cos"), F.asc("doc_id"))
         return topk.withColumn("rank", F.row_number().over(w)).select(
             "rank", "doc_id", "cos"
@@ -876,6 +916,9 @@ class IndexReader:
         # rounding step below θ can tie the k-th rounded key downstream
         eps = 0.5 * 10.0 ** (-round_scores) if round_scores is not None else 0.0
 
+        tomb = self._tomb_array()
+        tomb = tomb if tomb.size else None
+
         def shard_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
             from .wand import topk_shard
 
@@ -884,7 +927,9 @@ class IndexReader:
                 sub = pdf[pdf["term"].isin(w)]
                 if not len(sub):
                     continue
-                ids, sc = topk_shard(sub, w, avgdl, k, prune=prune, eps=eps)
+                ids, sc = topk_shard(
+                    sub, w, avgdl, k, prune=prune, eps=eps, drop_ids=tomb
+                )
                 outs.append(
                     pd.DataFrame({"query_id": qid, "doc_id": ids, "score": sc})
                 )
@@ -931,36 +976,86 @@ class IndexReader:
         of the isin-pruned dictionary onto the blocks — no separate
         query_weights() collect round-trip per interactive query
         (VERDICT r2 #8); the batch path amortizes the same way."""
-        import pandas as pd
-
         from collections import Counter
 
         qtf = Counter(tokenize(query, use_stem=self.use_stem))
+        return self._qtf_topk(
+            {t: float(c) for t, c in qtf.items()},
+            k,
+            prune=prune,
+            with_metadata=with_metadata,
+            round_scores=round_scores,
+        )
+
+    def wildcard_topk(
+        self, prefix: str, k: int = 10, max_expansions: int = 50, *,
+        prune: bool = True, round_scores: int | None = None,
+    ) -> DataFrame:
+        """Prefix (``term*``) search served from the index: pruned
+        dictionary read → ≤ max_expansions expansion terms (df DESC,
+        term ASC — the pinned order, see engine/wildcard.py) → the
+        standard isin-pushdown block-max kernel with qtf=1 per
+        expansion. The only driver materialization is the capped
+        expansion list itself."""
+        from .wildcard import normalize_prefix
+
+        p = normalize_prefix(prefix)
+        if not p:
+            return self.spark.createDataFrame(
+                [], "rank int, doc_id long, score double"
+            )
+        exp = (
+            self.dictionary()
+            .where(F.col("term").startswith(p))
+            .orderBy(F.desc("df"), F.asc("term"))
+            .limit(max_expansions)
+            .select("term")
+            .collect()
+        )
+        return self._qtf_topk(
+            {r["term"]: 1.0 for r in exp},
+            k,
+            prune=prune,
+            round_scores=round_scores,
+        )
+
+    def _qtf_topk(
+        self, qtf_map: dict[str, float], k: int, *, prune: bool = True,
+        with_metadata: bool = False, round_scores: int | None = None,
+    ) -> DataFrame:
+        """Shared (term → qtf) weighted top-k body for bm25_topk and
+        wildcard_topk — per-shard block-max kernel + global
+        TakeOrderedAndProject."""
+        import pandas as pd
+
         avgdl = self.manifest["stats"]["avgdl"]
         spark = self.spark
-        if not qtf:
+        if not qtf_map:
             return spark.createDataFrame([], "rank int, doc_id long, score double")
         n = self.manifest["stats"]["n_docs"]
-        qtf_map = {t: float(c) for t, c in qtf.items()}
         dic = (
             self.dictionary()
-            .where(F.col("term").isin(list(qtf)))
+            .where(F.col("term").isin(list(qtf_map)))
             .select(
                 "term",
                 idf_col(F.col("df").cast("double"), F.lit(float(n))).alias("idf"),
             )
         )
-        blocks = self.postings().where(F.col("term").isin(list(qtf))).join(
+        blocks = self.postings().where(F.col("term").isin(list(qtf_map))).join(
             F.broadcast(dic), "term"
         )
         eps = 0.5 * 10.0 ** (-round_scores) if round_scores is not None else 0.0
+        tomb = self._tomb_array()
+        tomb = tomb if tomb.size else None
 
         def shard_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
             from .wand import topk_shard
 
             idf = dict(zip(pdf["term"], pdf["idf"]))
             weights = {t: qtf_map[t] * v for t, v in idf.items()}
-            ids, sc = topk_shard(pdf, weights, avgdl, k, prune=prune, eps=eps)
+            ids, sc = topk_shard(
+                pdf, weights, avgdl, k, prune=prune, eps=eps, drop_ids=tomb
+            )
             return pd.DataFrame({"doc_id": ids, "score": sc})
 
         per_shard = blocks.groupBy("shard").applyInPandas(

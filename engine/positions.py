@@ -251,13 +251,19 @@ def _proximity_kernel(terms: list[str]):
 
 
 def proximity_topk_from_positions(
-    spark: SparkSession, positions: DataFrame, query: str, k: int = 10
+    spark: SparkSession,
+    positions: DataFrame,
+    query: str,
+    k: int = 10,
+    *,
+    tombstones: DataFrame | None = None,
 ) -> DataFrame:
     """(rank, doc_id, min_span) — min-span proximity top-k served from
     the positions artifact; rank-identical to
     engine/phrase.proximity_topk (DuckDB mirror proximity_topk_sql is
     the oracle). Decodes position blocks for ONLY the query's terms
-    (isin pushdown, same J2 shape as phrase serving)."""
+    (isin pushdown, same J2 shape as phrase serving). ``tombstones``
+    (deleted doc_ids) are anti-joined before the top-k cut."""
     from .ranking import _ranked_asc
 
     terms = sorted(set(tokenize(query, use_stem=False)))
@@ -266,6 +272,8 @@ def proximity_topk_from_positions(
     spans = proximity_keys_from_positions(positions, terms).select(
         "doc_id", (F.col("key") / _pack()).cast("long").alias("min_span")
     )
+    if tombstones is not None:
+        spans = spans.join(F.broadcast(tombstones), "doc_id", "left_anti")
     return _ranked_asc(spans, "min_span", k)
 
 
@@ -288,11 +296,17 @@ def proximity_keys_from_positions(
 
 
 def phrase_topk_from_positions(
-    spark: SparkSession, positions: DataFrame, phrase: str, k: int = 10
+    spark: SparkSession,
+    positions: DataFrame,
+    phrase: str,
+    k: int = 10,
+    *,
+    tombstones: DataFrame | None = None,
 ) -> DataFrame:
     """(rank, doc_id, n_occ) — exact phrase top-k served from the
     positions artifact; rank-identical to engine/phrase.phrase_topk
-    (its DuckDB mirror phrase_topk_sql is the oracle)."""
+    (its DuckDB mirror phrase_topk_sql is the oracle). ``tombstones``
+    (deleted doc_ids) are anti-joined before the top-k cut."""
     from .ranking import _ranked
 
     terms = tokenize(phrase, use_stem=False)
@@ -302,4 +316,6 @@ def phrase_topk_from_positions(
     occ = blocks.groupBy("shard").applyInPandas(
         _phrase_kernel(terms), "doc_id long, n_occ long"
     )
+    if tombstones is not None:
+        occ = occ.join(F.broadcast(tombstones), "doc_id", "left_anti")
     return _ranked(occ, "n_occ", k)

@@ -65,6 +65,13 @@ def _theta(acc_sc: np.ndarray, k: int) -> float:
     return float(np.partition(acc_sc, acc_sc.size - k)[acc_sc.size - k])
 
 
+def _isin_sorted(ids: np.ndarray, sorted_set: np.ndarray) -> np.ndarray:
+    """Boolean mask: which ids are in the SORTED int64 array."""
+    pos = np.searchsorted(sorted_set, ids)
+    pos = np.minimum(pos, sorted_set.size - 1)
+    return sorted_set[pos] == ids
+
+
 def topk_shard(
     blocks: pd.DataFrame,
     weights: dict[str, float],
@@ -73,6 +80,7 @@ def topk_shard(
     *,
     prune: bool = True,
     eps: float = 0.0,
+    drop_ids: np.ndarray | None = None,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Score one shard's blocks for one query → (doc_ids, scores) of the
     shard-local top-k (unsorted). ``blocks`` has the BLOCKS_SCHEMA
@@ -83,7 +91,13 @@ def topk_shard(
     granularity of ``2·eps`` (serving passes eps = 0.5·10⁻ʳ when
     ``round_scores=r``). Without it, a doc whose unrounded score sits
     within eps below the k-th could be pruned here yet round to the SAME
-    sort key as the k-th and win the doc_id-asc tiebreak downstream."""
+    sort key as the k-th and win the doc_id-asc tiebreak downstream.
+
+    ``drop_ids`` (a SORTED int64 array — index tombstones) removes docs
+    at block-decode time in the OR phase, BEFORE they can enter the
+    accumulator; every later θ drop then remains rank-safe over live
+    docs only, and the AND phase needs no mask (it only updates docs
+    already accumulated)."""
     by_term: dict[str, pd.DataFrame] = {
         t: g for t, g in blocks.groupby("term", sort=False) if t in weights
     }
@@ -111,6 +125,9 @@ def topk_shard(
             parts_ids, parts_sc = [], []
             for row in g.itertuples(index=False):
                 ids, tfs, dls = decode_block(row)
+                if drop_ids is not None and drop_ids.size:
+                    live = ~_isin_sorted(ids, drop_ids)
+                    ids, tfs, dls = ids[live], tfs[live], dls[live]
                 parts_ids.append(ids)
                 parts_sc.append(w * score_norm(tfs, dls, avgdl))
             ids = np.concatenate(parts_ids)

@@ -202,3 +202,41 @@ def test_snippets_route(client, service):
         assert terms <= toks, snippet
     r = client.get("/snippets", query_string={"query": "the of and"})
     assert r.status_code == 200 and r.get_json() == []
+
+
+def test_search_wildcard_route(client, service):
+    """/search_wildcard returns ranked (doc_id, repo:path, score)
+    tuples; the stemmed-index service exercises the recompute
+    fallback (wildcards are never stemmed)."""
+    r = client.get("/search_wildcard", query_string={"prefix": "ind"})
+    assert r.status_code == 200
+    body = r.get_json()
+    assert body and all(len(row) == 3 for row in body)
+    scores = [row[2] for row in body]
+    assert scores == sorted(scores, reverse=True)
+    r = client.get("/search_wildcard", query_string={"prefix": "zzzz"})
+    assert r.status_code == 200 and r.get_json() == []
+
+
+def test_related_route(client):
+    """/related returns [term, n_tu, pmi] sorted by pmi desc; the
+    target term itself never appears."""
+    r = client.get("/related", query_string={"term": "index"})
+    assert r.status_code == 200
+    body = r.get_json()
+    assert body and all(len(row) == 3 for row in body)
+    assert "index" not in {row[0] for row in body}
+    pmis = [row[2] for row in body]
+    assert pmis == sorted(pmis, reverse=True)
+
+
+def test_facets_route(client):
+    """/facets returns [value, n_docs] count-descending over the
+    OR-match set of the query."""
+    r = client.get("/facets", query_string={"query": QUERY, "facet": "lang"})
+    assert r.status_code == 200
+    body = r.get_json()
+    assert body and all(len(row) == 2 for row in body)
+    counts = [row[1] for row in body]
+    assert counts == sorted(counts, reverse=True)
+    assert all(c > 0 for c in counts)
