@@ -29,6 +29,9 @@ import os
 CEILING_GATE = float(os.environ.get("WATCH_GATE", "0.85"))
 PROBE_SLEEP = int(os.environ.get("WATCH_SLEEP", "480"))
 DEADLINE_H = float(os.environ.get("WATCH_DEADLINE_H", "5.0"))
+PAIR = os.environ.get("WATCH_PAIR", "4,16")  # N,4N — e.g. 2,8 on boots
+# whose scheduler saturates past 8 runnable JVM threads (r3 findings)
+SHARDS = os.environ.get("WATCH_SHARDS", "256")
 LOG = pathlib.Path("/tmp/scaling_watch.log")
 
 
@@ -42,7 +45,8 @@ def log(msg: str) -> None:
 def probe() -> float:
     from scripts.bench_scaling import mp_ceiling
 
-    return mp_ceiling(4, 16, n_docs=120_000)["ceiling_eff"]
+    lo, hi = (int(x) for x in PAIR.split(","))
+    return mp_ceiling(lo, hi, n_docs=120_000)["ceiling_eff"]
 
 
 def other_spark_running() -> bool:
@@ -61,7 +65,7 @@ def other_spark_running() -> bool:
 def full_run() -> dict | None:
     proc = subprocess.run(
         [sys.executable, "scripts/bench_scaling.py", "--docs", "1200000",
-         "--shards", "256", "--pair", "4,16", "--repeats", "2"],
+         "--shards", SHARDS, "--pair", PAIR, "--repeats", "2"],
         cwd=REPO, capture_output=True, text=True, timeout=5400,
     )
     for ln in reversed(proc.stdout.splitlines()):
