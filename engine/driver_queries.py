@@ -641,6 +641,50 @@ def _q_bm25_compacted_indexed(spark, sf_dir):
     )
 
 
+def _streamed_reader(spark: SparkSession, sf_dir: str):
+    """Driver-proven STREAMING INGESTION (engine/streaming.py): the
+    corpus lands as 3 parquet drops, a Structured Streaming file source
+    drains them through foreachBatch delta segments + K-way merge, and
+    the served index must be indistinguishable from a batch build —
+    the oracle is the ordinary full-corpus BM25 SQL."""
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from .streaming import StreamingIndexWriter, corpus_stream, stream_ingest
+
+    ensure_importable(spark)
+    key = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    root = os.path.join(_DRIVER_CACHE, f"index_stream_{key}")
+    if os.path.exists(os.path.join(root, "CURRENT")):
+        r = StreamingIndexWriter(spark, root).reader()
+        if r is not None and r.manifest["stages"].get("complete") == "done":
+            return r
+    shutil.rmtree(root, ignore_errors=True)
+    src = os.path.join(root, "source")
+    os.makedirs(src)
+    corpus = documents_as_corpus(spark, sf_dir).withColumn(
+        "content_sha256", F.sha2(F.col("content"), 256)
+    )
+    for i in range(3):
+        pdf = corpus.where(F.col("doc_id") % 3 == i).toPandas()
+        pq.write_table(
+            pa.Table.from_pandas(pdf, preserve_index=False),
+            os.path.join(src, f"chunk{i}.parquet"),
+        )
+    w = stream_ingest(
+        spark, corpus_stream(spark, src), root, use_stem=False, n_shards=8
+    )
+    return w.reader()
+
+
+def _q_bm25_streamed_indexed(spark, sf_dir):
+    return _streamed_reader(spark, sf_dir).bm25_topk(
+        FIXED_QUERIES["q_multi"], K, prune=True, round_scores=ROUND
+    )
+
+
 def _docs(spark, sf_dir):
     """Raw documents table with doc_id + text → corpus-ish frame used by
     the text/dedup operators (they tokenize via the JVM regex path)."""
@@ -913,6 +957,8 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # delete/compact lifecycle driver-proven (engine/compact.py)
     out["bm25_deleted_indexed"] = _q_bm25_deleted_indexed
     out["bm25_compacted_indexed"] = _q_bm25_compacted_indexed
+    # streaming ingestion driver-proven (engine/streaming.py)
+    out["bm25_streamed_indexed"] = _q_bm25_streamed_indexed
     return out
 
 
@@ -1073,4 +1119,6 @@ def oracle_sqls() -> dict[str, str]:
     out["bm25_compacted_indexed"] = _bm25_sql(
         FIXED_QUERIES["q_multi"], corpus_where=LIVE_WHERE
     )
+    # streamed ingestion == batch build, so the plain BM25 oracle binds
+    out["bm25_streamed_indexed"] = _bm25_sql(FIXED_QUERIES["q_multi"])
     return out
