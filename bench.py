@@ -162,6 +162,8 @@ def main() -> None:
             "related_terms",
             "more_like_this",
             "facet_counts_lang",
+            "sessionize_events",
+            "stream_window_counts",
         ):
             t = time.perf_counter()
             dq.spark_queries()[name](spark, sf_dir).count()

@@ -15,6 +15,7 @@ values AND equal rank columns).
 
 from __future__ import annotations
 
+import glob
 import os
 from collections import Counter
 from collections.abc import Callable
@@ -685,6 +686,86 @@ def _q_bm25_streamed_indexed(spark, sf_dir):
     )
 
 
+def _events_stream_src(spark: SparkSession, sf_dir: str) -> str:
+    """events.parquet split into 3 micro-batch drop files (cached)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    key = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    src = os.path.join(_DRIVER_CACHE, f"events_stream_{key}")
+    if len(glob.glob(os.path.join(src, "*.parquet"))) == 3:
+        return src
+    os.makedirs(src, exist_ok=True)
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    for i in range(3):
+        pdf = ev.where(F.col("event_id") % 3 == i).toPandas()
+        # pandas timestamps are ns; Spark's parquet reader rejects
+        # TIMESTAMP(NANOS) — write micros like every other writer here
+        pq.write_table(
+            pa.Table.from_pandas(pdf, preserve_index=False),
+            os.path.join(src, f"drop{i}.parquet"),
+            coerce_timestamps="us",
+            allow_truncated_timestamps=True,
+        )
+    return src
+
+
+def _q_stream_window_counts(spark, sf_dir):
+    """Watermarked tumbling-window rollup DRAINED THROUGH STRUCTURED
+    STREAMING (3 micro-batches, complete-mode memory sink) — must equal
+    DuckDB's batch aggregation over the same events."""
+    from .streaming import stream_window_counts
+
+    ensure_importable(spark)
+    key = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    return stream_window_counts(
+        spark, _events_stream_src(spark, sf_dir),
+        query_name=f"swc_{key}".replace(".", "_"),
+    )
+
+
+def _q_sessionize_events(spark, sf_dir):
+    from .streaming import sessionize_events
+
+    ensure_importable(spark)
+    return sessionize_events(spark.read.parquet(f"{sf_dir}/events.parquet"))
+
+
+def stream_window_counts_sql() -> str:
+    """DuckDB mirror of engine/streaming.windowed_event_counts —
+    1970-aligned 1-hour buckets as epoch seconds."""
+    return f"""
+SELECT CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS window_start,
+       event_type,
+       count(*)::BIGINT AS n_events,
+       round(sum(value), {ROUND}) AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
+
+def sessionize_sql(gap_minutes: int = 30) -> str:
+    """DuckDB mirror of engine/streaming.sessionize_events — lag-gap
+    break flags + running-sum session numbering."""
+    gap = gap_minutes * 60
+    return f"""
+WITH e AS (
+  SELECT user_id, event_id, ts, value,
+         CAST(floor(epoch(ts)) AS BIGINT) AS tsec,
+         CASE WHEN CAST(floor(epoch(ts)) AS BIGINT)
+                   - lag(CAST(floor(epoch(ts)) AS BIGINT))
+                     OVER (PARTITION BY user_id ORDER BY ts, event_id) > {gap}
+              THEN 1 ELSE 0 END AS brk
+  FROM events
+),
+s AS (SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS session_no
+      FROM e)
+SELECT user_id, min(tsec) AS session_start, max(tsec) AS session_end,
+       count(*)::BIGINT AS n_events, round(sum(value), {ROUND}) AS sum_value
+FROM s GROUP BY user_id, session_no
+"""
+
+
 def _docs(spark, sf_dir):
     """Raw documents table with doc_id + text → corpus-ish frame used by
     the text/dedup operators (they tokenize via the JVM regex path)."""
@@ -959,6 +1040,9 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["bm25_compacted_indexed"] = _q_bm25_compacted_indexed
     # streaming ingestion driver-proven (engine/streaming.py)
     out["bm25_streamed_indexed"] = _q_bm25_streamed_indexed
+    # streaming analytics: watermarked window agg + sessionization
+    out["stream_window_counts"] = _q_stream_window_counts
+    out["sessionize_events"] = _q_sessionize_events
     return out
 
 
@@ -1121,4 +1205,6 @@ def oracle_sqls() -> dict[str, str]:
     )
     # streamed ingestion == batch build, so the plain BM25 oracle binds
     out["bm25_streamed_indexed"] = _bm25_sql(FIXED_QUERIES["q_multi"])
+    out["stream_window_counts"] = stream_window_counts_sql()
+    out["sessionize_events"] = sessionize_sql()
     return out

@@ -198,6 +198,209 @@ def corpus_stream(
     )
 
 
+def windowed_event_counts(
+    events: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "10 minutes",
+    *,
+    round_scores: int = 6,
+) -> DataFrame:
+    """Tumbling-window per-type event rollup — the canonical
+    watermarked streaming aggregation, written once for BOTH engines:
+    on a streaming frame the watermark bounds state (late events
+    beyond it are dropped and window state is evicted); on a batch
+    frame the same expression is the oracle path. Columns:
+    (window_start epoch-seconds, event_type, n_events, sum_value) —
+    epoch seconds because Spark's window() and DuckDB's time_bucket
+    agree on 1970-aligned buckets, and an integer key hashes
+    identically cross-engine. DuckDB mirror:
+    engine/driver_queries.stream_window_counts_sql."""
+    # parquet naive timestamps read as TIMESTAMP_NTZ in Spark 4, which
+    # neither window().start.cast(long) nor epoch math accepts — pin to
+    # TIMESTAMP via the session TZ (UTC), matching DuckDB's epoch(ts)
+    events = events.withColumn("ts", F.col("ts").cast("timestamp"))
+    ev = events.withWatermark("ts", watermark) if events.isStreaming else events
+    return (
+        ev.groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), round_scores).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").cast("long").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def stream_window_counts(
+    spark: SparkSession,
+    source_dir: str,
+    *,
+    window: str = "1 hour",
+    watermark: str = "10 minutes",
+    files_per_batch: int = 1,
+    query_name: str = "stream_window_counts",
+) -> DataFrame:
+    """Drain a file-source event stream through the watermarked
+    windowed aggregation into a memory sink (complete mode — the drain
+    mode where every window is emitted, so the result must equal the
+    batch aggregation over the same files; append mode would hold back
+    windows the watermark hasn't passed, the steady-state serving
+    shape). Returns the final table."""
+    schema = spark.read.parquet(source_dir).schema
+    ev = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", files_per_batch)
+        .parquet(source_dir)
+    )
+    agg = windowed_event_counts(ev, window, watermark)
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(query_name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(query_name)
+
+
+SESSION_GAP_MIN = 30
+
+
+def sessionize_events(
+    events: DataFrame, *, gap_minutes: int = SESSION_GAP_MIN,
+    round_scores: int = 6,
+) -> DataFrame:
+    """Per-user session rollup, batch path: a session is a maximal run
+    of one user's events with consecutive gaps <= gap_minutes (classic
+    web-analytics sessionization). Expressed with window functions —
+    lag(ts) per user flags session breaks, a running sum of the flags
+    numbers sessions, one groupBy rolls them up. Scale shape: both
+    windows and the final groupBy share the user_id hash partitioning,
+    so the whole op is ONE exchange of the event stream; no driver
+    state. Columns: (user_id, session_start epoch-s, session_end
+    epoch-s, n_events, sum_value). DuckDB mirror:
+    engine/driver_queries.sessionize_sql. Streaming twin:
+    sessionize_stream (applyInPandasWithState) — emits the SAME rows
+    for closed sessions, pytest-parity-tested."""
+    from pyspark.sql import Window
+
+    events = events.withColumn("ts", F.col("ts").cast("timestamp"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.lit(gap_minutes * 60)
+    brk = (
+        F.when(
+            F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+            > gap,
+            1,
+        )
+        .otherwise(0)
+        .alias("brk")
+    )
+    sess = F.sum("brk").over(
+        Window.partitionBy("user_id").orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        events.select("user_id", "ts", "event_id", "value", brk)
+        .withColumn("session_no", sess)
+        .groupBy("user_id", "session_no")
+        .agg(
+            F.min(F.col("ts").cast("long")).alias("session_start"),
+            F.max(F.col("ts").cast("long")).alias("session_end"),
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), round_scores).alias("sum_value"),
+        )
+        .select("user_id", "session_start", "session_end", "n_events", "sum_value")
+    )
+
+
+def sessionize_stream(
+    spark: SparkSession,
+    source_dir: str,
+    *,
+    gap_minutes: int = SESSION_GAP_MIN,
+    files_per_batch: int = 1,
+    query_name: str = "stream_sessions",
+    round_scores: int = 6,
+) -> DataFrame:
+    """Streaming sessionization via applyInPandasWithState — the
+    custom-stateful-operator escape hatch for semantics window
+    functions can't express incrementally. State per user = the open
+    session (start, last_ts, n, sum); a batch's events extend it or
+    close it (gap > gap_minutes) and CLOSED sessions are emitted.
+    Sessions still open when the drain ends stay in state — exactly a
+    production stream's behavior, where they'd close via timeout — so
+    parity with the batch path holds on the closed prefix
+    (tests/test_streaming.py pins it). Requires event-time order
+    WITHIN a batch per user (sorted in the kernel) and batches in
+    event-time order across files (the file source's mtime order —
+    true for hourly drops)."""
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = (
+        "user_id long, session_start long, session_end long, "
+        "n_events long, sum_value double"
+    )
+    state_schema = "start long, last long, n long, total double"
+    gap = gap_minutes * 60
+
+    def kernel(key, pdfs, state: GroupState):
+        (uid,) = key
+        closed = []
+        if state.exists:
+            start, last, n, total = state.get
+        else:
+            start = None
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["ts", "event_id"])
+            for ts, val in zip(
+                pdf["ts"].astype("int64") // 10**9, pdf["value"]
+            ):
+                ts = int(ts)
+                if start is None:
+                    start, last, n, total = ts, ts, 1, float(val)
+                elif ts - last > gap:
+                    closed.append((uid, start, last, n, round(total, round_scores)))
+                    start, last, n, total = ts, ts, 1, float(val)
+                else:
+                    last, n, total = ts, n + 1, total + float(val)
+        if start is not None:
+            state.update((start, last, n, total))
+        yield pd.DataFrame(
+            closed,
+            columns=["user_id", "session_start", "session_end",
+                     "n_events", "sum_value"],
+        )
+
+    schema = spark.read.parquet(source_dir).schema
+    ev = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", files_per_batch)
+        .parquet(source_dir)
+    )
+    q = (
+        ev.groupBy("user_id")
+        .applyInPandasWithState(
+            kernel, out_schema, state_schema, "append",
+            GroupStateTimeout.NoTimeout,
+        )
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName(query_name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(query_name)
+
+
 def stream_ingest(
     spark: SparkSession,
     stream_df: DataFrame,

@@ -107,6 +107,90 @@ def test_checkpoint_resume_picks_up_only_new_files(spark, chunks, drained,
     assert _blocks_set(w.reader()) == _blocks_set(full)
 
 
+def _events_con():
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM '{SF}/events.parquet'"
+    )
+    return con
+
+
+def test_stream_window_counts_matches_duckdb(spark, tmp_path_factory):
+    """Watermarked tumbling-window agg drained through a 3-batch file
+    stream (complete mode) == DuckDB's batch aggregation."""
+    from engine.driver_queries import stream_window_counts_sql
+    from engine.streaming import stream_window_counts
+
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    src = tmp_path_factory.mktemp("ev_src")
+    for i in range(3):
+        pdf = ev.where(F.col("event_id") % 3 == i).toPandas()
+        pq.write_table(pa.Table.from_pandas(pdf, preserve_index=False),
+                       str(src / f"drop{i}.parquet"),
+                       coerce_timestamps="us",
+                       allow_truncated_timestamps=True)
+    got = {
+        tuple(r)
+        for r in stream_window_counts(
+            spark, str(src), query_name="t_swc"
+        ).collect()
+    }
+    want = {
+        (int(a), b, int(c), float(d))
+        for a, b, c, d in _events_con()
+        .execute(stream_window_counts_sql())
+        .fetchall()
+    }
+    assert got == want and len(got) > 0
+
+
+def test_sessionize_matches_duckdb(spark):
+    from engine.driver_queries import sessionize_sql
+    from engine.streaming import sessionize_events
+
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    got = {tuple(r) for r in sessionize_events(ev).collect()}
+    want = {
+        (int(a), int(b), int(c), int(d), float(e))
+        for a, b, c, d, e in _events_con().execute(sessionize_sql()).fetchall()
+    }
+    assert got == want and len(got) > 0
+
+
+def test_sessionize_stream_emits_closed_sessions(spark, tmp_path_factory):
+    """applyInPandasWithState sessionization over time-ordered drops
+    emits EXACTLY the batch sessions minus each user's final (still
+    open) one."""
+    from engine.streaming import sessionize_events, sessionize_stream
+
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    pdf = ev.toPandas().sort_values("ts", ignore_index=True)
+    src = tmp_path_factory.mktemp("ev_ts_src")
+    n = len(pdf)
+    for i in range(3):
+        part = pdf.iloc[i * n // 3 : (i + 1) * n // 3]
+        pq.write_table(pa.Table.from_pandas(part, preserve_index=False),
+                       str(src / f"drop{i}.parquet"),
+                       coerce_timestamps="us",
+                       allow_truncated_timestamps=True)
+    streamed = {
+        tuple(r)
+        for r in sessionize_stream(
+            spark, str(src), query_name="t_sess"
+        ).collect()
+    }
+    batch = [tuple(r) for r in sessionize_events(ev).collect()]
+    last_per_user = {}
+    for row in batch:
+        uid, start = row[0], row[1]
+        if uid not in last_per_user or start > last_per_user[uid][1]:
+            last_per_user[uid] = row
+    want = set(batch) - set(last_per_user.values())
+    assert streamed == want
+
+
 def test_merge_every_batches_segments(spark, chunks, tmp_path_factory):
     """merge_every=2: segments accumulate and fold in K-way passes;
     after flush the index still equals the batch build."""
