@@ -59,7 +59,15 @@ def child(args) -> None:
     spark = get_spark(
         f"scaling_{cores}",
         cores=cores,
-        extra_conf={"spark.local.dir": local_dir},
+        extra_conf={
+            "spark.local.dir": local_dir,
+            # Spark bin-packs small input files up to maxPartitionBytes
+            # per split: at the 128m default the ~540 MB corpus scans
+            # ~5-wide no matter how many files it has, starving the
+            # wide level's first stage. 16m ≈ 34 splits — proportional
+            # parallelism at every level in the pair.
+            "spark.sql.files.maxPartitionBytes": "16m",
+        },
     )
     corpus = with_identity(read_corpus(spark, args.corpus))
     n_docs = corpus.count()  # warm the scan outside the timed window
@@ -181,13 +189,24 @@ def main() -> None:
     d = _shm_dir("scaling_corpus")
     corpus_path = os.path.join(d, "corpus.parquet")
     print(f"generating {args.docs} docs ...", flush=True)
-    # row_group_size keeps the file splittable — pyarrow's default (1M
-    # rows) would hand Spark a single unsplittable row group
-    pq.write_table(
-        pa.Table.from_pandas(gen_corpus(args.docs), preserve_index=False),
-        corpus_path,
-        row_group_size=4096,
-    )
+    # Write the corpus as MANY files (a 1.2M-doc corpus is ~540 MB; one
+    # file = ~5 scan splits at the 128 MB default, so the scan +
+    # shuffle-write stage of the build — fingerprint, identity hash,
+    # corpus exchange — ran ~5-wide regardless of cores, capping the
+    # wide level. Real 100 TB inputs are thousands of files; 64 files
+    # restores input parallelism at every level we measure.)
+    os.makedirs(corpus_path, exist_ok=True)
+    pdf = gen_corpus(args.docs)
+    n_files = 64
+    step = (len(pdf) + n_files - 1) // n_files
+    for i in range(n_files):
+        part = pdf.iloc[i * step:(i + 1) * step]
+        if len(part):
+            pq.write_table(
+                pa.Table.from_pandas(part, preserve_index=False),
+                os.path.join(corpus_path, f"part-{i:03d}.parquet"),
+                row_group_size=4096,
+            )
 
     lo, hi = (int(x) for x in args.pair.split(","))
     assert hi == 4 * lo, "pair must be N,4N"

@@ -32,6 +32,9 @@ DEADLINE_H = float(os.environ.get("WATCH_DEADLINE_H", "5.0"))
 PAIR = os.environ.get("WATCH_PAIR", "4,16")  # N,4N — e.g. 2,8 on boots
 # whose scheduler saturates past 8 runnable JVM threads (r3 findings)
 SHARDS = os.environ.get("WATCH_SHARDS", "256")
+# min-per-level over more repeats dodges one-sided steal bursts (the
+# 23:31 run lost 0.08 efficiency to a single slow 8-core rep)
+REPEATS = os.environ.get("WATCH_REPEATS", "2")
 LOG = pathlib.Path("/tmp/scaling_watch.log")
 
 
@@ -65,7 +68,7 @@ def other_spark_running() -> bool:
 def full_run() -> dict | None:
     proc = subprocess.run(
         [sys.executable, "scripts/bench_scaling.py", "--docs", "1200000",
-         "--shards", SHARDS, "--pair", PAIR, "--repeats", "2"],
+         "--shards", SHARDS, "--pair", PAIR, "--repeats", REPEATS],
         cwd=REPO, capture_output=True, text=True, timeout=5400,
     )
     for ln in reversed(proc.stdout.splitlines()):
