@@ -696,13 +696,14 @@ def _events_stream_src(spark: SparkSession, sf_dir: str) -> str:
     if len(glob.glob(os.path.join(src, "*.parquet"))) == 3:
         return src
     os.makedirs(src, exist_ok=True)
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    # pure-pyarrow split (no Spark jobs): one read, three slices.
+    # coerce to micros — Spark's parquet reader rejects TIMESTAMP(NANOS)
+    tbl = pq.read_table(f"{sf_dir}/events.parquet")
+    pdf = tbl.to_pandas()
     for i in range(3):
-        pdf = ev.where(F.col("event_id") % 3 == i).toPandas()
-        # pandas timestamps are ns; Spark's parquet reader rejects
-        # TIMESTAMP(NANOS) — write micros like every other writer here
+        part = pdf[pdf["event_id"] % 3 == i]
         pq.write_table(
-            pa.Table.from_pandas(pdf, preserve_index=False),
+            pa.Table.from_pandas(part, preserve_index=False),
             os.path.join(src, f"drop{i}.parquet"),
             coerce_timestamps="us",
             allow_truncated_timestamps=True,
