@@ -1,11 +1,12 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
 Backed by engine/driver_queries.py: each `queries()` entry is an
-operator from SURVEY.md §2 expressed over the driver `documents`
-testdata (adapter: FIXTURES.md §4), paired with DuckDB oracle SQL in
-`oracle_sql()` where the semantics are ANSI-SQL-expressible
-(unstemmed tokenizer path; stemmed variants are rows-only and are
-rank-identity-tested against the in-repo oracle in pytest).
+operator from SURVEY.md §2 expressed over the driver `documents` /
+`events` / `embeddings` testdata (adapter: FIXTURES.md §4), paired
+with DuckDB oracle SQL in `oracle_sql()` — ALL entries carry an
+oracle (stemmed variants via the generated SQL Porter stemmer,
+engine/porter_sql.py; streaming entries drain Structured Streaming
+micro-batches and compare against DuckDB's batch aggregation).
 """
 
 from __future__ import annotations

@@ -61,6 +61,11 @@ def child(args) -> None:
         cores=cores,
         extra_conf={
             "spark.local.dir": local_dir,
+            # size GC/compiler/netty pools for the pinned cpuset, not
+            # the host's 32 vCPUs (a 2-cpu cpuset with 23 GC threads
+            # thrashes; a containerized executor JVM sees this value
+            # from its cgroup automatically)
+            "spark.driver.extraJavaOptions": f"-XX:ActiveProcessorCount={cores}",
             # Spark bin-packs small input files up to maxPartitionBytes
             # per split: at the 128m default the ~540 MB corpus scans
             # ~5-wide no matter how many files it has, starving the
@@ -112,13 +117,22 @@ def child(args) -> None:
 def run_child(cores: int, corpus_path: str, shards: int, chunks: int) -> dict:
     env = dict(os.environ)
     env["SPARK_DRIVER_MEM"] = f"{cores}g"  # heap scales with cores, like a cluster
+    # Pin the whole child tree (JVM task threads + GC/netty pools +
+    # Python workers) to exactly `cores` CPUs — the cpuset a cluster
+    # container gives an N-core executor. Without it local[N] leaks
+    # extra parallelism into the narrow baseline (measured: the
+    # "local[2]" child consumed 2.6-3 cores steady, 5.6 peak, because
+    # 2 task threads pipeline with 2 Python workers + GC), which
+    # violates the N-vs-4N premise the north rule measures.
+    cmd = [
+        sys.executable, os.path.abspath(__file__),
+        "--child", "--cores", str(cores), "--corpus", corpus_path,
+        "--shards", str(shards), "--chunks", str(chunks),
+    ]
+    if shutil.which("taskset"):
+        cmd = ["taskset", "-c", f"0-{cores - 1}"] + cmd
     proc = subprocess.run(
-        [
-            sys.executable, os.path.abspath(__file__),
-            "--child", "--cores", str(cores), "--corpus", corpus_path,
-            "--shards", str(shards), "--chunks", str(chunks),
-        ],
-        env=env, cwd=REPO, capture_output=True, text=True, timeout=3600,
+        cmd, env=env, cwd=REPO, capture_output=True, text=True, timeout=3600,
     )
     for ln in proc.stdout.splitlines():
         if ln.startswith("CHILD_RESULT "):

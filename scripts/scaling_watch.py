@@ -71,6 +71,9 @@ def full_run() -> dict | None:
          "--shards", SHARDS, "--pair", PAIR, "--repeats", REPEATS],
         cwd=REPO, capture_output=True, text=True, timeout=5400,
     )
+    with open("/tmp/scaling_watch_runs.log", "a") as f:
+        f.write(f"===== run @ {time.strftime('%H:%M:%S')} =====\n")
+        f.write(proc.stdout + "\n")
     for ln in reversed(proc.stdout.splitlines()):
         if ln.startswith("{"):
             return json.loads(ln)
