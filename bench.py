@@ -148,6 +148,8 @@ def main() -> None:
         for name in (
             "minhash_candidate_pairs",
             "simhash_dup_pairs",
+            "dedup_canonical",
+            "stratified_sample_lang",
             "ann_cosine_topk",
             "ann_ivf_topk",
             "tfidf_cosine_topk",

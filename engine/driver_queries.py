@@ -825,6 +825,40 @@ def _q_minhash_pairs(spark, sf_dir):
     return minhash_candidate_pairs(_docs(spark, sf_dir))
 
 
+def _q_dup_clusters(spark, sf_dir):
+    from .cluster import dup_clusters
+    from .dedup import minhash_candidate_pairs
+
+    docs = _docs(spark, sf_dir)
+    return dup_clusters(docs, minhash_candidate_pairs(docs))
+
+
+def _q_dedup_canonical(spark, sf_dir):
+    from .cluster import dedup_canonical, dup_clusters
+    from .dedup import minhash_candidate_pairs
+
+    docs = _docs(spark, sf_dir)
+    return dedup_canonical(docs, dup_clusters(docs, minhash_candidate_pairs(docs)))
+
+
+def _q_hash_sample(spark, sf_dir):
+    from .io import normalize_splits
+    from .sampling import hash_sample
+
+    ensure_importable(spark)
+    d = normalize_splits(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+    return hash_sample(d.select("doc_id", "lang"), 10)
+
+
+def _q_stratified_sample(spark, sf_dir):
+    from .io import normalize_splits
+    from .sampling import stratified_sample
+
+    ensure_importable(spark)
+    d = normalize_splits(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+    return stratified_sample(d.select("doc_id", "lang"), 20)
+
+
 def _q_simhash(spark, sf_dir):
     from .dedup import simhash
 
@@ -977,6 +1011,10 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_pairs": _q_jaccard,
         "minhash_signatures": _q_minhash_sig,
         "minhash_candidate_pairs": _q_minhash_pairs,
+        "dup_clusters": _q_dup_clusters,
+        "dedup_canonical": _q_dedup_canonical,
+        "hash_sample": _q_hash_sample,
+        "stratified_sample_lang": _q_stratified_sample,
         "simhash": _q_simhash,
         "simhash_dup_pairs": _q_simhash_pairs,
         "ann_cosine_topk": _q_ann_cosine,
@@ -1071,6 +1109,7 @@ def oracle_sqls() -> dict[str, str]:
             "FROM documents WHERE lang = 'en'"
         ),
     }
+    from .cluster import dedup_canonical_sql, dup_clusters_sql
     from .dedup import (
         exact_dedup_sql,
         minhash_candidate_pairs_sql,
@@ -1079,6 +1118,7 @@ def oracle_sqls() -> dict[str, str]:
         simhash_dup_pairs_sql,
         simhash_sql,
     )
+    from .sampling import hash_sample_sql, stratified_sample_sql
     from .multimodal import (
         frames_sql,
         media_features_sql,
@@ -1110,6 +1150,10 @@ def oracle_sqls() -> dict[str, str]:
             "ngram_jaccard_pairs": ngram_jaccard_pairs_sql(),
             "minhash_signatures": minhash_signatures_sql(),
             "minhash_candidate_pairs": minhash_candidate_pairs_sql(),
+            "dup_clusters": dup_clusters_sql(),
+            "dedup_canonical": dedup_canonical_sql(),
+            "hash_sample": hash_sample_sql(10),
+            "stratified_sample_lang": stratified_sample_sql(20),
             "simhash": simhash_sql(),
             "simhash_dup_pairs": simhash_dup_pairs_sql(),
             "ann_cosine_topk": cosine_topk_sql(),

@@ -1,0 +1,108 @@
+"""dup_clusters / dedup_canonical (engine/cluster.py) and deterministic
+sampling (engine/sampling.py): semantics, convergence discipline, and
+the plan shapes the 100 TB story depends on."""
+
+import contextlib
+import io
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def plan_of(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def n_ops(plan: str, op: str) -> int:
+    return len(re.findall(rf"^\(\d+\) {op}", plan, flags=re.M))
+
+
+def _corpus(spark, ids_and_text):
+    return spark.createDataFrame(
+        [(i, t) for i, t in ids_and_text], "doc_id long, content string"
+    )
+
+
+def _pairs(spark, pairs):
+    return spark.createDataFrame(
+        [(a, b) for a, b in pairs], "doc_a long, doc_b long"
+    )
+
+
+def test_chain_collapses_to_min_label(spark):
+    from engine.cluster import dup_clusters
+
+    # a 5-node path (diameter 4) + an isolated doc + a separate pair
+    corpus = _corpus(spark, [(i, f"d{i}") for i in range(1, 9)])
+    pairs = _pairs(spark, [(1, 2), (2, 3), (3, 4), (4, 5), (7, 8)])
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in dup_clusters(corpus, pairs).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 6: 6, 7: 7, 8: 7}
+
+
+def test_round_cap_raises_instead_of_truncating(spark):
+    from engine.cluster import dup_clusters
+
+    corpus = _corpus(spark, [(i, f"d{i}") for i in range(1, 7)])
+    pairs = _pairs(spark, [(1, 2), (2, 3), (3, 4), (4, 5), (5, 6)])
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dup_clusters(corpus, pairs, max_rounds=2)
+
+
+def test_canonical_longest_then_smallest_id(spark):
+    from engine.cluster import dedup_canonical, dup_clusters
+
+    corpus = _corpus(
+        spark,
+        [(1, "aaaa"), (2, "aaaaaaaa"), (3, "aaaaaaaa"), (4, "zz"), (5, "q")],
+    )
+    pairs = _pairs(spark, [(1, 2), (2, 3)])
+    clusters = dup_clusters(corpus, pairs)
+    rows = dedup_canonical(corpus, clusters).collect()
+    assert len(rows) == 1  # singletons excluded
+    r = rows[0]
+    # docs 2 and 3 tie on length 8 -> smallest doc_id wins
+    assert (r["cluster_id"], r["canonical_doc_id"], r["n_members"]) == (1, 2, 3)
+
+
+def test_hash_sample_is_pure_pushed_filter(spark):
+    from engine.sampling import hash_sample
+
+    df = spark.range(0, 1000).select(F.col("id").alias("doc_id"))
+    sampled = hash_sample(df, 10)
+    p = plan_of(sampled)
+    assert "Exchange" not in p, p
+    n = sampled.count()
+    assert 50 <= n <= 160  # ~10% of 1000, deterministic
+    # join-stable: re-evaluation yields the identical membership
+    a = {r["doc_id"] for r in sampled.collect()}
+    b = {r["doc_id"] for r in hash_sample(df, 10).collect()}
+    assert a == b
+
+
+def test_stratified_sample_exact_n_one_exchange(spark):
+    from engine.sampling import stratified_sample
+
+    df = spark.createDataFrame(
+        [(i, "en" if i % 3 else "fr") for i in range(90)],
+        "doc_id long, lang string",
+    )
+    out = stratified_sample(df, 5, by="lang")
+    p = plan_of(out)
+    assert n_ops(p, "Exchange") == 1, p
+    # the rank cut is pushed below the shuffle as a group-limit
+    assert "WindowGroupLimit" in p, p
+    rows = out.collect()
+    per = {}
+    for r in rows:
+        per.setdefault(r["lang"], []).append(r["sample_rank"])
+    assert {k: sorted(v) for k, v in per.items()} == {
+        "en": [1, 2, 3, 4, 5],
+        "fr": [1, 2, 3, 4, 5],
+    }
