@@ -149,6 +149,8 @@ def main() -> None:
             "minhash_candidate_pairs",
             "simhash_dup_pairs",
             "dedup_canonical",
+            "clean_corpus",
+            "token_pack",
             "stratified_sample_lang",
             "ann_cosine_topk",
             "ann_ivf_topk",

@@ -121,6 +121,37 @@ def dedup_canonical(corpus: DataFrame, clusters: DataFrame) -> DataFrame:
     )
 
 
+def clean_corpus(corpus: DataFrame, *, min_quality: float = 0.15) -> DataFrame:
+    """(doc_id, cluster_id, quality): the composed KEEP decision a
+    training-data pipeline materializes — near-dup dedup (keep each
+    cluster's canonical doc: longest, then smallest doc_id; singletons
+    keep themselves) AND a quality floor (engine/textops.quality_score
+    ≥ min_quality — 0.15 ≈ the synthetic corpus median). Chains dup_clusters over the MinHash-LSH pair
+    stream, the canonical argmax (map-side-combined max(struct)), and
+    the quality join — every stage is the already-plan-audited shape of
+    its standalone operator."""
+    from .dedup import minhash_candidate_pairs
+    from .textops import quality_score
+
+    clusters = dup_clusters(corpus, minhash_candidate_pairs(corpus))
+    sized = clusters.join(
+        corpus.select("doc_id", F.length("content").alias("len")), "doc_id"
+    )
+    canon = (
+        sized.groupBy("cluster_id")
+        .agg(F.max(F.struct("len", (-F.col("doc_id")).alias("nid"))).alias("m"))
+        .select("cluster_id", (-F.col("m.nid")).alias("canonical_doc_id"))
+    )
+    q = quality_score(corpus).select("doc_id", "quality")
+    return (
+        clusters.join(canon, "cluster_id")
+        .where(F.col("doc_id") == F.col("canonical_doc_id"))
+        .join(q, "doc_id")
+        .where(F.col("quality") >= min_quality)
+        .select("doc_id", "cluster_id", "quality")
+    )
+
+
 # ------------------------------------------------------------------ SQL
 # DuckDB mirrors. The edge set is the SAME SQL the minhash_candidate_pairs
 # driver entry uses, so the oracle clusters exactly the pairs the engine
@@ -148,6 +179,29 @@ def dup_clusters_sql() -> str:
     return f"""
 WITH RECURSIVE {_closure_ctes()}
 SELECT doc_id, cluster_id FROM clus
+"""
+
+
+def clean_corpus_sql(*, min_quality: float = 0.15) -> str:
+    from .textops import quality_score_sql
+
+    qsql = quality_score_sql().strip().rstrip(";")
+    return f"""
+WITH RECURSIVE {_closure_ctes()},
+canon AS (
+  SELECT cluster_id, doc_id AS canonical_doc_id FROM (
+    SELECT c.cluster_id, c.doc_id,
+           row_number() OVER (PARTITION BY c.cluster_id
+                              ORDER BY length(d.text) DESC, c.doc_id ASC) AS rn
+    FROM clus c JOIN documents d ON d.doc_id = c.doc_id
+  ) WHERE rn = 1
+),
+q AS ({qsql})
+SELECT c.doc_id, c.cluster_id, q.quality
+FROM clus c
+JOIN canon n ON n.cluster_id = c.cluster_id AND n.canonical_doc_id = c.doc_id
+JOIN q ON q.doc_id = c.doc_id
+WHERE q.quality >= {min_quality}
 """
 
 

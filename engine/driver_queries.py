@@ -841,6 +841,18 @@ def _q_dedup_canonical(spark, sf_dir):
     return dedup_canonical(docs, dup_clusters(docs, minhash_candidate_pairs(docs)))
 
 
+def _q_clean_corpus(spark, sf_dir):
+    from .cluster import clean_corpus
+
+    return clean_corpus(_docs(spark, sf_dir))
+
+
+def _q_token_pack(spark, sf_dir):
+    from .sampling import token_pack
+
+    return token_pack(_docs(spark, sf_dir))
+
+
 def _q_hash_sample(spark, sf_dir):
     from .io import normalize_splits
     from .sampling import hash_sample
@@ -1013,6 +1025,8 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_candidate_pairs": _q_minhash_pairs,
         "dup_clusters": _q_dup_clusters,
         "dedup_canonical": _q_dedup_canonical,
+        "clean_corpus": _q_clean_corpus,
+        "token_pack": _q_token_pack,
         "hash_sample": _q_hash_sample,
         "stratified_sample_lang": _q_stratified_sample,
         "simhash": _q_simhash,
@@ -1109,7 +1123,7 @@ def oracle_sqls() -> dict[str, str]:
             "FROM documents WHERE lang = 'en'"
         ),
     }
-    from .cluster import dedup_canonical_sql, dup_clusters_sql
+    from .cluster import clean_corpus_sql, dedup_canonical_sql, dup_clusters_sql
     from .dedup import (
         exact_dedup_sql,
         minhash_candidate_pairs_sql,
@@ -1118,7 +1132,7 @@ def oracle_sqls() -> dict[str, str]:
         simhash_dup_pairs_sql,
         simhash_sql,
     )
-    from .sampling import hash_sample_sql, stratified_sample_sql
+    from .sampling import hash_sample_sql, stratified_sample_sql, token_pack_sql
     from .multimodal import (
         frames_sql,
         media_features_sql,
@@ -1152,6 +1166,8 @@ def oracle_sqls() -> dict[str, str]:
             "minhash_candidate_pairs": minhash_candidate_pairs_sql(),
             "dup_clusters": dup_clusters_sql(),
             "dedup_canonical": dedup_canonical_sql(),
+            "clean_corpus": clean_corpus_sql(),
+            "token_pack": token_pack_sql(),
             "hash_sample": hash_sample_sql(10),
             "stratified_sample_lang": stratified_sample_sql(20),
             "simhash": simhash_sql(),

@@ -74,6 +74,64 @@ def stratified_sample(
     )
 
 
+def token_pack(
+    df: DataFrame, budget: int = 2048, *, n_pack_shards: int = 8
+) -> DataFrame:
+    """(doc_id, pack_shard, n_tokens, bin_id, bin_offset): a
+    deterministic fixed-token-budget PACKING PLAN — which training bin
+    each document's first token lands in, and at what offset. Documents
+    are packed in doc_id order within ``n_pack_shards`` independent
+    shards (doc_id % n_pack_shards — engine-portable, unlike xxhash64),
+    so the running sum is a per-shard window cumsum: one exchange, and
+    each shard packs in parallel. At 100 TB raise n_pack_shards to the
+    cluster's parallelism — bins are per-shard, so shards never
+    coordinate. Token counts are the engine's own regex token count
+    (JVM-side array length, no explode)."""
+    from .textops import tokens_all_col
+
+    t = df.select(
+        "doc_id",
+        (F.col("doc_id") % n_pack_shards).alias("pack_shard"),
+        F.size(tokens_all_col(F.col("content"))).cast("long").alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("pack_shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    pre = F.coalesce(F.sum("n_tokens").over(w), F.lit(0).cast("long"))
+    return t.select(
+        "doc_id",
+        "pack_shard",
+        "n_tokens",
+        F.floor(pre / budget).cast("long").alias("bin_id"),
+        (pre % budget).alias("bin_offset"),
+    )
+
+
+def token_pack_sql(budget: int = 2048, *, n_pack_shards: int = 8) -> str:
+    from .tokenizer import TOKEN_PATTERN
+
+    pat = TOKEN_PATTERN.replace("'", "''")
+    return f"""
+WITH t AS (
+  SELECT doc_id, doc_id % {n_pack_shards} AS pack_shard,
+         len(regexp_extract_all(lower(text), '{pat}'))::BIGINT AS n_tokens
+  FROM documents
+),
+p AS (
+  SELECT doc_id, pack_shard, n_tokens,
+         coalesce(sum(n_tokens) OVER (PARTITION BY pack_shard ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pre
+  FROM t
+)
+SELECT doc_id, pack_shard, n_tokens,
+       (pre // {budget})::BIGINT AS bin_id,
+       (pre % {budget})::BIGINT AS bin_offset
+FROM p
+"""
+
+
 def stratified_sample_sql(n_per: int, *, by: str = "lang", salt: int = 0) -> str:
     return f"""
 WITH ranked AS (

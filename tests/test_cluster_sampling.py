@@ -71,6 +71,52 @@ def test_canonical_longest_then_smallest_id(spark):
     assert (r["cluster_id"], r["canonical_doc_id"], r["n_members"]) == (1, 2, 3)
 
 
+def test_clean_corpus_drops_dup_losers_and_low_quality(spark):
+    from engine.cluster import clean_corpus
+
+    # two near-identical docs (shingle/minhash dups) + distinct docs;
+    # content long enough to pass the length credit at min_quality=0
+    base = "the quick brown fox jumps over the lazy dog " * 6
+    corpus = _corpus(
+        spark,
+        [
+            (1, base + "alpha"),
+            (2, base + "alpha"),  # exact near-dup of 1 (longer id loses)
+            (3, "completely different text about spark query engines " * 6),
+        ],
+    )
+    kept = {r["doc_id"] for r in clean_corpus(corpus, min_quality=0.0).collect()}
+    # 1 and 2 tie on length -> smallest doc_id (1) is canonical; 3 is a singleton
+    assert kept == {1, 3}
+    assert clean_corpus(corpus, min_quality=1.0).count() == 0
+
+
+def test_token_pack_cumsum_bins(spark):
+    from engine.sampling import token_pack
+
+    # doc_ids all ≡ 0 (mod 8) -> one pack shard; token counts 3, 2, 4
+    # (the engine token pattern requires ≥3-char words)
+    corpus = _corpus(
+        spark, [(0, "aaa bbb ccc"), (8, "ddd eee"), (16, "fff ggg hhh iii")]
+    )
+    rows = {
+        r["doc_id"]: (r["pack_shard"], r["n_tokens"], r["bin_id"], r["bin_offset"])
+        for r in token_pack(corpus, budget=4).collect()
+    }
+    # prefix sums (exclusive): 0, 3, 5 -> bins 0, 0, 1; offsets 0, 3, 1
+    assert rows == {0: (0, 3, 0, 0), 8: (0, 2, 0, 3), 16: (0, 4, 1, 1)}
+
+
+def test_token_pack_one_exchange(spark):
+    from engine.sampling import token_pack
+
+    df = spark.createDataFrame(
+        [(i, "x y z") for i in range(64)], "doc_id long, content string"
+    )
+    p = plan_of(token_pack(df))
+    assert n_ops(p, "Exchange") == 1, p
+
+
 def test_hash_sample_is_pure_pushed_filter(spark):
     from engine.sampling import hash_sample
 
