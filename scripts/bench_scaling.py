@@ -229,14 +229,26 @@ def main() -> None:
     # configs measured 0.50-0.73 efficiency run-to-run); min-time per
     # level removes one-sided noise without favoring either level
     results = {}
+    rep_pairs = []  # per-rep (narrow, wide) efficiency — both levels of a
+    # pair run back-to-back in the SAME host window, so the rep-matched
+    # ratio is immune to the host-state drift that can pair a lucky
+    # narrow from one window with a wide from another (observed: a
+    # narrow child 12% faster AND a wide child 24% slower in the same
+    # late window → min-pairing 0.692 where both rep-matched pairs read
+    # 0.806 / 0.525). Both views are reported; neither is discarded.
     try:
         for rep in range(args.repeats):
+            pair = {}
             for cores in (lo, hi):
                 print(f"building at local[{cores}] (rep {rep}) ...", flush=True)
                 r = run_child(cores, corpus_path, args.shards, args.chunks)
                 print(f"local[{cores}] rep{rep}: {r}", flush=True)
+                pair[cores] = r
                 if cores not in results or r["build_sec"] < results[cores]["build_sec"]:
                     results[cores] = r
+            rep_pairs.append(
+                round((pair[hi]["docs_per_sec"] / pair[lo]["docs_per_sec"]) / 4.0, 3)
+            )
     finally:
         shutil.rmtree(d, ignore_errors=True)
 
@@ -250,6 +262,7 @@ def main() -> None:
         f"local{lo}": results[lo],
         f"local{hi}": results[hi],
         "scaling_efficiency": round(eff, 3),
+        "rep_matched_efficiencies": rep_pairs,
         "mp_ceiling_same_hour": ceil,
         "spark_vs_ceiling": round(eff / ceil["ceiling_eff"], 3)
         if ceil["ceiling_eff"]
