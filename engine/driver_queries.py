@@ -500,6 +500,10 @@ def _q_more_like_this(spark, sf_dir):
     )
 
 
+def _q_more_like_this_indexed(spark, sf_dir):
+    return _index_reader(spark, sf_dir).more_like_this(K, 5, round_scores=ROUND)
+
+
 def _q_facet_lang(spark, sf_dir):
     from .facets import facet_counts
     from .io import normalize_splits
@@ -1066,6 +1070,7 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wildcard_topk_indexed": _q_wildcard_indexed,
         "related_terms": _q_related_terms,
         "more_like_this": _q_more_like_this,
+        "more_like_this_indexed": _q_more_like_this_indexed,
         "facet_counts_lang": _q_facet_lang,
         "pagerank": _q_pagerank,
     }
@@ -1233,6 +1238,7 @@ def oracle_sqls() -> dict[str, str]:
             ),
             "related_terms": related_terms_sql(RELATED_TERM, K, 2),
             "more_like_this": more_like_this_sql(K, 5),
+            "more_like_this_indexed": more_like_this_sql(K, 5),
             "facet_counts_lang": facet_counts_sql(FACET_QUERY, "lang", 20),
             "pagerank": pagerank_sql(),
         }

@@ -1019,13 +1019,83 @@ class IndexReader:
             round_scores=round_scores,
         )
 
+    def doc_tokens(self) -> DataFrame:
+        """The stage-1 array-form tokens checkpoint (doc_id, terms[],
+        tfs[], doc_len, shard, …) — a permanent build artifact (resume +
+        compaction read it); point-doc fetches prune on the doc-hash
+        shard partition."""
+        return self.spark.read.parquet(os.path.join(self.dir, "tokens"))
+
+    def more_like_this(
+        self, k: int = 10, m_terms: int = 5, *,
+        prune: bool = True, round_scores: int | None = None,
+    ) -> DataFrame:
+        """Artifact-only Lucene-style MLT for the MIN-doc_id live doc
+        (the pinned deterministic pick — engine/mlt.py docstring):
+        seed terms come from the source doc's row of the tokens
+        checkpoint (partition-pruned point fetch: the shard predicate is
+        constant-foldable), weighted (1+log10(min(tf,TF_CAP))) ·
+        log10(N/df) with the ROUNDED sort key both engines share, and
+        scored qtf=1 by the shared block-max kernel with the source doc
+        riding the tombstone drop-mask. No corpus access at any step.
+        Guarded to unstemmed indexes (the recompute twin and the DuckDB
+        oracle are pinned unstemmed)."""
+        from . import TF_CAP
+
+        if self.use_stem:
+            raise ValueError("more_like_this serves unstemmed indexes only")
+        src_row = self._live(self.doc_stats()).agg(
+            F.min("doc_id").alias("src")
+        ).collect()[0]
+        src_id = src_row["src"]
+        if src_id is None:
+            return self.spark.createDataFrame(
+                [], "rank int, doc_id long, score double"
+            )
+        n_shards = self.manifest["config"]["n_shards"]
+        # the cast matters: xxhash64 is input-type-sensitive and the
+        # build hashed the int64 doc_id column — an int32 literal would
+        # hash to a different shard and the point fetch would miss
+        shard_of_src = F.pmod(
+            F.xxhash64(F.lit(src_id).cast("long")), F.lit(n_shards)
+        ).cast("int")
+        z = F.explode(F.arrays_zip("terms", "tfs")).alias("e")
+        src_terms = (
+            self.doc_tokens()
+            .where((F.col("shard") == shard_of_src) & (F.col("doc_id") == src_id))
+            .select(z)
+            .select(F.col("e.terms").alias("term"), F.col("e.tfs").alias("tf"))
+        )
+        n = self.manifest["stats"]["n_docs"]
+        weight = (
+            1.0 + F.log10(F.least(F.col("tf"), F.lit(TF_CAP)).cast("double"))
+        ) * F.log10(F.lit(float(n)) / F.col("df").cast("double"))
+        seed = (
+            self.dictionary()
+            .join(F.broadcast(src_terms), "term")
+            .select("term", F.round(weight, 6).alias("w"))
+            .orderBy(F.desc("w"), F.asc("term"))
+            .limit(m_terms)
+            .collect()
+        )
+        return self._qtf_topk(
+            {r["term"]: 1.0 for r in seed},
+            k,
+            prune=prune,
+            round_scores=round_scores,
+            exclude_ids=[src_id],
+        )
+
     def _qtf_topk(
         self, qtf_map: dict[str, float], k: int, *, prune: bool = True,
         with_metadata: bool = False, round_scores: int | None = None,
+        exclude_ids: list[int] | None = None,
     ) -> DataFrame:
         """Shared (term → qtf) weighted top-k body for bm25_topk and
         wildcard_topk — per-shard block-max kernel + global
-        TakeOrderedAndProject."""
+        TakeOrderedAndProject. ``exclude_ids`` rides the tombstone
+        drop-mask (more_like_this excludes the source doc this way, so
+        θ-pruning stays rank-safe over the remaining docs)."""
         import pandas as pd
 
         avgdl = self.manifest["stats"]["avgdl"]
@@ -1046,6 +1116,10 @@ class IndexReader:
         )
         eps = 0.5 * 10.0 ** (-round_scores) if round_scores is not None else 0.0
         tomb = self._tomb_array()
+        if exclude_ids:
+            import numpy as np
+
+            tomb = np.union1d(tomb, np.asarray(exclude_ids, dtype=np.int64))
         tomb = tomb if tomb.size else None
 
         def shard_kernel(pdf: pd.DataFrame) -> pd.DataFrame:

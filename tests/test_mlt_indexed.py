@@ -1,0 +1,41 @@
+"""IndexReader.more_like_this (artifact-only MLT) vs the recompute
+twin (engine/mlt.py): identical ranked results on the same corpus, and
+the stemmed-index guard."""
+
+import pytest
+
+
+@pytest.fixture(scope="module")
+def unstem_index(spark, tiny_corpus, tmp_path_factory):
+    from engine.index import build_index
+
+    d = str(tmp_path_factory.mktemp("mlt_idx"))
+    return build_index(spark, tiny_corpus, d, use_stem=False, n_shards=4, n_chunks=1)
+
+
+def test_mlt_indexed_equals_recompute(spark, tiny_corpus, unstem_index):
+    from engine.mlt import more_like_this
+
+    want = more_like_this(spark, tiny_corpus, 10, 5, round_scores=6).collect()
+    got = unstem_index.more_like_this(10, 5, round_scores=6).collect()
+    assert [(r["rank"], r["doc_id"], r["score"]) for r in got] == [
+        (r["rank"], r["doc_id"], r["score"]) for r in want
+    ]
+    assert len(got) == 10
+
+
+def test_mlt_excludes_source_doc(spark, tiny_corpus, unstem_index):
+    from pyspark.sql import functions as F
+
+    src = tiny_corpus.agg(F.min("doc_id")).collect()[0][0]
+    got = {r["doc_id"] for r in unstem_index.more_like_this(10, 5).collect()}
+    assert src not in got
+
+
+def test_mlt_rejects_stemmed_index(spark, tiny_corpus, tmp_path_factory):
+    from engine.index import build_index
+
+    d = str(tmp_path_factory.mktemp("mlt_stem_idx"))
+    r = build_index(spark, tiny_corpus, d, use_stem=True, n_shards=4, n_chunks=1)
+    with pytest.raises(ValueError, match="unstemmed"):
+        r.more_like_this(10, 5)
