@@ -1,0 +1,134 @@
+"""Large-corpus serving-latency evidence: every index-backed surface
+measured on a 1.2 M-doc index (sf0.1's 5 000-doc bench is job-launch
+bound; this shows the artifact-only serving paths at 240× that corpus).
+
+Builds one full-featured index (positions + docstore) on tmpfs at
+local[N], then times each IndexReader surface warm (one untimed warmup
+of the BM25 path to materialize the postings/dictionary cache). Prints
+one JSON line and appends a section to BENCH/BASELINE.md.
+
+Usage: python scripts/bench_serving.py [--docs 1200000] [--cores 32]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+SHM = "/dev/shm" if os.path.isdir("/dev/shm") else tempfile.gettempdir()
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--docs", type=int, default=1_200_000)
+    ap.add_argument("--cores", type=int, default=32)
+    ap.add_argument("--shards", type=int, default=256)
+    args = ap.parse_args()
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from engine.index import IndexReader, build_index
+    from engine.io import read_corpus, with_identity
+    from engine.session import get_spark
+    from fixtures.gen_corpus import gen_corpus
+
+    d = tempfile.mkdtemp(prefix="serv_corpus_", dir=SHM)
+    corpus_path = os.path.join(d, "corpus.parquet")
+    os.makedirs(corpus_path, exist_ok=True)
+    print(f"generating {args.docs} docs ...", flush=True)
+    pdf = gen_corpus(args.docs)
+    n_files = 64
+    step = (len(pdf) + n_files - 1) // n_files
+    for i in range(n_files):
+        part = pdf.iloc[i * step:(i + 1) * step]
+        if len(part):
+            pq.write_table(
+                pa.Table.from_pandas(part, preserve_index=False),
+                os.path.join(corpus_path, f"part-{i:03d}.parquet"),
+                row_group_size=4096,
+            )
+    del pdf
+
+    local_dir = tempfile.mkdtemp(prefix="serv_local_", dir=SHM)
+    spark = get_spark(
+        "bench_serving",
+        cores=args.cores,
+        extra_conf={
+            "spark.local.dir": local_dir,
+            "spark.sql.files.maxPartitionBytes": "16m",
+        },
+    )
+    corpus = with_identity(read_corpus(spark, corpus_path))
+    idx_dir = tempfile.mkdtemp(prefix="serv_idx_", dir=SHM)
+    t: dict[str, float] = {}
+    try:
+        t0 = time.perf_counter()
+        # unstemmed so the suggest-family surfaces (fuzzy/wildcard/MLT/
+        # boolean) are all servable from the same artifacts
+        build_index(
+            spark, corpus, idx_dir, use_stem=False,
+            n_shards=args.shards, n_chunks=2,
+            with_positions=True, with_docstore=True,
+        )
+        t["index_build"] = round(time.perf_counter() - t0, 2)
+
+        reader = IndexReader(spark, idx_dir, cache=True)
+        reader.bm25_topk("inverted index compression", 10).collect()  # warm
+
+        def timed(name, fn):
+            t0 = time.perf_counter()
+            n = len(fn().collect())
+            t[name] = round(time.perf_counter() - t0, 3)
+            print(f"{name}: {t[name]} s ({n} rows)", flush=True)
+
+        q = "inverted index compression"
+        timed("bm25_wand", lambda: reader.bm25_topk(q, 10))
+        timed("bm25_batch_4q", lambda: reader.bm25_topk_batch(
+            {f"q{i}": s for i, s in enumerate(
+                [q, "posting list merge", "query scan", "distributed merge sort"]
+            )}, 10))
+        timed("tfidf", lambda: reader.tfidf_topk(q, 10))
+        timed("title", lambda: reader.title_topk("index merge", 100))
+        timed("fusion_2sig", lambda: reader.fusion_topk(q, 10))
+        timed("phrase", lambda: reader.phrase_topk("inverted index", 20))
+        timed("proximity", lambda: reader.proximity_topk(q, 20))
+        timed("boolean", lambda: reader.boolean_topk(
+            must="index merge", should="compression varint", must_not="zebra", k=20))
+        timed("fuzzy_suggest", lambda: reader.fuzzy_terms("mereg", 10))
+        timed("wildcard", lambda: reader.wildcard_topk("compr", 10, 8))
+        timed("snippets", lambda: reader.snippet_topk(q, 10))
+        timed("more_like_this", lambda: reader.more_like_this(10, 5))
+    finally:
+        spark.stop()
+        shutil.rmtree(idx_dir, ignore_errors=True)
+        shutil.rmtree(local_dir, ignore_errors=True)
+        shutil.rmtree(d, ignore_errors=True)
+
+    out = {
+        "metric": "serving_latency_1p2m",
+        "n_docs": args.docs,
+        "cores": args.cores,
+        "timings_sec": t,
+    }
+    print(json.dumps(out))
+    stamp = time.strftime("%Y-%m-%d %H:%M")
+    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "a") as f:
+        f.write(
+            f"\n## Serving latency at {args.docs} docs "
+            f"(local[{args.cores}], {stamp}, warm cache)\n\n"
+            "| surface | sec |\n|---|---|\n"
+            + "".join(f"| {k} | {v} |\n" for k, v in t.items())
+        )
+
+
+if __name__ == "__main__":
+    main()
