@@ -125,6 +125,14 @@ def main() -> None:
         # boolean semantics are pinned unstemmed — boolean_topk below
         # times the recompute path; the indexed twin is driver-checked)
 
+        # metadata-filtered search + total-hits, served from the index
+        t = time.perf_counter()
+        reader.filtered_topk("table scan fast", 10, repo="src1").collect()
+        timings["filtered_indexed"] = time.perf_counter() - t
+        t = time.perf_counter()
+        reader.hit_counts(bm25_queries).collect()
+        timings["hit_counts_indexed"] = time.perf_counter() - t
+
         # IVF: build-time cell partitioning, then the pruned probe
         from engine.sim import build_ivf, ivf_topk_indexed, load_embeddings, query_vector
 

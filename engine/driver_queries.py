@@ -1008,6 +1008,69 @@ def _q_pagerank(spark, sf_dir):
     return pagerank(_docs(spark, sf_dir))
 
 
+# ------------------------------------------- filtered search + hit counts
+
+FILTER_REPO = "src1"  # fixtures: documents.source ∈ {src0..src19}
+
+
+def _q_bm25_filtered(spark, sf_dir):
+    from .query import bm25_topk_filtered
+
+    return bm25_topk_filtered(
+        spark,
+        _corpus(spark, sf_dir),
+        FIXED_QUERIES["q_table_scan"],
+        K,
+        predicate=F.col("repo") == FILTER_REPO,
+        use_stem=False,
+        round_scores=ROUND,
+    )
+
+
+def _q_bm25_filtered_indexed(spark, sf_dir):
+    return _index_reader(spark, sf_dir).filtered_topk(
+        FIXED_QUERIES["q_table_scan"], K, repo=FILTER_REPO, round_scores=ROUND
+    )
+
+
+def _filtered_where() -> str:
+    return (
+        "doc_id IN (SELECT doc_id FROM documents "
+        f"WHERE source = '{FILTER_REPO}')"
+    )
+
+
+def _q_hit_counts(spark, sf_dir):
+    qt = [
+        (qid, t)
+        for qid, text in sorted(FIXED_QUERIES.items())
+        for t in sorted(set(tokenize(text, use_stem=False)))
+    ]
+    qdf = spark.createDataFrame(qt, "query_id string, term string")
+    toks = tokens_df(_corpus(spark, sf_dir), use_stem=False)
+    return (
+        toks.join(F.broadcast(qdf), "term")
+        .groupBy("query_id")
+        .agg(F.countDistinct("doc_id").alias("n_hits"))
+    )
+
+
+def _q_hit_counts_indexed(spark, sf_dir):
+    return _index_reader(spark, sf_dir).hit_counts(FIXED_QUERIES)
+
+
+def _hit_counts_sql() -> str:
+    parts = []
+    for qid, text in sorted(FIXED_QUERIES.items()):
+        terms = sorted(set(tokenize(text, use_stem=False)))
+        in_list = ", ".join(repr(t) for t in terms)
+        parts.append(
+            f"SELECT '{qid}' AS query_id, count(DISTINCT doc_id)::BIGINT "
+            f"AS n_hits FROM tfv WHERE term IN ({in_list})"
+        )
+    return f"WITH {_base_ctes()} " + " UNION ALL ".join(parts)
+
+
 def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out: dict[str, Callable] = {
         "tokenize_tf": _q_tokenize_tf,
@@ -1098,6 +1161,11 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["bm25_compacted_indexed"] = _q_bm25_compacted_indexed
     # streaming ingestion driver-proven (engine/streaming.py)
     out["bm25_streamed_indexed"] = _q_bm25_streamed_indexed
+    # metadata-filtered search (Lucene filter semantics) + total-hits
+    out["bm25_filtered_topk"] = _q_bm25_filtered
+    out["bm25_filtered_indexed"] = _q_bm25_filtered_indexed
+    out["hit_counts"] = _q_hit_counts
+    out["hit_counts_indexed"] = _q_hit_counts_indexed
     # streaming analytics: watermarked window agg + sessionization
     out["stream_window_counts"] = _q_stream_window_counts
     out["sessionize_events"] = _q_sessionize_events
@@ -1272,6 +1340,15 @@ def oracle_sqls() -> dict[str, str]:
     )
     # streamed ingestion == batch build, so the plain BM25 oracle binds
     out["bm25_streamed_indexed"] = _bm25_sql(FIXED_QUERIES["q_multi"])
+    # filtered search: full-corpus weights, repo filter at emit (both paths)
+    out["bm25_filtered_topk"] = _bm25_sql(
+        FIXED_QUERIES["q_table_scan"], emit_where=_filtered_where()
+    )
+    out["bm25_filtered_indexed"] = _bm25_sql(
+        FIXED_QUERIES["q_table_scan"], emit_where=_filtered_where()
+    )
+    out["hit_counts"] = _hit_counts_sql()
+    out["hit_counts_indexed"] = _hit_counts_sql()
     out["stream_window_counts"] = stream_window_counts_sql()
     out["sessionize_events"] = sessionize_sql()
     return out

@@ -318,6 +318,48 @@ class SearchService:
         )
         return [[r["facet"], r["n_docs"]] for r in df.collect()]
 
+    def search_filtered(self, query: str, repo: str, k: int = 10) -> list[tuple]:
+        """Repo-filtered search (Lucene filter-query semantics: the
+        filter gates emission, BM25 weights stay full-corpus) —
+        index-served when an index is bound, else the recompute twin
+        (engine/query.bm25_topk_filtered); rank-identical, tested."""
+        if self.reader is not None:
+            return self._with_meta(
+                self.reader.filtered_topk(query, k, repo=repo), "score"
+            )
+        from pyspark.sql import functions as F
+
+        from .query import bm25_topk_filtered
+
+        return self._with_meta(
+            bm25_topk_filtered(
+                self.spark, self.corpus, query, k,
+                predicate=F.col("repo") == repo, use_stem=False,
+            ),
+            "score",
+        )
+
+    def hit_counts(self, query: str) -> list[list]:
+        """Total-hits header [query_id, n_hits] for one query — the
+        count of distinct live docs matching ≥1 query term, decoded
+        from the posting blocks when an index is bound."""
+        if self.reader is not None:
+            df = self.reader.hit_counts({"q": query})
+        else:
+            from pyspark.sql import functions as F
+
+            from .build import tokens_df
+            from .tokenizer import tokenize
+
+            terms = sorted(set(tokenize(query, use_stem=False)))
+            toks = tokens_df(self.corpus.select("doc_id", "content"), use_stem=False)
+            df = (
+                toks.where(F.col("term").isin(terms))
+                .agg(F.countDistinct("doc_id").alias("n_hits"))
+                .select(F.lit("q").alias("query_id"), "n_hits")
+            )
+        return [[r["query_id"], r["n_hits"]] for r in df.collect()]
+
     def get_pageview(self, doc_ids: list[int]) -> list[int]:
         """Pageview lookups — same isin-filter parquet shape as
         get_pagerank. When no explicit table is bound, serve the
@@ -408,6 +450,16 @@ def create_app(service: SearchService):
     @app.route("/snippets")
     def snippets():
         return jsonify(service.snippets(_query()))
+
+    @app.route("/search_filtered")
+    def search_filtered():
+        return jsonify(
+            service.search_filtered(_query(), request.args.get("repo", ""))
+        )
+
+    @app.route("/count")
+    def count():
+        return jsonify(service.hit_counts(_query()))
 
     @app.route("/get_pagerank", methods=["POST"])
     def get_pagerank():

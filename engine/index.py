@@ -1086,6 +1086,95 @@ class IndexReader:
             exclude_ids=[src_id],
         )
 
+    def filtered_topk(
+        self, query: str, k: int = 10, *, repo: str | None = None,
+        path_prefix: str | None = None, round_scores: int | None = None,
+    ) -> DataFrame:
+        """Metadata-filtered search (Lucene filter-query semantics): the
+        filter restricts WHICH docs may be returned but does not change
+        scoring — idf/avgdl/df stay full-corpus, exactly like a Lucene
+        ``FILTER`` clause. ``repo`` / ``path_prefix`` predicates are
+        evaluated against the doc_stats artifact, so this serves from
+        the index alone (no corpus access).
+
+        Scoring is the exhaustive union pass (``bm25_scores_all``), NOT
+        the θ-pruned kernel: block-max pruning against an *unfiltered*
+        top-k threshold is not rank-safe once the filter drops
+        high-scoring docs (a filtered-in doc ranked below k unfiltered
+        docs must still surface). The postings side is still isin-pruned
+        to the query's terms, so cost is proportional to the query's
+        posting mass, not the corpus.
+
+        100 TB shape: scored (doc_id, score) ⋈ σ(doc_stats) is a plain
+        equi-join on doc_id — both sides are pre-hashed by doc_id-ish
+        keys and the filter side is a two-column projection; the global
+        cut stays TakeOrderedAndProject."""
+        scored = self._live(self.bm25_scores_all(query))
+        keep = self.doc_stats()
+        if repo is not None:
+            keep = keep.where(F.col("repo") == repo)
+        if path_prefix is not None:
+            keep = keep.where(F.col("path").startswith(path_prefix))
+        scored = scored.join(keep.select("doc_id"), "doc_id")
+        if round_scores is not None:
+            scored = scored.select(
+                "doc_id", F.round("score", round_scores).alias("score")
+            )
+        topk = scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+        w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+        return topk.withColumn("rank", F.row_number().over(w)).select(
+            "rank", "doc_id", "score"
+        )
+
+    def hit_counts(self, queries: dict[str, str]) -> DataFrame:
+        """(query_id, n_hits): number of distinct live docs matching ≥1
+        term of each query — the "total hits" header every search API
+        returns — in ONE decode job over the union of all queries'
+        terms. Per shard the kernel explodes (term, doc_id) from the
+        compressed blocks; a broadcast (query_id, term) map then fans
+        each posting out to its queries and a single groupBy counts
+        distinct docs. Postings are isin-pruned to queried terms, so
+        cost ∝ queried posting mass."""
+        import pandas as pd
+
+        qmap = [
+            (qid, t)
+            for qid, text in sorted(queries.items())
+            for t in sorted(set(tokenize(text, use_stem=self.use_stem)))
+        ]
+        if not qmap:
+            return self.spark.createDataFrame([], "query_id string, n_hits long")
+        all_terms = sorted({t for _, t in qmap})
+        qdf = self.spark.createDataFrame(qmap, "query_id string, term string")
+        blocks = self.postings().where(F.col("term").isin(all_terms))
+
+        def explode_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+            import numpy as np
+
+            from .postings import decode_block
+
+            terms, ids = [], []
+            for row in pdf.itertuples(index=False):
+                d_ids, _, _ = decode_block(row)
+                terms.append(np.full(d_ids.size, row.term, dtype=object))
+                ids.append(d_ids)
+            if not ids:
+                return pd.DataFrame({"term": [], "doc_id": []})
+            return pd.DataFrame(
+                {"term": np.concatenate(terms), "doc_id": np.concatenate(ids)}
+            )
+
+        pairs = self._live(
+            blocks.groupBy("shard").applyInPandas(
+                explode_kernel, "term string, doc_id long"
+            )
+        )
+        return (
+            pairs.join(F.broadcast(qdf), "term")
+            .groupBy("query_id")
+            .agg(F.countDistinct("doc_id").alias("n_hits"))
+        )
+
     def _qtf_topk(
         self, qtf_map: dict[str, float], k: int, *, prune: bool = True,
         with_metadata: bool = False, round_scores: int | None = None,

@@ -111,3 +111,36 @@ def bm25_topk_exhaustive(
     return topk.withColumn("rank", F.row_number().over(w)).select(
         "rank", "doc_id", "score"
     )
+
+
+def bm25_topk_filtered(
+    spark: SparkSession,
+    corpus: DataFrame,
+    query: str,
+    k: int = 10,
+    *,
+    predicate,
+    use_stem: bool = True,
+    round_scores: int | None = None,
+    tokens: DataFrame | None = None,
+) -> DataFrame:
+    """Metadata-filtered top-k, recompute path (Lucene filter-query
+    semantics, the scan twin of IndexReader.filtered_topk): BM25
+    weights (idf / avgdl / df) are computed over the FULL corpus, the
+    ``predicate`` (a Column over the corpus metadata, e.g.
+    ``F.col("repo") == "src1"``) only gates which scored docs may be
+    emitted. The filter is a semi-join on doc_id after aggregation, so
+    Catalyst pushes the metadata predicate to the corpus scan and the
+    scoring side is untouched."""
+    qterms = query_terms_df(spark, query, use_stem=use_stem)
+    scored = bm25_scored_terms(corpus, qterms, use_stem=use_stem, tokens=tokens)
+    agg = scored.groupBy("doc_id").agg(F.sum("partial_score").alias("score"))
+    keep = corpus.where(predicate).select("doc_id")
+    agg = agg.join(keep, "doc_id")
+    if round_scores is not None:
+        agg = agg.select("doc_id", F.round("score", round_scores).alias("score"))
+    topk = agg.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    return topk.withColumn("rank", F.row_number().over(w)).select(
+        "rank", "doc_id", "score"
+    )

