@@ -107,6 +107,11 @@ def main() -> None:
         timed("wildcard", lambda: reader.wildcard_topk("compr", 10, 8))
         timed("snippets", lambda: reader.snippet_topk(q, 10))
         timed("more_like_this", lambda: reader.more_like_this(10, 5))
+        timed("filtered", lambda: reader.filtered_topk(q, 10, repo="org1/repo1"))
+        timed("hit_counts_4q", lambda: reader.hit_counts(
+            {f"q{i}": s for i, s in enumerate(
+                [q, "posting list merge", "query scan", "distributed merge sort"]
+            )}))
     finally:
         spark.stop()
         shutil.rmtree(idx_dir, ignore_errors=True)
