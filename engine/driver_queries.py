@@ -1033,6 +1033,27 @@ def _q_bm25_filtered_indexed(spark, sf_dir):
     )
 
 
+def _q_bm25_paged(spark, sf_dir):
+    """Page 2 (ranks K+1 … 2K), recompute path: score with k=2K, cut
+    rank > K — ranks stay absolute, the pagination contract."""
+    out = bm25_topk_exhaustive(
+        spark, _corpus(spark, sf_dir), FIXED_QUERIES["q_table_scan"], 2 * K,
+        use_stem=False, round_scores=ROUND,
+    )
+    return out.where(F.col("rank") > K)
+
+
+def _q_bm25_paged_indexed(spark, sf_dir):
+    return _index_reader(spark, sf_dir).bm25_topk_paged(
+        FIXED_QUERIES["q_table_scan"], K, offset=K, round_scores=ROUND
+    )
+
+
+def _paged_sql() -> str:
+    inner = _bm25_sql(FIXED_QUERIES["q_table_scan"], k=2 * K)
+    return f"SELECT rank, doc_id, score FROM ({inner}) page WHERE rank > {K}"
+
+
 def _filtered_where() -> str:
     return (
         "doc_id IN (SELECT doc_id FROM documents "
@@ -1166,6 +1187,9 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["bm25_filtered_indexed"] = _q_bm25_filtered_indexed
     out["hit_counts"] = _q_hit_counts
     out["hit_counts_indexed"] = _q_hit_counts_indexed
+    # pagination: page 2 with absolute ranks (Lucene from+size)
+    out["bm25_paged_topk"] = _q_bm25_paged
+    out["bm25_paged_indexed"] = _q_bm25_paged_indexed
     # streaming analytics: watermarked window agg + sessionization
     out["stream_window_counts"] = _q_stream_window_counts
     out["sessionize_events"] = _q_sessionize_events
@@ -1349,6 +1373,8 @@ def oracle_sqls() -> dict[str, str]:
     )
     out["hit_counts"] = _hit_counts_sql()
     out["hit_counts_indexed"] = _hit_counts_sql()
+    out["bm25_paged_topk"] = _paged_sql()
+    out["bm25_paged_indexed"] = _paged_sql()
     out["stream_window_counts"] = stream_window_counts_sql()
     out["sessionize_events"] = sessionize_sql()
     return out

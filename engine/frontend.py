@@ -339,6 +339,22 @@ class SearchService:
             "score",
         )
 
+    def search_paged(self, query: str, k: int = 10, offset: int = 0) -> list[tuple]:
+        """Page (offset, offset+k] of ranked BM25 results with ABSOLUTE
+        ranks (Lucene from+size) — index-served when bound, else the
+        recompute twin (score top offset+k, cut rank > offset)."""
+        from pyspark.sql import functions as F
+
+        if self.reader is not None:
+            df = self.reader.bm25_topk_paged(query, k, offset)
+        else:
+            from .query import bm25_topk_exhaustive
+
+            df = bm25_topk_exhaustive(
+                self.spark, self.corpus, query, k + offset, use_stem=False
+            ).where(F.col("rank") > offset)
+        return self._with_meta(df, "score")
+
     def hit_counts(self, query: str) -> list[list]:
         """Total-hits header [query_id, n_hits] for one query — the
         count of distinct live docs matching ≥1 query term, decoded
@@ -460,6 +476,16 @@ def create_app(service: SearchService):
     @app.route("/count")
     def count():
         return jsonify(service.hit_counts(_query()))
+
+    @app.route("/search_paged")
+    def search_paged():
+        return jsonify(
+            service.search_paged(
+                _query(),
+                int(request.args.get("size", "10")),
+                int(request.args.get("from", "0")),
+            )
+        )
 
     @app.route("/get_pagerank", methods=["POST"])
     def get_pagerank():

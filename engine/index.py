@@ -1126,6 +1126,23 @@ class IndexReader:
             "rank", "doc_id", "score"
         )
 
+    def bm25_topk_paged(
+        self, query: str, k: int = 10, offset: int = 0, *,
+        prune: bool = True, round_scores: int | None = None,
+    ) -> DataFrame:
+        """Page (offset, offset+k] of the ranked BM25 results — the
+        search-API pagination surface (Lucene searchAfter / from+size).
+        Ranks stay ABSOLUTE (offset+1 … offset+k). Served by the same
+        block-max kernel with the per-shard heap widened to offset+k
+        (rank-safety: the global page needs the top offset+k overall,
+        and each shard retains its own top offset+k), then a rank cut —
+        deep paging cost grows with offset exactly as in Lucene, which
+        is why production APIs cap it."""
+        out = self.bm25_topk(
+            query, k + offset, prune=prune, round_scores=round_scores
+        )
+        return out.where(F.col("rank") > offset)
+
     def hit_counts(self, queries: dict[str, str]) -> DataFrame:
         """(query_id, n_hits): number of distinct live docs matching ≥1
         term of each query — the "total hits" header every search API

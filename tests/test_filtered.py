@@ -103,3 +103,16 @@ def test_filtered_plan_pushes_both_predicates(spark, fidx):
     assert "In(term, " in plan
     assert "EqualTo(repo,r0)" in plan
     assert "TakeOrderedAndProject" in plan
+
+
+def test_paged_is_disjoint_continuation(spark, fidx):
+    """Pagination contract: page 2 ranks are absolute (k+1 … 2k), and
+    page1 ∪ page2 equals the top-2k with no overlap."""
+    q = "index search engine"
+    top20 = fidx.bm25_topk(q, 20, round_scores=6).collect()
+    p1 = fidx.bm25_topk_paged(q, 10, 0, round_scores=6).collect()
+    p2 = fidx.bm25_topk_paged(q, 10, offset=10, round_scores=6).collect()
+    assert [r["rank"] for r in p2] == list(range(11, 21))
+    got = [(r["rank"], r["doc_id"], r["score"]) for r in p1 + p2]
+    want = [(r["rank"], r["doc_id"], r["score"]) for r in top20]
+    assert got == want

@@ -272,3 +272,14 @@ def test_count_route(client, service, tiny_corpus):
         1 for r in rows if terms & set(tokenize(r["content"], use_stem=True))
     )
     assert got[0][1] == want
+
+
+def test_search_paged_route(client):
+    p1 = client.get(
+        "/search_paged", query_string={"query": QUERY, "size": "5", "from": "0"}
+    ).get_json()
+    p2 = client.get(
+        "/search_paged", query_string={"query": QUERY, "size": "5", "from": "5"}
+    ).get_json()
+    assert len(p1) == 5 and len(p2) == 5
+    assert {h[0] for h in p1}.isdisjoint({h[0] for h in p2})
