@@ -32,6 +32,70 @@ from .tokenizer import TOKEN_PATTERN_RE2, tokenize
 
 ROUND = 6
 
+# Driver-attestation window ordering (round-4 VERDICT item #1): the
+# driver records CORRECTNESS rows for at most ~50 registry entries per
+# round, taken in registry order. Entries never yet attested in any
+# CORRECTNESS_r*.json come FIRST, then entries last seen green in r2
+# (window rotated past them in r3); the long-standing r3-green entries
+# fill whatever window remains. Over r2+r3+r4 every entry is then
+# driver-green at least once.
+_DRIVER_PRIORITY = [
+    # -- never driver-checked (26, per VERDICT r3 header) --
+    "bm25_filtered_topk",
+    "bm25_filtered_indexed",
+    "hit_counts",
+    "hit_counts_indexed",
+    "bm25_paged_topk",
+    "bm25_paged_indexed",
+    "fuzzy_terms",
+    "fuzzy_terms_indexed",
+    "snippet_topk",
+    "snippet_topk_indexed",
+    "wildcard_topk",
+    "wildcard_topk_indexed",
+    "related_terms",
+    "more_like_this",
+    "more_like_this_indexed",
+    "facet_counts_lang",
+    "anchor_topk_indexed",
+    "fusion_topk_indexed",
+    "fusion_pr_topk_indexed",
+    "fusion_pv_topk_indexed",
+    "bm25_merged_indexed",
+    "bm25_deleted_indexed",
+    "bm25_compacted_indexed",
+    "bm25_streamed_indexed",
+    "stream_window_counts",
+    "sessionize_events",
+    # -- green in r2 only; window rotated past them in r3 (17) --
+    "pagerank",
+    "bm25_q_table_scan",
+    "bm25_q_table_scan_stemmed",
+    "bm25_q_table_scan_indexed",
+    "bm25_q_multi",
+    "bm25_q_multi_stemmed",
+    "bm25_q_multi_indexed",
+    "bm25_q_hot_stop",
+    "bm25_q_hot_stop_stemmed",
+    "bm25_q_hot_stop_indexed",
+    "bm25_q_repeat",
+    "bm25_q_repeat_stemmed",
+    "bm25_q_repeat_indexed",
+    "bm25_q_table_scan_stemmed_indexed",
+    "bm25_batch_indexed",
+    "tfidf_topk_indexed",
+    "title_topk_indexed",
+]
+
+
+def _driver_order(d: dict) -> dict:
+    """Reorder a registry dict: _DRIVER_PRIORITY entries first (in that
+    order), everything else after in original registration order."""
+    pri = [k for k in _DRIVER_PRIORITY if k in d]
+    seen = set(pri)
+    return {k: d[k] for k in pri + [k for k in d if k not in seen]}
+
+
 # Fixed free-text queries over the driver `documents` vocabulary.
 FIXED_QUERIES = {
     "q_table_scan": "table scan fast",
@@ -1068,11 +1132,19 @@ def _q_hit_counts(spark, sf_dir):
         for t in sorted(set(tokenize(text, use_stem=False)))
     ]
     qdf = spark.createDataFrame(qt, "query_id string, term string")
+    qids = spark.createDataFrame(
+        [(q,) for q in sorted(FIXED_QUERIES)], "query_id string"
+    )
     toks = tokens_df(_corpus(spark, sf_dir), use_stem=False)
-    return (
+    counts = (
         toks.join(F.broadcast(qdf), "term")
         .groupBy("query_id")
         .agg(F.countDistinct("doc_id").alias("n_hits"))
+    )
+    # every query gets a row — a total-hits header reports 0, never
+    # omits the query (parity with the oracle's per-query UNION ALL)
+    return qids.join(counts, "query_id", "left").select(
+        "query_id", F.coalesce("n_hits", F.lit(0)).alias("n_hits")
     )
 
 
@@ -1193,7 +1265,7 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # streaming analytics: watermarked window agg + sessionization
     out["stream_window_counts"] = _q_stream_window_counts
     out["sessionize_events"] = _q_sessionize_events
-    return out
+    return _driver_order(out)
 
 
 def oracle_sqls() -> dict[str, str]:
@@ -1377,4 +1449,4 @@ def oracle_sqls() -> dict[str, str]:
     out["bm25_paged_indexed"] = _paged_sql()
     out["stream_window_counts"] = stream_window_counts_sql()
     out["sessionize_events"] = sessionize_sql()
-    return out
+    return _driver_order(out)

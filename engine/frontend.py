@@ -86,12 +86,42 @@ class SearchService:
         self._pageviews = pageviews
         self._dictionary: DataFrame | None = None
 
+    @property
+    def _use_stem(self) -> bool:
+        """Stemming config for recompute fallbacks: follow the bound
+        index's config when a reader exists (so index/recompute twins
+        tokenize identically) and pin to the service-wide unstemmed
+        default otherwise."""
+        return self.reader.use_stem if self.reader is not None else False
+
     # ---- result shaping -------------------------------------------------
     def _with_meta(self, df: DataFrame, score_col: str) -> list[tuple]:
-        rows = df.join(self._meta, "doc_id", "left").orderBy("rank").collect()
+        """Attach repo:path to a k-row ranked result. A LEFT join would
+        put the k-row frame on the PRESERVED side, so Spark could only
+        broadcast (or worse, sort-merge) the corpus-sized meta table —
+        a corpus-wide exchange per request at scale. Instead: collect
+        the k ids (deliberate k-row driver cut, same pattern as
+        snippet_topk's docstore re-read, engine/index.py), isin-push the
+        ids into the meta scan (parquet row-group pruning), and merge
+        driver-side — per-request cost is k row-group reads, never a
+        corpus shuffle."""
+        top = sorted(df.collect(), key=lambda r: r["rank"])
+        if not top:
+            return []
+        ids = [r["doc_id"] for r in top]
+        meta = {
+            m["doc_id"]: (m["repo"], m["path"])
+            for m in self._meta.where(F.col("doc_id").isin(ids)).collect()
+        }
         return [
-            (r["doc_id"], f"{r['repo']}:{r['path']}" if r["repo"] else None, r[score_col])
-            for r in rows
+            (
+                r["doc_id"],
+                f"{meta[r['doc_id']][0]}:{meta[r['doc_id']][1]}"
+                if r["doc_id"] in meta and meta[r["doc_id"]][0]
+                else None,
+                r[score_col],
+            )
+            for r in top
         ]
 
     # ---- endpoints ------------------------------------------------------
@@ -334,7 +364,7 @@ class SearchService:
         return self._with_meta(
             bm25_topk_filtered(
                 self.spark, self.corpus, query, k,
-                predicate=F.col("repo") == repo, use_stem=False,
+                predicate=F.col("repo") == repo, use_stem=self._use_stem,
             ),
             "score",
         )
@@ -351,7 +381,8 @@ class SearchService:
             from .query import bm25_topk_exhaustive
 
             df = bm25_topk_exhaustive(
-                self.spark, self.corpus, query, k + offset, use_stem=False
+                self.spark, self.corpus, query, k + offset,
+                use_stem=self._use_stem,
             ).where(F.col("rank") > offset)
         return self._with_meta(df, "score")
 
@@ -367,8 +398,10 @@ class SearchService:
             from .build import tokens_df
             from .tokenizer import tokenize
 
-            terms = sorted(set(tokenize(query, use_stem=False)))
-            toks = tokens_df(self.corpus.select("doc_id", "content"), use_stem=False)
+            terms = sorted(set(tokenize(query, use_stem=self._use_stem)))
+            toks = tokens_df(
+                self.corpus.select("doc_id", "content"), use_stem=self._use_stem
+            )
             df = (
                 toks.where(F.col("term").isin(terms))
                 .agg(F.countDistinct("doc_id").alias("n_hits"))

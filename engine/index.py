@@ -1023,8 +1023,19 @@ class IndexReader:
         """The stage-1 array-form tokens checkpoint (doc_id, terms[],
         tfs[], doc_len, shard, …) — a permanent build artifact (resume +
         compaction read it); point-doc fetches prune on the doc-hash
-        shard partition."""
-        return self.spark.read.parquet(os.path.join(self.dir, "tokens"))
+        shard partition. Merged indexes (engine/merge.py) carry no
+        tokens artifact, so guard on the manifest stage like
+        positions() does rather than dying on a raw PATH_NOT_FOUND."""
+        p = os.path.join(self.dir, "tokens")
+        if self.manifest["stages"].get("tokens") != "done":
+            raise FileNotFoundError(
+                f"no tokens artifact at {p} — this index was produced by "
+                "a segment merge, which carries postings/dictionary/"
+                "doc_stats only; more_like_this and other token-level "
+                "surfaces need an index built by build_index (or "
+                "re-tokenize the corpus)"
+            )
+        return self.spark.read.parquet(p)
 
     def more_like_this(
         self, k: int = 10, m_terms: int = 5, *,
@@ -1146,50 +1157,98 @@ class IndexReader:
     def hit_counts(self, queries: dict[str, str]) -> DataFrame:
         """(query_id, n_hits): number of distinct live docs matching ≥1
         term of each query — the "total hits" header every search API
-        returns — in ONE decode job over the union of all queries'
-        terms. Per shard the kernel explodes (term, doc_id) from the
-        compressed blocks; a broadcast (query_id, term) map then fans
-        each posting out to its queries and a single groupBy counts
-        distinct docs. Postings are isin-pruned to queried terms, so
-        cost ∝ queried posting mass."""
+        returns. EVERY input query gets a row (n_hits=0 when nothing
+        matches), matching the recompute twin and the DuckDB oracle —
+        a total-hits header must report 0, not omit the query.
+
+        Two plans:
+        - **dictionary fast path** — single-term queries on a
+          tombstone-free index: n_hits IS the dictionary's document
+          frequency; zero posting decode, zero shuffle beyond the tiny
+          dictionary join.
+        - **kernel count path** — per shard, the kernel unions each
+          query's decoded doc_id runs (blocks of one term are
+          doc-sorted and disjoint, so union = concat; across terms one
+          np.unique) and emits (query_id, partial_count). Because
+          shard = f(doc_id) (engine/index.py:142), per-shard distinct
+          counts are ADDITIVE, so a SUM over ~n_shards tiny rows
+          replaces the old exploded (term, doc_id) pair shuffle —
+          shuffle volume drops from the queried posting mass to
+          n_shards × n_queries rows. Postings are isin-pruned to the
+          queried terms, so decode cost ∝ queried posting mass."""
         import pandas as pd
 
-        qmap = [
-            (qid, t)
+        qterms = {
+            qid: sorted(set(tokenize(text, use_stem=self.use_stem)))
             for qid, text in sorted(queries.items())
-            for t in sorted(set(tokenize(text, use_stem=self.use_stem)))
-        ]
-        if not qmap:
+        }
+        if not qterms:
             return self.spark.createDataFrame([], "query_id string, n_hits long")
-        all_terms = sorted({t for _, t in qmap})
-        qdf = self.spark.createDataFrame(qmap, "query_id string, term string")
-        blocks = self.postings().where(F.col("term").isin(all_terms))
-
-        def explode_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
-            import numpy as np
-
-            from .postings import decode_block
-
-            terms, ids = [], []
-            for row in pdf.itertuples(index=False):
-                d_ids, _, _ = decode_block(row)
-                terms.append(np.full(d_ids.size, row.term, dtype=object))
-                ids.append(d_ids)
-            if not ids:
-                return pd.DataFrame({"term": [], "doc_id": []})
-            return pd.DataFrame(
-                {"term": np.concatenate(terms), "doc_id": np.concatenate(ids)}
-            )
-
-        pairs = self._live(
-            blocks.groupBy("shard").applyInPandas(
-                explode_kernel, "term string, doc_id long"
-            )
+        qids_df = self.spark.createDataFrame(
+            [(q,) for q in sorted(qterms)], "query_id string"
         )
-        return (
-            pairs.join(F.broadcast(qdf), "term")
-            .groupBy("query_id")
-            .agg(F.countDistinct("doc_id").alias("n_hits"))
+        tomb = self._tomb_array()
+        if tomb.size == 0 and all(len(ts) <= 1 for ts in qterms.values()):
+            pairs = [(qid, ts[0]) for qid, ts in qterms.items() if ts]
+            if pairs:
+                qdf = self.spark.createDataFrame(
+                    pairs, "query_id string, term string"
+                )
+                counts = qdf.join(
+                    self.dictionary().select("term", "df"), "term"
+                ).select("query_id", F.col("df").cast("long").alias("n_hits"))
+            else:
+                counts = self.spark.createDataFrame(
+                    [], "query_id string, n_hits long"
+                )
+        else:
+            all_terms = sorted({t for ts in qterms.values() for t in ts})
+            blocks = self.postings().where(F.col("term").isin(all_terms))
+            qterms_b = self.spark.sparkContext.broadcast(qterms)
+            tomb_b = self.spark.sparkContext.broadcast(
+                tomb if tomb.size else None
+            )
+
+            def count_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+                import numpy as np
+
+                from .postings import decode_block
+
+                per_term: dict[str, list] = {}
+                for row in pdf.itertuples(index=False):
+                    d_ids, _, _ = decode_block(row)
+                    if d_ids.size:
+                        per_term.setdefault(row.term, []).append(d_ids)
+                drop = tomb_b.value
+                out_q: list[str] = []
+                out_n: list[int] = []
+                for qid, ts in qterms_b.value.items():
+                    arrs = [a for t in ts for a in per_term.get(t, ())]
+                    if not arrs:
+                        continue
+                    ids = np.unique(np.concatenate(arrs))
+                    if drop is not None:
+                        ids = ids[
+                            ~np.isin(ids, drop, assume_unique=False)
+                        ]
+                    if ids.size:
+                        out_q.append(qid)
+                        out_n.append(int(ids.size))
+                return pd.DataFrame(
+                    {
+                        "query_id": pd.Series(out_q, dtype=object),
+                        "n_hits": pd.Series(out_n, dtype="int64"),
+                    }
+                )
+
+            counts = (
+                blocks.groupBy("shard")
+                .applyInPandas(count_kernel, "query_id string, n_hits long")
+                .groupBy("query_id")
+                .agg(F.sum("n_hits").alias("n_hits"))
+            )
+        return qids_df.join(counts, "query_id", "left").select(
+            "query_id", F.coalesce("n_hits", F.lit(0)).alias("n_hits")
         )
 
     def _qtf_topk(
@@ -1251,9 +1310,23 @@ class IndexReader:
             "rank", "doc_id", "score"
         )
         if with_metadata:
-            out = out.join(
-                self.doc_stats().select("doc_id", "repo", "path"), "doc_id", "left"
-            ).orderBy("rank")
+            # k-row driver cut + isin pushdown (snippet_topk pattern):
+            # a LEFT join keeps the k-row frame on the preserved side,
+            # forcing Spark to broadcast or sort-merge the CORPUS-sized
+            # doc_stats per query. Instead collect the k ids, push them
+            # into the doc_stats parquet scan (row-group pruning via
+            # PushedFilters In(doc_id, ...)), and broadcast the now
+            # k-row meta side.
+            rows = out.collect()
+            small = spark.createDataFrame(rows, out.schema)
+            ids = [r["doc_id"] for r in rows]
+            meta = self.doc_stats().select("doc_id", "repo", "path")
+            meta = (
+                meta.where(F.col("doc_id").isin(ids))
+                if ids
+                else meta.where(F.lit(False))
+            )
+            out = small.join(F.broadcast(meta), "doc_id", "left").orderBy("rank")
         return out
 
     def bm25_scores_all(self, query: str) -> DataFrame:

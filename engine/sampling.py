@@ -100,12 +100,16 @@ def token_pack(
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     pre = F.coalesce(F.sum("n_tokens").over(w), F.lit(0).cast("long"))
-    return t.select(
+    return t.withColumn("pre", pre).select(
         "doc_id",
         "pack_shard",
         "n_tokens",
-        F.floor(pre / budget).cast("long").alias("bin_id"),
-        (pre % budget).alias("bin_offset"),
+        # exact integer division (Spark `div`), not F.floor(pre/budget):
+        # `/` is double division, which loses exactness once a shard's
+        # cumulative token count passes 2^53 — real at 100 TB. DIV keeps
+        # both engines on integer semantics (DuckDB oracle uses `//`).
+        F.expr(f"pre DIV {int(budget)}").cast("long").alias("bin_id"),
+        (F.col("pre") % budget).alias("bin_offset"),
     )
 
 
