@@ -1100,6 +1100,7 @@ class IndexReader:
     def filtered_topk(
         self, query: str, k: int = 10, *, repo: str | None = None,
         path_prefix: str | None = None, round_scores: int | None = None,
+        prune: bool = True,
     ) -> DataFrame:
         """Metadata-filtered search (Lucene filter-query semantics): the
         filter restricts WHICH docs may be returned but does not change
@@ -1108,30 +1109,84 @@ class IndexReader:
         evaluated against the doc_stats artifact, so this serves from
         the index alone (no corpus access).
 
-        Scoring is the exhaustive union pass (``bm25_scores_all``), NOT
-        the θ-pruned kernel: block-max pruning against an *unfiltered*
-        top-k threshold is not rank-safe once the filter drops
-        high-scoring docs (a filtered-in doc ranked below k unfiltered
-        docs must still surface). The postings side is still isin-pruned
-        to the query's terms, so cost is proportional to the query's
-        posting mass, not the corpus.
+        Filter-AWARE block-max pruning (round-4 VERDICT item): θ against
+        an *unfiltered* top-k is not rank-safe under a filter (a
+        filtered-in doc ranked below k unfiltered docs must surface), so
+        the filter's per-shard survivor doc_ids ride INTO the kernel as
+        a keep-mask — only surviving docs enter the accumulator, θ is
+        then a floor over filtered docs only, and every block-max /
+        MaxScore drop re-engages. Mechanically: σ(doc_stats) projected
+        to (shard, doc_id) — shard re-derived as xxhash64(doc_id) %
+        n_shards, the build's own bucketing — is COGROUPED with the
+        isin-pruned posting blocks, so each shard's kernel sees exactly
+        its own survivors; nothing filter-sized ever visits the driver.
 
-        100 TB shape: scored (doc_id, score) ⋈ σ(doc_stats) is a plain
-        equi-join on doc_id — both sides are pre-hashed by doc_id-ish
-        keys and the filter side is a two-column projection; the global
-        cut stays TakeOrderedAndProject."""
-        scored = self._live(self.bm25_scores_all(query))
+        100 TB shape: one cogroup exchange of (k-ish columns of) the
+        filtered doc_stats — proportional to the filter's survivor
+        count, not the corpus — against the already-shard-partitioned
+        blocks; the global cut stays TakeOrderedAndProject."""
+        import pandas as pd
+
+        from collections import Counter
+
+        spark = self.spark
+        qtf_map = {
+            t: float(c)
+            for t, c in Counter(tokenize(query, use_stem=self.use_stem)).items()
+        }
+        if not qtf_map:
+            return spark.createDataFrame([], "rank int, doc_id long, score double")
+        avgdl = self.manifest["stats"]["avgdl"]
+        n = self.manifest["stats"]["n_docs"]
+        n_shards = self.manifest["config"]["n_shards"]
+        dic = (
+            self.dictionary()
+            .where(F.col("term").isin(list(qtf_map)))
+            .select(
+                "term",
+                idf_col(F.col("df").cast("double"), F.lit(float(n))).alias("idf"),
+            )
+        )
+        blocks = self.postings().where(F.col("term").isin(list(qtf_map))).join(
+            F.broadcast(dic), "term"
+        )
         keep = self.doc_stats()
         if repo is not None:
             keep = keep.where(F.col("repo") == repo)
         if path_prefix is not None:
             keep = keep.where(F.col("path").startswith(path_prefix))
-        scored = scored.join(keep.select("doc_id"), "doc_id")
+        keep = keep.select(
+            "doc_id",
+            F.pmod(F.xxhash64("doc_id"), F.lit(n_shards)).cast("int").alias("shard"),
+        )
+        eps = 0.5 * 10.0 ** (-round_scores) if round_scores is not None else 0.0
+        tomb = self._tomb_array()
+        tomb = tomb if tomb.size else None
+
+        def shard_kernel(bl: pd.DataFrame, kp: pd.DataFrame) -> pd.DataFrame:
+            import numpy as np
+
+            from .wand import topk_shard
+
+            keep_ids = np.sort(kp["doc_id"].to_numpy(dtype=np.int64))
+            idf = dict(zip(bl["term"], bl["idf"]))
+            weights = {t: qtf_map[t] * v for t, v in idf.items()}
+            ids, sc = topk_shard(
+                bl, weights, avgdl, k, prune=prune, eps=eps,
+                drop_ids=tomb, keep_ids=keep_ids,
+            )
+            return pd.DataFrame({"doc_id": ids, "score": sc})
+
+        per_shard = (
+            blocks.groupBy("shard")
+            .cogroup(keep.groupBy("shard"))
+            .applyInPandas(shard_kernel, "doc_id long, score double")
+        )
         if round_scores is not None:
-            scored = scored.select(
+            per_shard = per_shard.select(
                 "doc_id", F.round("score", round_scores).alias("score")
             )
-        topk = scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+        topk = per_shard.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
         w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
         return topk.withColumn("rank", F.row_number().over(w)).select(
             "rank", "doc_id", "score"

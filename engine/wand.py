@@ -81,6 +81,7 @@ def topk_shard(
     prune: bool = True,
     eps: float = 0.0,
     drop_ids: np.ndarray | None = None,
+    keep_ids: np.ndarray | None = None,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Score one shard's blocks for one query → (doc_ids, scores) of the
     shard-local top-k (unsorted). ``blocks`` has the BLOCKS_SCHEMA
@@ -97,7 +98,17 @@ def topk_shard(
     at block-decode time in the OR phase, BEFORE they can enter the
     accumulator; every later θ drop then remains rank-safe over live
     docs only, and the AND phase needs no mask (it only updates docs
-    already accumulated)."""
+    already accumulated).
+
+    ``keep_ids`` (a SORTED int64 array — this shard's metadata-filter
+    survivors) inverts that mask: only listed docs may enter the
+    accumulator, which makes θ a floor over FILTERED docs and lets
+    block-max pruning engage under a filter (filtered_topk). Blocks
+    whose [first_doc_id, last_doc_id] range contains no kept doc are
+    skipped without decoding. Scores stay full-corpus (Lucene FILTER
+    semantics — the filter gates emission, never rescores)."""
+    if keep_ids is not None and keep_ids.size == 0:
+        return np.empty(0, np.int64), np.empty(0, np.float64)
     by_term: dict[str, pd.DataFrame] = {
         t: g for t, g in blocks.groupby("term", sort=False) if t in weights
     }
@@ -124,12 +135,23 @@ def topk_shard(
             # OR phase: decode every block of t, merge-accumulate
             parts_ids, parts_sc = [], []
             for row in g.itertuples(index=False):
+                if keep_ids is not None:
+                    # skip blocks with no filter-surviving doc at all
+                    lo = np.searchsorted(keep_ids, row.first_doc_id, "left")
+                    hi = np.searchsorted(keep_ids, row.last_doc_id, "right")
+                    if lo >= hi:
+                        continue
                 ids, tfs, dls = decode_block(row)
+                if keep_ids is not None:
+                    m = _isin_sorted(ids, keep_ids)
+                    ids, tfs, dls = ids[m], tfs[m], dls[m]
                 if drop_ids is not None and drop_ids.size:
                     live = ~_isin_sorted(ids, drop_ids)
                     ids, tfs, dls = ids[live], tfs[live], dls[live]
                 parts_ids.append(ids)
                 parts_sc.append(w * score_norm(tfs, dls, avgdl))
+            if not parts_ids:
+                continue
             ids = np.concatenate(parts_ids)
             sc = np.concatenate(parts_sc)
             acc_ids, acc_sc = _merge_accumulate(acc_ids, acc_sc, ids, sc)

@@ -116,3 +116,21 @@ def test_paged_is_disjoint_continuation(spark, fidx):
     got = [(r["rank"], r["doc_id"], r["score"]) for r in p1 + p2]
     want = [(r["rank"], r["doc_id"], r["score"]) for r in top20]
     assert got == want
+
+
+def test_filtered_prune_rank_safe_across_repos(spark, tiny_corpus, fidx):
+    """Round-4: filter-aware block-max pruning (keep-mask in the
+    kernel) must be rank-identical to the exhaustive filtered pass for
+    EVERY repo filter — θ is maintained over filtered docs only."""
+    repos = sorted(
+        r["repo"] for r in tiny_corpus.select("repo").distinct().collect()
+    )
+    q = "index search engine"
+    for repo in repos:
+        a = fidx.filtered_topk(q, 10, repo=repo, round_scores=6).collect()
+        b = fidx.filtered_topk(
+            q, 10, repo=repo, round_scores=6, prune=False
+        ).collect()
+        assert [(r["rank"], r["doc_id"], r["score"]) for r in a] == [
+            (r["rank"], r["doc_id"], r["score"]) for r in b
+        ], repo
