@@ -11,6 +11,12 @@ With ``--golden golden.parquet --metrics`` the run is scored against
 the golden frame with precision@k / MAP@40 (engine/metrics.py — the
 reference family's evaluation idiom, SURVEY.md §5.1) and a one-line
 JSON metrics report is printed.
+
+With ``--ann-recall`` (no index needed) the ANN variants' recall@k vs
+exact brute-force cosine is measured over the first ``--n-queries``
+vectors of ``--sf-dir``'s embeddings table and appended as a table to
+BENCH/BASELINE.md — the approximation-quality counterpart of the
+parity tests (which pin determinism on a FIXED query, not recall).
 """
 
 from __future__ import annotations
@@ -20,10 +26,73 @@ import json
 import time
 
 
+def ann_recall(args) -> None:
+    import os
+
+    from engine.session import get_spark
+    from engine.sim import (
+        IVF_K,
+        cosine_topk,
+        ivf_topk,
+        load_embeddings,
+        lsh_topk,
+        lsh_topk_multiprobe,
+    )
+
+    spark = get_spark("ann_recall", cores=args.cores)
+    emb = load_embeddings(spark, args.sf_dir).cache()
+    qrows = (
+        emb.orderBy("vec_id").limit(args.n_queries)
+        .select("vec_id", "embedding").collect()
+    )
+    variants = {
+        "lsh (1 bucket)": lambda e, qv: lsh_topk(e, qv, args.k),
+        "lsh multiprobe h=1": lambda e, qv: lsh_topk_multiprobe(
+            e, qv, args.k, max_hamming=1),
+        "lsh multiprobe h=2": lambda e, qv: lsh_topk_multiprobe(
+            e, qv, args.k, max_hamming=2),
+        "ivf n_probe=1": lambda e, qv: ivf_topk(e, qv, args.k, IVF_K, 1),
+        "ivf n_probe=2": lambda e, qv: ivf_topk(e, qv, args.k, IVF_K, 2),
+        "ivf n_probe=4": lambda e, qv: ivf_topk(e, qv, args.k, IVF_K, 4),
+    }
+    recalls: dict[str, list[float]] = {v: [] for v in variants}
+    for row in qrows:
+        qv = list(row["embedding"])
+        exact = {r["vec_id"] for r in cosine_topk(emb, qv, args.k).collect()}
+        for name, fn in variants.items():
+            got = {r["vec_id"] for r in fn(emb, qv).collect()}
+            recalls[name].append(len(got & exact) / len(exact))
+    n_vecs = emb.count()
+    rep = {
+        "metric": "ann_recall",
+        "sf_dir": args.sf_dir,
+        "n_vectors": n_vecs,
+        "n_queries": len(qrows),
+        "k": args.k,
+        "recall_at_k": {
+            name: round(sum(v) / len(v), 4) for name, v in recalls.items()
+        },
+    }
+    print(json.dumps(rep))
+    repo = os.path.dirname(os.path.abspath(__file__))
+    stamp = time.strftime("%Y-%m-%d %H:%M")
+    with open(os.path.join(repo, "BENCH", "BASELINE.md"), "a") as f:
+        f.write(
+            f"\n## ANN recall@{args.k} vs exact cosine "
+            f"({n_vecs} vectors, {len(qrows)} queries, {args.sf_dir}, {stamp})\n\n"
+            "| variant | recall@k |\n|---|---|\n"
+            + "".join(
+                f"| {name} | {rep['recall_at_k'][name]:.4f} |\n"
+                for name in variants
+            )
+        )
+    print("appended to BENCH/BASELINE.md")
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--index", required=True)
-    ap.add_argument("--queries", required=True)
+    ap.add_argument("--index")
+    ap.add_argument("--queries")
     ap.add_argument("--k", type=int, default=10)
     ap.add_argument("--out", default=None)
     ap.add_argument("--exhaustive", action="store_true")
@@ -34,7 +103,19 @@ def main() -> None:
                     help="golden (query_id, rank, doc_id, score) parquet")
     ap.add_argument("--metrics", action="store_true",
                     help="score the run vs --golden: precision@k, MAP@40")
+    ap.add_argument("--ann-recall", action="store_true",
+                    help="measure ANN recall@k vs exact cosine (no index)")
+    ap.add_argument("--sf-dir", default="/root/testdata/sf0.1",
+                    help="testdata dir for --ann-recall embeddings")
+    ap.add_argument("--n-queries", type=int, default=20,
+                    help="query vectors sampled for --ann-recall")
     args = ap.parse_args()
+
+    if args.ann_recall:
+        ann_recall(args)
+        return
+    if not args.index or not args.queries:
+        ap.error("--index and --queries are required (unless --ann-recall)")
 
     from pyspark.sql import functions as F
 

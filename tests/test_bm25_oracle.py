@@ -10,8 +10,7 @@ from oracle.bm25_ref import OracleIndex
 K = 10
 
 
-@pytest.mark.parametrize("use_stem", [True, False])
-def test_rank_identity_all_queries(spark, tiny_corpus, tiny_docs, queries, use_stem):
+def _check_rank_identity(spark, tiny_corpus, tiny_docs, queries, use_stem):
     from engine.build import tokens_df
 
     oracle = OracleIndex(tiny_docs, use_stem=use_stem)
@@ -28,6 +27,19 @@ def test_rank_identity_all_queries(spark, tiny_corpus, tiny_docs, queries, use_s
             assert abs(r["score"] - s) <= 1e-6, f"query {q['query_id']} score drift"
         assert [r["rank"] for r in got] == list(range(1, len(got) + 1))
     toks.unpersist()
+
+
+def test_rank_identity_core_subset(spark, tiny_corpus, tiny_docs, queries):
+    """Core-lane oracle gate: 3 representative queries, unstemmed. The
+    full sweep (every fixture query, both stemming configs) runs in the
+    slow lane below."""
+    _check_rank_identity(spark, tiny_corpus, tiny_docs, queries[:3], False)
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("use_stem", [True, False])
+def test_rank_identity_all_queries(spark, tiny_corpus, tiny_docs, queries, use_stem):
+    _check_rank_identity(spark, tiny_corpus, tiny_docs, queries, use_stem)
 
 
 def test_stats_match_oracle(spark, tiny_corpus, tiny_docs):

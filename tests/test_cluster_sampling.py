@@ -33,6 +33,7 @@ def _pairs(spark, pairs):
     )
 
 
+@pytest.mark.slow
 def test_chain_collapses_to_min_label(spark):
     from engine.cluster import dup_clusters
 
@@ -71,6 +72,7 @@ def test_canonical_longest_then_smallest_id(spark):
     assert (r["cluster_id"], r["canonical_doc_id"], r["n_members"]) == (1, 2, 3)
 
 
+@pytest.mark.slow
 def test_clean_corpus_drops_dup_losers_and_low_quality(spark):
     from engine.cluster import clean_corpus
 

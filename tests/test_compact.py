@@ -17,6 +17,9 @@ from pyspark.sql import functions as F
 from engine.compact import compact_index, delete_documents
 from engine.index import IndexReader, build_index
 
+# slow lane: delete/compact lifecycle rebuilds — core lane is `pytest -m "not slow"`
+pytestmark = pytest.mark.slow
+
 
 @pytest.fixture(scope="module")
 def lifecycle(spark, tiny_corpus, queries, tmp_path_factory):

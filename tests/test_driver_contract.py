@@ -11,6 +11,9 @@ import sys
 import duckdb
 import pytest
 
+# slow lane: full 93-entry DuckDB sweep at sf0.01 (~2 min) — core lane is `pytest -m "not slow"`
+pytestmark = pytest.mark.slow
+
 sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
 
 SF_DIR = "/root/testdata/sf0.01"

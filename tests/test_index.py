@@ -63,6 +63,7 @@ def test_dictionary_matches_oracle(reader, tiny_docs):
     assert got == {t: (oracle.df[t], oracle.cf[t]) for t in oracle.df}
 
 
+@pytest.mark.slow
 def test_wand_rank_identical_to_oracle(reader, tiny_docs, queries):
     oracle = OracleIndex(tiny_docs, use_stem=True)
     for q in queries:
@@ -110,6 +111,7 @@ def test_resume_skips_done_and_completes_partial(spark, tiny_corpus, index_dir,
     assert got == [d for d, _ in oracle.bm25_topk(q["text"], K)]
 
 
+@pytest.mark.slow
 def test_deterministic_rebuild(spark, tiny_corpus, index_dir, tmp_path_factory):
     """Two independent builds → byte-identical logical content."""
     d3 = str(tmp_path_factory.mktemp("index_rebuild"))
@@ -129,6 +131,7 @@ def test_deterministic_rebuild(spark, tiny_corpus, index_dir, tmp_path_factory):
     assert a.manifest["stats"] == b.manifest["stats"]
 
 
+@pytest.mark.slow
 def test_changed_input_triggers_full_rebuild(spark, tiny_corpus, index_dir,
                                              tmp_path_factory):
     """Resuming onto DIFFERENT input must not reuse stale checkpoints:
@@ -165,6 +168,7 @@ def test_batch_matches_single_query(spark, index_dir, queries):
         assert got == sorted(single), qid
 
 
+@pytest.mark.slow
 def test_index_tfidf_matches_recompute(spark, tiny_corpus, index_dir, queries):
     """Index-backed /search_body (build-time doc norms) must be
     rank- and value-identical to the recompute-from-corpus path."""

@@ -9,6 +9,9 @@ from pyspark.sql import functions as F
 from engine.index import IndexReader, build_index
 from engine.merge import merge_indexes
 
+# slow lane: multi-index builds + byte-identity merge contracts — core lane is `pytest -m "not slow"`
+pytestmark = pytest.mark.slow
+
 
 @pytest.fixture(scope="module")
 def split_dirs(spark, tiny_corpus, tmp_path_factory):

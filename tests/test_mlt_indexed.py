@@ -4,6 +4,9 @@ the stemmed-index guard."""
 
 import pytest
 
+# slow lane: module-scope index build backs every test here
+pytestmark = pytest.mark.slow
+
 
 @pytest.fixture(scope="module")
 def unstem_index(spark, tiny_corpus, tmp_path_factory):

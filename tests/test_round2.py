@@ -62,6 +62,7 @@ def unstem_index_dir(spark, tiny_corpus, tmp_path_factory):
     return d
 
 
+@pytest.mark.slow
 def test_index_fusion_matches_recompute(spark, tiny_corpus, unstem_index_dir, queries):
     """IndexReader.fusion_topk (index BM25 + title-terms table) must
     match engine/ranking.fusion_topk (recompute path) — same pinned
@@ -96,6 +97,7 @@ def test_bm25_scores_all_is_exhaustive(spark, tiny_corpus, unstem_index_dir,
 
 # ------------------------------------------- ANN scale-path properties
 
+@pytest.mark.slow
 def test_multiprobe_superset_and_ivf_cover(spark):
     """Multi-probe candidates ⊇ single-bucket candidates (the recall
     dial is monotone); IVF assigns every vector exactly one cell."""
@@ -146,6 +148,7 @@ def test_doc_id_collision_fails_build(spark, tmp_path_factory):
         build_index(spark, df, d, use_stem=False, n_shards=2, n_chunks=1)
 
 
+@pytest.mark.slow
 def test_old_checkpoint_format_triggers_rebuild(spark, tiny_corpus,
                                                 unstem_index_dir,
                                                 tmp_path_factory):

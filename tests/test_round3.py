@@ -7,6 +7,9 @@ import pandas as pd
 import pytest
 from pyspark.sql import functions as F
 
+# slow lane: artifact builds (positions/docstore/ivf) per test — core lane is `pytest -m "not slow"`
+pytestmark = pytest.mark.slow
+
 SF = "/root/testdata/sf0.01"
 
 

@@ -8,6 +8,9 @@ import duckdb
 import pytest
 from pyspark.sql import functions as F
 
+# slow lane: index-build-backed wildcard/MLT parity — core lane is `pytest -m "not slow"`
+pytestmark = pytest.mark.slow
+
 SF = "/root/testdata/sf0.01"
 
 

@@ -80,6 +80,7 @@ def test_hit_counts_dictionary_fast_path(r4idx, tiny_corpus):
     assert got["q1"] == df_index
 
 
+@pytest.mark.slow
 def test_hit_counts_kernel_path_with_tombstones(
     spark, tiny_corpus, tmp_path_factory
 ):
@@ -141,6 +142,7 @@ def test_with_metadata_values(r4idx, tiny_corpus):
         assert (r["repo"], r["path"]) == lookup[r["doc_id"]]
 
 
+@pytest.mark.slow
 def test_merged_index_doc_tokens_descriptive_error(
     spark, tiny_corpus, tmp_path_factory
 ):
@@ -185,6 +187,7 @@ def test_frontend_fallback_routes_without_index(spark, tiny_corpus):
     assert svc.hit_counts("qqzzvxwmissing") == [["q", 0]]
 
 
+@pytest.mark.slow
 def test_frontend_use_stem_follows_reader(spark, tiny_corpus, tmp_path_factory):
     from engine.frontend import SearchService
     from engine.index import build_index

@@ -15,6 +15,9 @@ from engine.index import build_index
 from engine.io import documents_as_corpus
 from engine.streaming import corpus_stream, stream_ingest
 
+# slow lane: Structured-Streaming micro-batch drains + segment merges — core lane is `pytest -m "not slow"`
+pytestmark = pytest.mark.slow
+
 SF = "/root/testdata/sf0.01"
 
 
