@@ -542,6 +542,11 @@ class IndexReader:
         self._postings: DataFrame | None = None
         self._dictionary: DataFrame | None = None
         self._tomb_np = None  # lazy sorted int64 tombstone array
+        # fusion TA serving (see _fusion_serve): cached static-prior
+        # top lists + observability counters for the fallback seam
+        self._prior_tops: dict[str, tuple] = {}
+        self.fusion_ta_served = 0
+        self.fusion_ta_fallback = 0
         ensure_importable(self.spark)
 
     # ---- tombstones (engine/compact.py; Lucene liveDocs semantics) ----
@@ -1431,7 +1436,310 @@ class IndexReader:
             shard_kernel, "doc_id long, score double"
         )
 
+    # ---- fusion serving: rank-safe candidate generation (TA) ----------
+    #
+    # The exhaustive fusion paths below score EVERY body-matching doc
+    # per query (bm25_scores_all) just to max-normalize — a corpus-
+    # sized job per query at 100 TB. The serving path instead builds a
+    # provably sufficient candidate set (Fagin's Threshold Algorithm
+    # shape, adapted to this engine's per-shard block-max kernel):
+    #
+    #   C = K ∪ T ∪ P
+    #   K = per-shard body top-k' (k' = max(4k, 64)) with eps slack
+    #   T = ALL title-matching docs (exact body scores via keep_ids)
+    #   P = top-k'' docs of each static prior artifact (cached once
+    #       per reader — the artifact never changes under a reader)
+    #
+    # Exactness: every doc OUTSIDE C has body < θ_b − eps (kernel
+    # guarantee: survivors per shard are everything ≥ shard-k'-th −
+    # eps, and shard-k'-th ≤ θ_b, the global k'-th of K), zero title
+    # score (T is complete), and prior ≤ the k''-th prior value. So
+    # ub_out = w_b·(θ_b − eps)/max_b + Σ w_p·norm(θ_p) bounds any
+    # outside doc's unrounded fused score. If ub_out < Θ − 2·10⁻ᴿ
+    # (Θ = k-th ROUNDED fused score among C; the 2·10⁻ᴿ margin makes
+    # the comparison strict after both sides round at R decimals),
+    # the top-k over C is the top-k over the full set — returned.
+    # Otherwise _fusion_serve returns None and the caller falls back
+    # to the exhaustive path: never wrong, only slower. Scores are
+    # BIT-identical to the exhaustive path (same topk_shard term-order
+    # accumulation, same Spark expression tree), so the DuckDB oracles
+    # pinned on the recompute formula hold unchanged.
+
+    _FUSION_TA_KPRIOR = 1024  # prior-top depth cached per reader
+    _FUSION_TA_KBODY_MIN = 64  # body candidate depth floor (k' = max(4k, this))
+    _FUSION_TITLE_CAP = 1_000_000  # driver-collect gate on |T|
+    # Cost-based dispatch: TA candidate generation costs ~3 short
+    # driver jobs (title collect, kernel collect, ranked assembly);
+    # exhaustive scoring costs one corpus-matching-sized job. Below
+    # this corpus size the exhaustive job is cheaper than the TA
+    # overhead (measured at sf0.1: exhaustive 1.7-1.8 s vs TA 2.0-2.5 s
+    # at 5k docs; at 1.2 M docs the ratio inverts — see
+    # BENCH/BASELINE.md fusion A/B), so small indexes serve exhaustive.
+    _FUSION_TA_MIN_DOCS = 100_000
+
+    def _prior_top(self, name: str, df: DataFrame, value_col: str):
+        """Cached (sorted_ids, kth_value, max_value) of a STATIC prior
+        artifact's top-k'' docs by value desc (doc_id asc tiebreak).
+        One TakeOrderedAndProject per reader lifetime, reused by every
+        fusion query."""
+        import numpy as np
+
+        hit = self._prior_tops.get(name)
+        if hit is None:
+            k2 = self._FUSION_TA_KPRIOR
+            rows = (
+                df.orderBy(F.desc(value_col), F.asc("doc_id"))
+                .limit(k2)
+                .collect()
+            )
+            ids = np.sort(np.array([r["doc_id"] for r in rows], dtype=np.int64))
+            vals = [float(r[value_col]) for r in rows]
+            hit = (ids, vals[-1] if rows else 0.0, vals[0] if rows else 0.0)
+            self._prior_tops[name] = hit
+        return hit
+
+    def _body_candidate_pdf(self, qtf_map: dict[str, float], k_body: int,
+                            eps: float, keep_ids):
+        """One applyInPandas job → pandas (doc_id, score, src) with
+        src=0 the per-shard eps-slack top-k' (pruned kernel) and src=1
+        the exact scores of every keep_ids doc matching ≥1 term
+        (prune=False keep-mask pass). Scores are exact full BM25 in
+        both passes (identical term-order accumulation)."""
+        import numpy as np
+        import pandas as pd
+
+        avgdl = self.manifest["stats"]["avgdl"]
+        n = self.manifest["stats"]["n_docs"]
+        dic = (
+            self.dictionary()
+            .where(F.col("term").isin(list(qtf_map)))
+            .select(
+                "term",
+                idf_col(F.col("df").cast("double"), F.lit(float(n))).alias("idf"),
+            )
+        )
+        blocks = self.postings().where(F.col("term").isin(list(qtf_map))).join(
+            F.broadcast(dic), "term"
+        )
+        keep = keep_ids if keep_ids is not None and keep_ids.size else None
+
+        def kern(pdf: pd.DataFrame) -> pd.DataFrame:
+            from .wand import topk_shard
+
+            weights = {t: qtf_map[t] * v for t, v in zip(pdf["term"], pdf["idf"])}
+            ids1, sc1 = topk_shard(
+                pdf, weights, avgdl, k_body, prune=True, eps=eps
+            )
+            out = [pd.DataFrame({"doc_id": ids1, "score": sc1,
+                                 "src": np.zeros(ids1.size, dtype=np.int32)})]
+            if keep is not None:
+                ids2, sc2 = topk_shard(
+                    pdf, weights, avgdl, 1 << 31, prune=False, keep_ids=keep
+                )
+                out.append(pd.DataFrame({"doc_id": ids2, "score": sc2,
+                                         "src": np.ones(ids2.size, dtype=np.int32)}))
+            return pd.concat(out, ignore_index=True)
+
+        return (
+            blocks.groupBy("shard")
+            .applyInPandas(kern, "doc_id long, score double, src int")
+            .toPandas()
+        )
+
+    def _fusion_serve(self, query: str, k: int, w_body: float, w_title: float,
+                      priors: tuple) -> DataFrame | None:
+        """TA fusion serving shared by the 2/3/4-signal variants.
+        ``priors`` is a tuple of (name, weight, prior_df, value_col,
+        kind) with kind 'linear' (pr/max) or 'log1p'
+        (log1p(v)/log1p(max)). Returns the ranked top-k DataFrame, or
+        None when the TA bound cannot certify exactness (caller falls
+        back to the exhaustive path)."""
+        import math
+
+        import numpy as np
+        import pandas as pd
+
+        from collections import Counter
+
+        from .ranking import _ranked
+        from .textops import ROUND
+
+        spark = self.spark
+        if self.manifest["stats"]["n_docs"] < self._FUSION_TA_MIN_DOCS:
+            return None  # cost-based dispatch: exhaustive wins when small
+        title_q = sorted(set(tokenize(query, use_stem=False)))
+        n_q = len(title_q)
+        if n_q == 0:
+            return spark.createDataFrame([], "rank int, doc_id long, score double")
+        qtf = Counter(tokenize(query, use_stem=self.use_stem))
+        qtf_map = {t: float(c) for t, c in qtf.items()}
+
+        # T: every title-matching doc (complete — outside docs have
+        # title_score exactly 0), driver-cut behind a documented gate
+        title_pdf = (
+            self.title_terms()
+            .where(F.col("term").isin(title_q))
+            .groupBy("doc_id")
+            .agg((F.count("*") / F.lit(float(n_q))).alias("title_score"))
+            .toPandas()
+        )
+        if len(title_pdf) > self._FUSION_TITLE_CAP:
+            return None
+
+        # P: static prior tops (cached per reader)
+        prior_info = []  # (name, weight, df, value_col, kind, ids, kth, mx)
+        for name, w, pdf_df, vcol, kind in priors:
+            ids, kth, mx = self._prior_top(name, pdf_df, vcol)
+            prior_info.append((name, w, pdf_df, vcol, kind, ids, kth, mx))
+
+        # K + exact keep-pass. eps = (4·10⁻ᴿ / w_body)·B with
+        # B = Σ_t qtf_t·idf_max·(k1+1) ≥ the global max body score
+        # (idf_max = idf at df=1; per-term norm < k1+1): large enough
+        # that θ-cut docs lose by > the rounding granularity in fused
+        # space, small enough (≈10⁻⁴·max_b) that pruning is unharmed.
+        from . import BM25_K1
+
+        n = self.manifest["stats"]["n_docs"]
+        idf_max = math.log(1.0 + (n - 0.5) / 1.5)
+        bound = sum(qtf_map.values()) * idf_max * (BM25_K1 + 1.0)
+        if bound <= 0.0:
+            return None
+        eps = (4.0 * 10.0 ** (-ROUND) / w_body) * bound
+        keep = np.unique(
+            np.concatenate(
+                [title_pdf["doc_id"].to_numpy(dtype=np.int64)]
+                + [ids for *_x, ids, _kth, _mx in prior_info]
+            )
+        ) if (len(title_pdf) or prior_info) else None
+        k_body = max(4 * k, self._FUSION_TA_KBODY_MIN)
+        cand = (
+            self._body_candidate_pdf(qtf_map, k_body, eps, keep)
+            if qtf_map
+            else pd.DataFrame({"doc_id": [], "score": [], "src": []})
+        )
+        kernel_sc = cand.loc[cand["src"] == 0, "score"].to_numpy()
+        outside_possible = kernel_sc.size >= k_body
+        theta_b = (
+            float(np.partition(kernel_sc, kernel_sc.size - k_body)[
+                kernel_sc.size - k_body
+            ])
+            if outside_possible
+            else None
+        )
+        body_pdf = cand.drop_duplicates("doc_id")[["doc_id", "score"]]
+        max_b = float(body_pdf["score"].max()) if len(body_pdf) else None
+
+        # ---- assemble the fused frame on k-row-scale inputs ----------
+        if len(body_pdf):
+            body_sdf = spark.createDataFrame(body_pdf, "doc_id long, score double")
+            body_n = body_sdf.select(
+                "doc_id", (F.col("score") / F.lit(max_b)).alias("body_score")
+            )
+        else:
+            body_n = spark.createDataFrame([], "doc_id long, body_score double")
+        title_sdf = (
+            spark.createDataFrame(title_pdf, "doc_id long, title_score double")
+            if len(title_pdf)
+            else spark.createDataFrame([], "doc_id long, title_score double")
+        )
+        fused = body_n.join(title_sdf, "doc_id", "full_outer")
+        expr = w_body * F.coalesce("body_score", F.lit(0.0)) + w_title * F.coalesce(
+            "title_score", F.lit(0.0)
+        )
+        all_ids = np.unique(
+            np.concatenate([
+                body_pdf["doc_id"].to_numpy(dtype=np.int64),
+                title_pdf["doc_id"].to_numpy(dtype=np.int64),
+            ])
+        )
+        if prior_info and all_ids.size:
+            ids_sdf = spark.createDataFrame(
+                pd.DataFrame({"doc_id": all_ids}), "doc_id long"
+            )
+            for name, w, pdf_df, vcol, kind, _ids, _kth, mx in prior_info:
+                cut = pdf_df.join(F.broadcast(ids_sdf), "doc_id")
+                col = f"{name}_score"
+                if kind == "linear":
+                    cut = cut.select(
+                        "doc_id", (F.col(vcol) / F.lit(mx)).alias(col)
+                    )
+                else:  # log1p
+                    cut = cut.select(
+                        "doc_id",
+                        (
+                            F.log(F.lit(1.0) + F.col(vcol))
+                            / F.log(F.lit(1.0) + F.lit(mx))
+                        ).alias(col),
+                    )
+                fused = fused.join(F.broadcast(cut), "doc_id", "left")
+                expr = expr + w * F.coalesce(col, F.lit(0.0))
+        fused = fused.select("doc_id", F.round(expr, ROUND).alias("score"))
+        rows = _ranked(fused, "score", k).collect()
+
+        # ---- TA stopping bound --------------------------------------
+        if outside_possible:
+            if len(rows) < k or max_b is None:
+                return None
+            theta_fused = float(rows[-1]["score"])
+            ub_out = w_body * (theta_b - eps) / max_b
+            for name, w, _df, _vcol, kind, _ids, kth, mx in prior_info:
+                if kind == "linear":
+                    ub_out += w * (kth / mx if mx > 0 else 0.0)
+                else:
+                    ub_out += w * (
+                        math.log1p(kth) / math.log1p(mx) if mx > 0 else 0.0
+                    )
+            if ub_out >= theta_fused - 2.0 * 10.0 ** (-ROUND):
+                return None
+        self.fusion_ta_served += 1
+        return spark.createDataFrame(rows, "rank int, doc_id long, score double")
+
     def fusion_topk(self, query: str, k: int = 10) -> DataFrame:
+        """Index-backed `/search` (J4): TA candidate serving with
+        exhaustive fallback — identical results to
+        _fusion_topk_exhaustive (the oracle formula) by the rank-safety
+        argument above."""
+        from .ranking import FUSE_W_BODY, FUSE_W_TITLE
+
+        out = self._fusion_serve(query, k, FUSE_W_BODY, FUSE_W_TITLE, ())
+        if out is not None:
+            return out
+        self.fusion_ta_fallback += 1
+        return self._fusion_topk_exhaustive(query, k)
+
+    def fusion_pr_topk(self, query: str, k: int = 10) -> DataFrame:
+        """3-signal `/search` via TA serving (body + title + PageRank
+        prior), exhaustive fallback when the prior tail keeps the bound
+        open."""
+        from .ranking import FUSE3_W_BODY, FUSE3_W_PR, FUSE3_W_TITLE
+
+        out = self._fusion_serve(
+            query, k, FUSE3_W_BODY, FUSE3_W_TITLE,
+            (("pr", FUSE3_W_PR, self.pagerank_df(), "pr", "linear"),),
+        )
+        if out is not None:
+            return out
+        self.fusion_ta_fallback += 1
+        return self._fusion_pr_topk_exhaustive(query, k)
+
+    def fusion_pv_topk(self, query: str, k: int = 10) -> DataFrame:
+        """4-signal `/search` via TA serving (body + title + PageRank +
+        pageviews), exhaustive fallback."""
+        from .ranking import FUSE4_W_BODY, FUSE4_W_PR, FUSE4_W_PV, FUSE4_W_TITLE
+
+        out = self._fusion_serve(
+            query, k, FUSE4_W_BODY, FUSE4_W_TITLE,
+            (
+                ("pr", FUSE4_W_PR, self.pagerank_df(), "pr", "linear"),
+                ("pv", FUSE4_W_PV, self.pageviews_df(), "views", "log1p"),
+            ),
+        )
+        if out is not None:
+            return out
+        self.fusion_ta_fallback += 1
+        return self._fusion_pv_topk_exhaustive(query, k)
+
+    def _fusion_topk_exhaustive(self, query: str, k: int = 10) -> DataFrame:
         """Index-backed `/search` (J4): weighted fusion of max-normalized
         BM25 body score and title hit-ratio — the same pinned formula as
         engine/ranking.fusion_topk (its recompute path is the oracle).
@@ -1484,7 +1792,7 @@ class IndexReader:
             ).parquet(p)
         return self.spark.read.parquet(p)
 
-    def fusion_pr_topk(self, query: str, k: int = 10) -> DataFrame:
+    def _fusion_pr_topk_exhaustive(self, query: str, k: int = 10) -> DataFrame:
         """Index-backed 3-signal `/search` (J4 full set): the pinned
         0.5·bm25/max + 0.3·title_hits/|q| + 0.2·pr/max_pr formula of
         engine/ranking.fusion_pr_topk (its recompute path is the
@@ -1546,7 +1854,7 @@ class IndexReader:
             ).parquet(p)
         return self.spark.read.parquet(p)
 
-    def fusion_pv_topk(self, query: str, k: int = 10) -> DataFrame:
+    def _fusion_pv_topk_exhaustive(self, query: str, k: int = 10) -> DataFrame:
         """Index-backed 4-signal `/search` (J4 FULL reference set:
         body + title + PageRank + pageviews), pinned formula of
         engine/ranking.fusion_pv_topk (the recompute path is the

@@ -1,0 +1,84 @@
+"""Fusion TA serving (round 4): the rank-safe candidate path
+(IndexReader._fusion_serve — per-shard eps-slack body top-k' ∪ all
+title docs ∪ cached prior tops, with Fagin-TA stopping bound) must be
+VALUE-identical to the exhaustive path it replaces, for every variant
+and on both sides of the fallback seam."""
+
+import pytest
+
+from engine.index import IndexReader, build_index
+
+VARIANTS = [
+    ("fusion_topk", "_fusion_topk_exhaustive"),
+    ("fusion_pr_topk", "_fusion_pr_topk_exhaustive"),
+    ("fusion_pv_topk", "_fusion_pv_topk_exhaustive"),
+]
+
+
+@pytest.fixture(scope="module")
+def ta_index_dir(spark, tiny_corpus, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("index_fusion_ta"))
+    build_index(spark, tiny_corpus, d, use_stem=False, n_shards=4, n_chunks=2)
+    return d
+
+
+def _rows(df):
+    return [(r["rank"], r["doc_id"], r["score"]) for r in df.collect()]
+
+
+@pytest.mark.parametrize("serve,exhaustive", VARIANTS)
+def test_ta_matches_exhaustive(spark, ta_index_dir, queries, serve, exhaustive):
+    """Default knobs: TA result == exhaustive result, exactly (same
+    rounded scores, same ranks, same doc_ids)."""
+    r = IndexReader(spark, ta_index_dir)
+    r._FUSION_TA_MIN_DOCS = 0  # force TA on the 200-doc fixture
+    for q in queries[:4]:
+        got = _rows(getattr(r, serve)(q["text"], 5))
+        want = _rows(getattr(r, exhaustive)(q["text"], 5))
+        assert got == want, (serve, q["text"])
+    # 3 of the first 4 fixture queries have tokens ("the and of" is
+    # stopword-only and early-returns without touching the TA path)
+    assert r.fusion_ta_served >= 3
+
+
+@pytest.mark.parametrize("serve,exhaustive", VARIANTS)
+def test_ta_bound_path_matches(spark, ta_index_dir, queries, serve, exhaustive):
+    """Force the kernel to CUT (k_body below the per-shard match count)
+    so outside_possible=True and the TA bound is actually evaluated;
+    whether it certifies (served) or not (fallback), the result must
+    equal the exhaustive path."""
+    r = IndexReader(spark, ta_index_dir)
+    r._FUSION_TA_MIN_DOCS = 0
+    r._FUSION_TA_KBODY_MIN = 1
+    for q in queries[:4]:
+        got = _rows(getattr(r, serve)(q["text"], 1))
+        want = _rows(getattr(r, exhaustive)(q["text"], 1))
+        assert got == want, (serve, q["text"])
+    assert r.fusion_ta_served + r.fusion_ta_fallback >= 3
+
+
+def test_ta_fallback_seam(spark, ta_index_dir):
+    """Force the TA path to decline (title-collect gate of 0 with a
+    query whose hot terms certainly appear in some 10-token title):
+    the public method must fall back to the exhaustive path and return
+    its exact answer."""
+    r = IndexReader(spark, ta_index_dir)
+    r._FUSION_TA_MIN_DOCS = 0
+    r._FUSION_TITLE_CAP = 0
+    q = "def return search"  # zipfian-hot fixture terms → title matches
+    got = _rows(r.fusion_topk(q, 5))
+    want = _rows(r._fusion_topk_exhaustive(q, 5))
+    assert got == want
+    assert r.fusion_ta_fallback >= 1 and r.fusion_ta_served == 0
+
+
+def test_ta_edge_queries(spark, ta_index_dir):
+    """Stopword-only query → empty frame; nonsense query (no body, no
+    title match) → empty; both must mirror the exhaustive path."""
+    r = IndexReader(spark, ta_index_dir)
+    r._FUSION_TA_MIN_DOCS = 0
+    assert r.fusion_topk("the of and", 5).count() == 0
+    assert (
+        r.fusion_topk("zzzqqqxxx nonexistenttokenxyz", 5).count()
+        == r._fusion_topk_exhaustive("zzzqqqxxx nonexistenttokenxyz", 5).count()
+    )
