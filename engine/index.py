@@ -545,6 +545,10 @@ class IndexReader:
         # fusion TA serving (see _fusion_serve): cached static-prior
         # top lists + observability counters for the fallback seam
         self._prior_tops: dict[str, tuple] = {}
+        self._artifact_dfs: dict[str, DataFrame] = {}
+        self._fusion_ta_off: set = set()  # variants adaptively disabled
+        self._fusion_ta_fails: dict = {}  # variant -> consecutive misses
+        self._fusion_ta_stats: dict = {}  # variant -> [post-work hits, misses]
         self.fusion_ta_served = 0
         self.fusion_ta_fallback = 0
         ensure_importable(self.spark)
@@ -597,17 +601,34 @@ class IndexReader:
             self._dictionary = df.cache() if self.cache else df
         return self._dictionary
 
+    def _artifact(self, name: str, *, spark_cache: bool = False) -> DataFrame:
+        """Memoized lazy handle on an index-dir parquet artifact: the
+        spark.read.parquet call (file listing + footer/schema read, a
+        driver round-trip per call) happens once per reader, not once
+        per query. The handle stays LAZY unless spark_cache AND
+        self.cache — doc_stats/doc_norms must keep hitting the parquet
+        scan so isin/equality pushdown (plan-tested in
+        tests/test_round4.py, tests/test_filtered.py) keeps pruning
+        row groups."""
+        hit = self._artifact_dfs.get(name)
+        if hit is None:
+            hit = self.spark.read.parquet(os.path.join(self.dir, name))
+            if spark_cache and self.cache:
+                hit = hit.cache()
+            self._artifact_dfs[name] = hit
+        return hit
+
     def doc_stats(self) -> DataFrame:
-        return self.spark.read.parquet(os.path.join(self.dir, "doc_stats"))
+        return self._artifact("doc_stats")
 
     def doc_norms(self) -> DataFrame:
-        return self.spark.read.parquet(os.path.join(self.dir, "doc_norms"))
+        return self._artifact("doc_norms")
 
     def title_terms(self) -> DataFrame:
-        return self.spark.read.parquet(os.path.join(self.dir, "title_terms"))
+        return self._artifact("title_terms", spark_cache=True)
 
     def anchor_terms(self) -> DataFrame:
-        return self.spark.read.parquet(os.path.join(self.dir, "anchor_terms"))
+        return self._artifact("anchor_terms", spark_cache=True)
 
     def positions(self) -> DataFrame:
         p = os.path.join(self.dir, "positions")
@@ -1468,6 +1489,8 @@ class IndexReader:
     _FUSION_TA_KPRIOR = 1024  # prior-top depth cached per reader
     _FUSION_TA_KBODY_MIN = 64  # body candidate depth floor (k' = max(4k, this))
     _FUSION_TITLE_CAP = 1_000_000  # driver-collect gate on |T|
+    _FUSION_TA_S_CAP = 4096  # straddler cap floor (adaptive TA disable)
+    _FUSION_TA_FAIL_LIMIT = 2  # consecutive post-work misses before disable
     # Cost-based dispatch: TA candidate generation costs ~3 short
     # driver jobs (title collect, kernel collect, ranked assembly);
     # exhaustive scoring costs one corpus-matching-sized job. Below
@@ -1476,6 +1499,26 @@ class IndexReader:
     # at 5k docs; at 1.2 M docs the ratio inverts — see
     # BENCH/BASELINE.md fusion A/B), so small indexes serve exhaustive.
     _FUSION_TA_MIN_DOCS = 100_000
+
+    def _ta_miss(self, variant):
+        """Record a post-work TA fallback (the probe ran but could not
+        certify exactness). After _FUSION_TA_FAIL_LIMIT CONSECUTIVE
+        misses the variant is disabled on this reader, so steady-state
+        queries dispatch straight to exhaustive at zero probe cost —
+        the distribution property that defeats the bound (flat prior
+        tail, title-heavy corpus) is per-index, not per-query. A served
+        query resets the count. Returns None (the fallback sentinel)."""
+        n = self._fusion_ta_fails.get(variant, 0) + 1
+        self._fusion_ta_fails[variant] = n
+        self._fusion_ta_stats.setdefault(variant, [0, 0])[1] += 1
+        if n >= self._FUSION_TA_FAIL_LIMIT:
+            self._fusion_ta_off.add(variant)
+        return None
+
+    def _ta_hit(self, variant) -> None:
+        self.fusion_ta_served += 1
+        self._fusion_ta_stats.setdefault(variant, [0, 0])[0] += 1
+        self._fusion_ta_fails.pop(variant, None)
 
     def _prior_top(self, name: str, df: DataFrame, value_col: str):
         """Cached (sorted_ids, kth_value, max_value) of a STATIC prior
@@ -1499,12 +1542,15 @@ class IndexReader:
         return hit
 
     def _body_candidate_pdf(self, qtf_map: dict[str, float], k_body: int,
-                            eps: float, keep_ids):
+                            eps: float, keep_ids, *, with_topk: bool = True):
         """One applyInPandas job → pandas (doc_id, score, src) with
-        src=0 the per-shard eps-slack top-k' (pruned kernel) and src=1
-        the exact scores of every keep_ids doc matching ≥1 term
-        (prune=False keep-mask pass). Scores are exact full BM25 in
-        both passes (identical term-order accumulation)."""
+        src=0 the per-shard eps-slack top-k' (pruned kernel; skipped
+        when with_topk=False) and src=1 the exact scores of every
+        keep_ids doc matching ≥1 term (prune=False keep-mask pass —
+        a keep id ABSENT from the output therefore provably matches no
+        query term, i.e. its body score is exactly 0). Scores are
+        exact full BM25 in both passes (identical term-order
+        accumulation)."""
         import numpy as np
         import pandas as pd
 
@@ -1527,17 +1573,23 @@ class IndexReader:
             from .wand import topk_shard
 
             weights = {t: qtf_map[t] * v for t, v in zip(pdf["term"], pdf["idf"])}
-            ids1, sc1 = topk_shard(
-                pdf, weights, avgdl, k_body, prune=True, eps=eps
-            )
-            out = [pd.DataFrame({"doc_id": ids1, "score": sc1,
-                                 "src": np.zeros(ids1.size, dtype=np.int32)})]
+            out = []
+            if with_topk:
+                ids1, sc1 = topk_shard(
+                    pdf, weights, avgdl, k_body, prune=True, eps=eps
+                )
+                out.append(pd.DataFrame({"doc_id": ids1, "score": sc1,
+                                         "src": np.zeros(ids1.size, dtype=np.int32)}))
             if keep is not None:
                 ids2, sc2 = topk_shard(
                     pdf, weights, avgdl, 1 << 31, prune=False, keep_ids=keep
                 )
                 out.append(pd.DataFrame({"doc_id": ids2, "score": sc2,
                                          "src": np.ones(ids2.size, dtype=np.int32)}))
+            if not out:
+                return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                                     "score": pd.Series([], dtype="float64"),
+                                     "src": pd.Series([], dtype="int32")})
             return pd.concat(out, ignore_index=True)
 
         return (
@@ -1567,6 +1619,13 @@ class IndexReader:
         spark = self.spark
         if self.manifest["stats"]["n_docs"] < self._FUSION_TA_MIN_DOCS:
             return None  # cost-based dispatch: exhaustive wins when small
+        variant = (w_body, w_title, tuple(p[0] for p in priors))
+        if variant in self._fusion_ta_off:
+            # adaptively learned: this variant's straddler set blew the
+            # cap once, or it missed the TA bound _FUSION_TA_FAIL_LIMIT
+            # queries in a row (flat prior tail → TA cannot prune), so
+            # later queries dispatch straight to exhaustive at zero cost
+            return None
         title_q = sorted(set(tokenize(query, use_stem=False)))
         n_q = len(title_q)
         if n_q == 0:
@@ -1584,7 +1643,7 @@ class IndexReader:
             .toPandas()
         )
         if len(title_pdf) > self._FUSION_TITLE_CAP:
-            return None
+            return self._ta_miss(variant)  # paid the title collect
 
         # P: static prior tops (cached per reader)
         prior_info = []  # (name, weight, df, value_col, kind, ids, kth, mx)
@@ -1605,18 +1664,21 @@ class IndexReader:
         if bound <= 0.0:
             return None
         eps = (4.0 * 10.0 ** (-ROUND) / w_body) * bound
-        keep = np.unique(
-            np.concatenate(
-                [title_pdf["doc_id"].to_numpy(dtype=np.int64)]
-                + [ids for *_x, ids, _kth, _mx in prior_info]
-            )
-        ) if (len(title_pdf) or prior_info) else None
         k_body = max(4 * k, self._FUSION_TA_KBODY_MIN)
-        cand = (
-            self._body_candidate_pdf(qtf_map, k_body, eps, keep)
-            if qtf_map
-            else pd.DataFrame({"doc_id": [], "score": [], "src": []})
+        # Phase-1 keep = prior-top ids ONLY (≤ k'' per prior — tiny).
+        # Title docs are NOT keep-passed here: exact body for every
+        # title doc would re-decode nearly every matched block
+        # (measured 1.6x slower than exhaustive at 1.2M docs); instead
+        # phase 2 below random-accesses only the title docs whose
+        # upper bound can still reach the top-k (Fagin-TA).
+        p_ids = (
+            np.unique(np.concatenate([ids for *_x, ids, _kth, _mx in prior_info]))
+            if prior_info
+            else None
         )
+        if not qtf_map:
+            return None
+        cand = self._body_candidate_pdf(qtf_map, k_body, eps, p_ids)
         kernel_sc = cand.loc[cand["src"] == 0, "score"].to_numpy()
         outside_possible = kernel_sc.size >= k_body
         theta_b = (
@@ -1628,8 +1690,103 @@ class IndexReader:
         )
         body_pdf = cand.drop_duplicates("doc_id")[["doc_id", "score"]]
         max_b = float(body_pdf["score"].max()) if len(body_pdf) else None
+        known = set(body_pdf["doc_id"].tolist())
+        if p_ids is not None:
+            # P ids absent from the keep-pass output provably match no
+            # query term → body exactly 0; their fused is exact too
+            known.update(p_ids.tolist())
 
-        # ---- assemble the fused frame on k-row-scale inputs ----------
+        if not outside_possible:
+            # no shard cut anything → every body-matched doc is in the
+            # kernel output, every other doc's body is exactly 0: one
+            # assembly over all body rows + ALL title rows is exact
+            rows = self._fusion_assemble_rank(
+                body_pdf, title_pdf, prior_info, k, w_body, w_title
+            )
+            self._ta_hit(variant)
+            return spark.createDataFrame(rows, "rank int, doc_id long, score double")
+
+        # ---- staged exact ranking (body got cut somewhere) -----------
+        # Round 1: exact fused over E0 = kernel docs ∪ prior-top docs
+        # (title scores joined in for those ids only — a title doc
+        # OUTSIDE E0 has unknown body ∈ [0, θ_b] and is deferred)
+        t_ids = title_pdf["doc_id"].to_numpy(dtype=np.int64)
+        in_e0 = title_pdf["doc_id"].isin(known)
+        rows = self._fusion_assemble_rank(
+            body_pdf, title_pdf[in_e0], prior_info, k, w_body, w_title
+        )
+        if len(rows) < k or max_b is None:
+            return self._ta_miss(variant)
+        theta_low = float(rows[-1]["score"])
+
+        # Round 2: random-access the straddlers — title docs outside E0
+        # whose UPPER bound (body ≤ θ_b, prior ≤ θ_p) could still reach
+        # the k-th exact score. Selection arithmetic is driver-side
+        # float64 with a 1e-4 margin (≫ the 2·10⁻ᴿ exactness margin),
+        # so ulp-level differences cannot mis-exclude a contender.
+        prior_tail = 0.0
+        for name, w, _df, _vcol, kind, _ids, kth, mx in prior_info:
+            if kind == "linear":
+                prior_tail += w * (kth / mx if mx > 0 else 0.0)
+            else:
+                prior_tail += w * (
+                    math.log1p(kth) / math.log1p(mx) if mx > 0 else 0.0
+                )
+        ub_title = (
+            w_body * theta_b / max_b
+            + w_title * title_pdf["title_score"].to_numpy()
+            + prior_tail
+        )
+        margin = 1e-4
+        straddle = (~in_e0.to_numpy()) & (ub_title >= theta_low - margin)
+        if straddle.sum() > max(self._FUSION_TA_S_CAP, 16 * k_body):
+            # The straddler random-access pass degenerates toward a
+            # full re-decode when the prior tail is flat (θ_p ≈ max —
+            # true of the synthetic pageview prior; real-world pr/pv
+            # are zipfian and prune hard). Count it as a miss: after
+            # _FUSION_TA_FAIL_LIMIT consecutive blowups the variant is
+            # disabled on this reader and serves exhaustive at zero
+            # probe cost (one hot query can't kill TA forever).
+            return self._ta_miss(variant)
+        if straddle.any():
+            s_ids = np.unique(t_ids[straddle])
+            body_s = self._body_candidate_pdf(
+                qtf_map, k_body, eps, s_ids, with_topk=False
+            )[["doc_id", "score"]]
+            body_pdf = (
+                pd.concat([body_pdf, body_s], ignore_index=True)
+                .drop_duplicates("doc_id")
+            )
+            known.update(s_ids.tolist())
+            in_final = title_pdf["doc_id"].isin(known)
+            rows = self._fusion_assemble_rank(
+                body_pdf, title_pdf[in_final], prior_info, k, w_body, w_title
+            )
+            if len(rows) < k:
+                return self._ta_miss(variant)
+
+        # ---- TA stopping bound for docs outside all candidate sets ---
+        theta_fused = float(rows[-1]["score"])
+        ub_out = w_body * (theta_b - eps) / max_b + prior_tail
+        if ub_out >= theta_fused - 2.0 * 10.0 ** (-ROUND):
+            return self._ta_miss(variant)
+        self._ta_hit(variant)
+        return spark.createDataFrame(rows, "rank int, doc_id long, score double")
+
+    def _fusion_assemble_rank(self, body_pdf, title_pdf, prior_info, k: int,
+                              w_body: float, w_title: float) -> list:
+        """Build the pinned fused expression over the given body/title
+        rows (small, driver-cut), LEFT-join exact prior values for the
+        frame's ids, rank, and collect k rows. The expression tree is
+        the exhaustive path's, so values are bit-identical."""
+        import numpy as np
+        import pandas as pd
+
+        from .ranking import _ranked
+        from .textops import ROUND
+
+        spark = self.spark
+        max_b = float(body_pdf["score"].max()) if len(body_pdf) else None
         if len(body_pdf):
             body_sdf = spark.createDataFrame(body_pdf, "doc_id long, score double")
             body_n = body_sdf.select(
@@ -1674,25 +1831,7 @@ class IndexReader:
                 fused = fused.join(F.broadcast(cut), "doc_id", "left")
                 expr = expr + w * F.coalesce(col, F.lit(0.0))
         fused = fused.select("doc_id", F.round(expr, ROUND).alias("score"))
-        rows = _ranked(fused, "score", k).collect()
-
-        # ---- TA stopping bound --------------------------------------
-        if outside_possible:
-            if len(rows) < k or max_b is None:
-                return None
-            theta_fused = float(rows[-1]["score"])
-            ub_out = w_body * (theta_b - eps) / max_b
-            for name, w, _df, _vcol, kind, _ids, kth, mx in prior_info:
-                if kind == "linear":
-                    ub_out += w * (kth / mx if mx > 0 else 0.0)
-                else:
-                    ub_out += w * (
-                        math.log1p(kth) / math.log1p(mx) if mx > 0 else 0.0
-                    )
-            if ub_out >= theta_fused - 2.0 * 10.0 ** (-ROUND):
-                return None
-        self.fusion_ta_served += 1
-        return spark.createDataFrame(rows, "rank int, doc_id long, score double")
+        return _ranked(fused, "score", k).collect()
 
     def fusion_topk(self, query: str, k: int = 10) -> DataFrame:
         """Index-backed `/search` (J4): TA candidate serving with
@@ -1790,7 +1929,7 @@ class IndexReader:
             pagerank(self.doc_stats().select("doc_id")).write.mode(
                 "overwrite"
             ).parquet(p)
-        return self.spark.read.parquet(p)
+        return self._artifact("pagerank")
 
     def _fusion_pr_topk_exhaustive(self, query: str, k: int = 10) -> DataFrame:
         """Index-backed 3-signal `/search` (J4 full set): the pinned
@@ -1852,7 +1991,7 @@ class IndexReader:
             synthetic_pageviews(self.doc_stats().select("doc_id")).write.mode(
                 "overwrite"
             ).parquet(p)
-        return self.spark.read.parquet(p)
+        return self._artifact("pageviews")
 
     def _fusion_pv_topk_exhaustive(self, query: str, k: int = 10) -> DataFrame:
         """Index-backed 4-signal `/search` (J4 FULL reference set:

@@ -120,6 +120,10 @@ def main() -> None:
             "docs": args.docs,
             "ta_served": reader.fusion_ta_served,
             "ta_fallback": reader.fusion_ta_fallback,
+            "ta_per_variant_hit_miss": {
+                str(k): v for k, v in reader._fusion_ta_stats.items()
+            },
+            "ta_disabled": [str(v) for v in reader._fusion_ta_off],
             "summary": {
                 c: {"min": min(v), "median": round(statistics.median(v), 3),
                     "all": v}

@@ -8,6 +8,10 @@ import pytest
 
 from engine.index import IndexReader, build_index
 
+# index-building module → slow lane (the core lane's fusion coverage is
+# the recompute parity + driver-contract exact-value checks)
+pytestmark = pytest.mark.slow
+
 VARIANTS = [
     ("fusion_topk", "_fusion_topk_exhaustive"),
     ("fusion_pr_topk", "_fusion_pr_topk_exhaustive"),
@@ -70,6 +74,43 @@ def test_ta_fallback_seam(spark, ta_index_dir):
     want = _rows(r._fusion_topk_exhaustive(q, 5))
     assert got == want
     assert r.fusion_ta_fallback >= 1 and r.fusion_ta_served == 0
+
+
+def test_ta_adaptive_disable_on_straddler_blowup(spark, ta_index_dir, queries):
+    """A straddler cap of -1 makes ANY straddler set oversized (modulo
+    the 16*k_body floor, neutralized by k=1): a cut-producing query must
+    either be served or fall back, and after _FUSION_TA_FAIL_LIMIT
+    consecutive post-work misses the variant is disabled, so later
+    queries dispatch straight to exhaustive — always returning the
+    exhaustive answer."""
+    r = IndexReader(spark, ta_index_dir)
+    r._FUSION_TA_MIN_DOCS = 0
+    r._FUSION_TA_KBODY_MIN = 1  # force per-shard cuts on 200 docs
+    r._FUSION_TA_S_CAP = -1
+    q = queries[0]["text"]
+    for _ in range(3):
+        got = _rows(r.fusion_pv_topk(q, 1))
+        want = _rows(r._fusion_pv_topk_exhaustive(q, 1))
+        assert got == want
+    assert len(r._fusion_ta_off) >= 1 or r.fusion_ta_served >= 3
+
+
+def test_ta_consecutive_miss_disable(spark, ta_index_dir, queries):
+    """Post-work fallbacks (here forced via the title-collect gate)
+    accumulate per variant; at _FUSION_TA_FAIL_LIMIT consecutive misses
+    the variant is disabled and later queries skip the probe entirely,
+    still serving the exact exhaustive answer."""
+    r = IndexReader(spark, ta_index_dir)
+    r._FUSION_TA_MIN_DOCS = 0
+    r._FUSION_TITLE_CAP = 0  # every title-matching query pays + misses
+    q = "def return search"  # zipfian-hot fixture terms → title matches
+    for _ in range(r._FUSION_TA_FAIL_LIMIT + 1):
+        got = _rows(r.fusion_topk(q, 5))
+        want = _rows(r._fusion_topk_exhaustive(q, 5))
+        assert got == want
+    assert len(r._fusion_ta_off) == 1
+    assert r.fusion_ta_fallback == r._FUSION_TA_FAIL_LIMIT + 1
+    assert r.fusion_ta_served == 0
 
 
 def test_ta_edge_queries(spark, ta_index_dir):
