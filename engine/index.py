@@ -601,20 +601,20 @@ class IndexReader:
             self._dictionary = df.cache() if self.cache else df
         return self._dictionary
 
-    def _artifact(self, name: str, *, spark_cache: bool = False) -> DataFrame:
-        """Memoized lazy handle on an index-dir parquet artifact: the
+    def _artifact(self, name: str) -> DataFrame:
+        """Memoized LAZY handle on an index-dir parquet artifact: the
         spark.read.parquet call (file listing + footer/schema read, a
         driver round-trip per call) happens once per reader, not once
-        per query. The handle stays LAZY unless spark_cache AND
-        self.cache — doc_stats/doc_norms must keep hitting the parquet
-        scan so isin/equality pushdown (plan-tested in
-        tests/test_round4.py, tests/test_filtered.py) keeps pruning
-        row groups."""
+        per query. Deliberately NEVER .cache()d: every consumer filters
+        these tables (term isin, doc_id isin, repo/path equality), and
+        an InMemoryTableScan would replace the pushed-down pruned
+        parquet scan with a full cached-relation scan — measured 0.85 s
+        → 2.84 s on title_topk at 1.2 M docs when title_terms was
+        cached. doc_stats/doc_norms pushdown is additionally
+        plan-tested (tests/test_round4.py, tests/test_filtered.py)."""
         hit = self._artifact_dfs.get(name)
         if hit is None:
             hit = self.spark.read.parquet(os.path.join(self.dir, name))
-            if spark_cache and self.cache:
-                hit = hit.cache()
             self._artifact_dfs[name] = hit
         return hit
 
@@ -625,10 +625,10 @@ class IndexReader:
         return self._artifact("doc_norms")
 
     def title_terms(self) -> DataFrame:
-        return self._artifact("title_terms", spark_cache=True)
+        return self._artifact("title_terms")
 
     def anchor_terms(self) -> DataFrame:
-        return self._artifact("anchor_terms", spark_cache=True)
+        return self._artifact("anchor_terms")
 
     def positions(self) -> DataFrame:
         p = os.path.join(self.dir, "positions")
@@ -640,7 +640,7 @@ class IndexReader:
                 "build_index(..., with_positions=True) or call "
                 "engine.positions.write_positions on this index dir"
             )
-        return self.spark.read.parquet(p)
+        return self._artifact("positions")
 
     def phrase_topk(self, phrase: str, k: int = 10) -> DataFrame:
         """Index-backed exact phrase search (P7/Q7): decode position
@@ -661,7 +661,7 @@ class IndexReader:
                 f"no docstore artifact at {p} — build with "
                 "build_index(..., with_docstore=True)"
             )
-        return self.spark.read.parquet(p)
+        return self._artifact("docstore")
 
     def snippet_topk(self, query: str, k: int = 10, pad: int | None = None) -> DataFrame:
         """Index-backed snippet generation: proximity ranking from the
@@ -685,7 +685,13 @@ class IndexReader:
         if not rows:
             return self.spark.createDataFrame([], out_schema)
         picked = {int(r["doc_id"]): int(r["key"]) for r in rows}
-        return render_snippets(self.spark, self.docstore(), picked, pad)
+        # hive-partition pruning: the kernel knows each winner's shard,
+        # so the docstore fetch reads ≤k of n_shards partition dirs
+        # instead of scanning the whole forward index per query
+        # (measured 7.0 s → sub-second at 1.2 M docs / 256 shards)
+        shards = sorted({int(r["shard"]) for r in rows})
+        docs = self.docstore().where(F.col("shard").isin(shards))
+        return render_snippets(self.spark, docs, picked, pad)
 
     def proximity_topk(self, query: str, k: int = 10) -> DataFrame:
         """Index-backed min-span proximity search: decode position

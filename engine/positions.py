@@ -197,10 +197,12 @@ def _proximity_kernel(terms: list[str]):
     from .phrase import _SPAN_PACK
 
     m = len(terms)
-    empty = pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+    empty = pd.DataFrame({"shard": pd.Series(dtype="int32"),
+                          "doc_id": pd.Series(dtype="int64"),
                           "key": pd.Series(dtype="int64")})
 
     def kernel(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        shard = np.int32(key[0])
         per: dict[str, tuple[np.ndarray, np.ndarray]] = {}
         for term, grp in pdf.groupby("term"):
             per[str(term)] = _decode_blocks(grp)
@@ -245,7 +247,11 @@ def _proximity_kernel(terms: list[str]):
         min_key = np.minimum.reduceat(packed, starts)
         # every common doc has ≥1 valid window (the event completing
         # its first full cover), so no sentinel survives the reduceat
-        return pd.DataFrame({"doc_id": common, "key": min_key})
+        return pd.DataFrame({
+            "shard": np.full(common.size, shard, dtype=np.int32),
+            "doc_id": common,
+            "key": min_key,
+        })
 
     return kernel
 
@@ -286,12 +292,13 @@ def _pack() -> int:
 def proximity_keys_from_positions(
     positions: DataFrame, terms: list[str]
 ) -> DataFrame:
-    """(doc_id, key) — per-doc packed min (span, start) from the
+    """(shard, doc_id, key) — per-doc packed min (span, start) from the
     positions artifact; key follows the phrase.py _SPAN_PACK contract.
-    Shared by proximity ranking and snippet serving."""
+    Shared by proximity ranking and snippet serving; shard rides along
+    so the snippet docstore fetch can prune hive partitions."""
     blocks = positions.where(F.col("term").isin(terms))
     return blocks.groupBy("shard").applyInPandas(
-        _proximity_kernel(terms), "doc_id long, key long"
+        _proximity_kernel(terms), "shard int, doc_id long, key long"
     )
 
 

@@ -196,3 +196,29 @@ def test_frontend_use_stem_follows_reader(spark, tiny_corpus, tmp_path_factory):
     build_index(spark, tiny_corpus, d, use_stem=True, n_shards=2, n_chunks=1)
     svc = SearchService(spark, tiny_corpus, index_dir=d)
     assert svc._use_stem is True
+
+
+@pytest.mark.slow
+def test_snippet_docstore_partition_pruned(spark, tiny_corpus, tmp_path_factory):
+    """Round-4 snippet fix: the docstore fetch for the k winning docs
+    must prune hive partitions via the shards the proximity kernel
+    reported (PartitionFilters on shard), never scan the whole forward
+    index — and stay text-identical to the corpus recompute path."""
+    from engine.index import build_index
+    from engine.phrase import snippet_topk as snippet_recompute
+
+    d = str(tmp_path_factory.mktemp("r4_snip_idx"))
+    r = build_index(
+        spark, tiny_corpus, d, use_stem=False, n_shards=4, n_chunks=1,
+        with_positions=True, with_docstore=True,
+    )
+    q = "index search"
+    df = r.snippet_topk(q, 5)
+    p = plan_of(df)
+    assert "PartitionFilters" in p and "shard" in p, p
+    got = [(x["rank"], x["doc_id"], x["min_span"], x["snippet"])
+           for x in df.collect()]
+    docs = tiny_corpus.select("doc_id", "content")
+    want = [(x["rank"], x["doc_id"], x["min_span"], x["snippet"])
+            for x in snippet_recompute(spark, docs, q, 5).collect()]
+    assert got == want and len(got) > 0
