@@ -549,6 +549,7 @@ class IndexReader:
         self._fusion_ta_off: set = set()  # variants adaptively disabled
         self._fusion_ta_fails: dict = {}  # variant -> consecutive misses
         self._fusion_ta_stats: dict = {}  # variant -> [post-work hits, misses]
+        self._title_dfs: dict[str, int] = {}  # term -> title df (TA dispatch)
         self.fusion_ta_served = 0
         self.fusion_ta_fallback = 0
         ensure_importable(self.spark)
@@ -1495,6 +1496,13 @@ class IndexReader:
     _FUSION_TA_KPRIOR = 1024  # prior-top depth cached per reader
     _FUSION_TA_KBODY_MIN = 64  # body candidate depth floor (k' = max(4k, this))
     _FUSION_TITLE_CAP = 1_000_000  # driver-collect gate on |T|
+    # Hotness dispatch: Σ title-df of the query terms bounds |T| before
+    # any collect; above this the TA path's two |T|-row driver
+    # transfers cost more than the exhaustive plan's Spark-side title
+    # agg (measured at 1.2 M docs: a 3-hot-term query served 4.7 s via
+    # TA vs 4.2 s exhaustive, while a cold query served 2.3 s TA vs
+    # 2.6 s exhaustive). 256k rows ≈ 4 MB of (doc_id, score).
+    _FUSION_TA_TITLE_HOT = 262_144
     _FUSION_TA_S_CAP = 4096  # straddler cap floor (adaptive TA disable)
     _FUSION_TA_FAIL_LIMIT = 2  # consecutive post-work misses before disable
     # Cost-based dispatch: TA candidate generation costs ~3 short
@@ -1525,6 +1533,29 @@ class IndexReader:
         self.fusion_ta_served += 1
         self._fusion_ta_stats.setdefault(variant, [0, 0])[0] += 1
         self._fusion_ta_fails.pop(variant, None)
+
+    def _title_df(self, terms: list[str]) -> int:
+        """Σ per-term title document frequency — an upper bound on |T|
+        (docs matching ≥1 query term in the title), known BEFORE any
+        driver collect. Per-term counts are cached on the reader, so a
+        hot term's df is one pruned title_terms scan per reader
+        lifetime, then free. Drives the TA hotness dispatch: the TA
+        path transfers the |T|-row title frame driver-side twice
+        (toPandas + createDataFrame), so for hot multi-term queries the
+        exhaustive plan — which keeps title scoring Spark-side — wins."""
+        missing = [t for t in terms if t not in self._title_dfs]
+        if missing:
+            rows = (
+                self.title_terms()
+                .where(F.col("term").isin(missing))
+                .groupBy("term")
+                .count()
+                .collect()
+            )
+            got = {r["term"]: int(r["count"]) for r in rows}
+            for t in missing:
+                self._title_dfs[t] = got.get(t, 0)
+        return sum(self._title_dfs[t] for t in terms)
 
     def _prior_top(self, name: str, df: DataFrame, value_col: str):
         """Cached (sorted_ids, kth_value, max_value) of a STATIC prior
@@ -1638,6 +1669,12 @@ class IndexReader:
             return spark.createDataFrame([], "rank int, doc_id long, score double")
         qtf = Counter(tokenize(query, use_stem=self.use_stem))
         qtf_map = {t: float(c) for t, c in qtf.items()}
+
+        # hotness dispatch: bound |T| from cached per-term title dfs
+        # BEFORE paying the driver collect (see _FUSION_TA_TITLE_HOT);
+        # per-query and cache-cheap, so not counted as a TA miss
+        if self._title_df(title_q) > self._FUSION_TA_TITLE_HOT:
+            return None
 
         # T: every title-matching doc (complete — outside docs have
         # title_score exactly 0), driver-cut behind a documented gate

@@ -33,7 +33,6 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 SHM = "/dev/shm" if os.path.isdir("/dev/shm") else tempfile.gettempdir()
-Q = "inverted index compression"
 
 
 def main() -> None:
@@ -42,7 +41,13 @@ def main() -> None:
     ap.add_argument("--cores", type=int, default=32)
     ap.add_argument("--shards", type=int, default=256)
     ap.add_argument("--reps", type=int, default=5)
+    # default query matches the fixture vocab on ONE term ("index") —
+    # the cold case where TA serves; pass a vocab-true multi-term query
+    # (e.g. "index merge partition") for the hot case where the title
+    # hotness dispatch must route to exhaustive
+    ap.add_argument("--query", default="inverted index compression")
     args = ap.parse_args()
+    Q = args.query
 
     import pyarrow as pa
     import pyarrow.parquet as pq

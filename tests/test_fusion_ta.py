@@ -113,6 +113,24 @@ def test_ta_consecutive_miss_disable(spark, ta_index_dir, queries):
     assert r.fusion_ta_served == 0
 
 
+def test_ta_title_hotness_dispatch(spark, ta_index_dir, queries):
+    """A hotness threshold of -1 makes every title-matching query 'hot':
+    the TA path declines before any driver collect (per-term title dfs
+    are probed once and cached) and the public method serves the exact
+    exhaustive answer; no hit/miss is recorded for the variant."""
+    r = IndexReader(spark, ta_index_dir)
+    r._FUSION_TA_MIN_DOCS = 0
+    r._FUSION_TA_TITLE_HOT = -1
+    q = "def return search"  # hot fixture terms → title df > -1
+    for _ in range(2):
+        got = _rows(r.fusion_topk(q, 5))
+        want = _rows(r._fusion_topk_exhaustive(q, 5))
+        assert got == want
+    assert r.fusion_ta_served == 0 and r.fusion_ta_fallback == 2
+    assert not r._fusion_ta_stats  # pre-work dispatch, not a miss
+    assert len(r._title_dfs) >= 3  # probed once, cached
+
+
 def test_ta_edge_queries(spark, ta_index_dir):
     """Stopword-only query → empty frame; nonsense query (no body, no
     title match) → empty; both must mirror the exhaustive path."""
