@@ -1464,6 +1464,19 @@ class IndexReader:
             shard_kernel, "doc_id long, score double"
         )
 
+    def _body_scores_once(self, query: str) -> DataFrame:
+        """bm25_scores_all behind a lazy localCheckpoint: the exhaustive
+        fusion paths consume the body frame TWICE (max-normalization agg
+        + the normalized join), and Spark's ReuseExchange only reuses
+        the shuffle BELOW the Python kernel — without the checkpoint the
+        postings decode + scoring kernel runs once per consumer. The
+        checkpoint materializes (doc_id, score) — 16 B/row, executor
+        MEMORY_AND_DISK, freed by the ContextCleaner when the query's
+        frames are GC'd — which at any corpus size is cheaper than a
+        second postings decode of the same terms. Values are untouched:
+        this is a materialization boundary, not a formula change."""
+        return self.bm25_scores_all(query).localCheckpoint(eager=False)
+
     # ---- fusion serving: rank-safe candidate generation (TA) ----------
     #
     # The exhaustive fusion paths below score EVERY body-matching doc
@@ -1937,7 +1950,7 @@ class IndexReader:
             return self.spark.createDataFrame(
                 [], "rank int, doc_id long, score double"
             )
-        body = self.bm25_scores_all(query)
+        body = self._body_scores_once(query)
         body_max = body.agg(F.max("score").alias("max_bm25"))
         body_n = body.crossJoin(F.broadcast(body_max)).select(
             "doc_id", (F.col("score") / F.col("max_bm25")).alias("body_score")
@@ -1989,7 +2002,7 @@ class IndexReader:
             return self.spark.createDataFrame(
                 [], "rank int, doc_id long, score double"
             )
-        body = self.bm25_scores_all(query)
+        body = self._body_scores_once(query)
         body_max = body.agg(F.max("score").alias("max_bm25"))
         body_n = body.crossJoin(F.broadcast(body_max)).select(
             "doc_id", (F.col("score") / F.col("max_bm25")).alias("body_score")
@@ -2001,9 +2014,13 @@ class IndexReader:
             .agg((F.count("*") / F.lit(float(n_q))).alias("title_score"))
         )
         pr = self.pagerank_df()
-        pr_max = pr.agg(F.max("pr").alias("max_pr"))
-        pr_n = pr.crossJoin(F.broadcast(pr_max)).select(
-            "doc_id", (F.col("pr") / F.col("max_pr")).alias("pr_score")
+        # static-prior max from the reader's _prior_top cache (top-1 of
+        # the sorted prior IS the exact max, same float as the agg) —
+        # one TakeOrderedAndProject per reader lifetime instead of a
+        # corpus-sized max() scan per query
+        _, _, max_pr = self._prior_top("pr", pr, "pr")
+        pr_n = pr.select(
+            "doc_id", (F.col("pr") / F.lit(max_pr)).alias("pr_score")
         )
         fused = (
             body_n.join(title, "doc_id", "full_outer")
@@ -2057,7 +2074,7 @@ class IndexReader:
             return self.spark.createDataFrame(
                 [], "rank int, doc_id long, score double"
             )
-        body = self.bm25_scores_all(query)
+        body = self._body_scores_once(query)
         body_max = body.agg(F.max("score").alias("max_bm25"))
         body_n = body.crossJoin(F.broadcast(body_max)).select(
             "doc_id", (F.col("score") / F.col("max_bm25")).alias("body_score")
@@ -2069,17 +2086,19 @@ class IndexReader:
             .agg((F.count("*") / F.lit(float(n_q))).alias("title_score"))
         )
         pr = self.pagerank_df()
-        pr_max = pr.agg(F.max("pr").alias("max_pr"))
-        pr_n = pr.crossJoin(F.broadcast(pr_max)).select(
-            "doc_id", (F.col("pr") / F.col("max_pr")).alias("pr_score")
+        # static-prior maxes from the reader's _prior_top cache (same
+        # floats as the per-query agg, paid once per reader lifetime)
+        _, _, max_pr = self._prior_top("pr", pr, "pr")
+        pr_n = pr.select(
+            "doc_id", (F.col("pr") / F.lit(max_pr)).alias("pr_score")
         )
         pv = self.pageviews_df()
-        pv_max = pv.agg(F.max("views").alias("max_views"))
-        pv_n = pv.crossJoin(F.broadcast(pv_max)).select(
+        _, _, max_views = self._prior_top("pv", pv, "views")
+        pv_n = pv.select(
             "doc_id",
             (
                 F.log(F.lit(1.0) + F.col("views"))
-                / F.log(F.lit(1.0) + F.col("max_views"))
+                / F.log(F.lit(1.0) + F.lit(max_views))
             ).alias("pv_score"),
         )
         fused = (

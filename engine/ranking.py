@@ -265,6 +265,11 @@ def _fusion_signals(
         bm25_scored_terms(corpus, qterms, use_stem=False, tokens=toks)
         .groupBy("doc_id")
         .agg(F.sum("partial_score").alias("bm25"))
+        # consumed twice (max-norm agg + normalized join); the lazy
+        # checkpoint materializes (doc_id, bm25) once instead of
+        # re-running the scored-terms agg per consumer — a
+        # materialization boundary, values untouched
+        .localCheckpoint(eager=False)
     )
     body_max = body.agg(F.max("bm25").alias("max_bm25"))
     body_n = body.crossJoin(F.broadcast(body_max)).select(

@@ -46,6 +46,11 @@ def main() -> None:
     # (e.g. "index merge partition") for the hot case where the title
     # hotness dispatch must route to exhaustive
     ap.add_argument("--query", default="inverted index compression")
+    # dedicated pairwise runs: a case's POSITION in the 6-case cycle
+    # biases it under host steal (see BENCH/BASELINE.md round-3 T3/E3
+    # note), so confirm any suspicious delta with e.g.
+    # --cases T2_fusion_ta,E2_fusion_exh
+    ap.add_argument("--cases", default="")
     args = ap.parse_args()
     Q = args.query
 
@@ -104,10 +109,39 @@ def main() -> None:
             "T4_fusion_pv_ta": lambda: reader.fusion_pv_topk(Q, 10),
             "E4_fusion_pv_exh": lambda: reader._fusion_pv_topk_exhaustive(Q, 10),
         }
+        # N* controls: the exhaustive variants with the body
+        # localCheckpoint disabled (plan built under a momentary
+        # monkeypatch — the kernel then runs once per consumer, the
+        # pre-round-4 shape). Pair with E* for the checkpoint A/B.
+        def _nockpt(fn):
+            def run():
+                orig = type(reader)._body_scores_once
+                type(reader)._body_scores_once = (
+                    lambda self, q: self.bm25_scores_all(q)
+                )
+                try:
+                    return fn()
+                finally:
+                    type(reader)._body_scores_once = orig
+            return run
+
+        cases["N2_fusion_exh_nockpt"] = _nockpt(
+            lambda: reader._fusion_topk_exhaustive(Q, 10))
+        cases["N3_fusion_pr_exh_nockpt"] = _nockpt(
+            lambda: reader._fusion_pr_topk_exhaustive(Q, 10))
+        cases["N4_fusion_pv_exh_nockpt"] = _nockpt(
+            lambda: reader._fusion_pv_topk_exhaustive(Q, 10))
+        if args.cases:
+            keep = {c.strip() for c in args.cases.split(",")}
+            unknown = keep - cases.keys()
+            assert not unknown, f"unknown cases: {unknown}"
+            cases = {k: v for k, v in cases.items() if k in keep}
         # value identity TA vs exhaustive per variant (once, untimed)
         for ta, ex in [("T2_fusion_ta", "E2_fusion_exh"),
                        ("T3_fusion_pr_ta", "E3_fusion_pr_exh"),
                        ("T4_fusion_pv_ta", "E4_fusion_pv_exh")]:
+            if ta not in cases or ex not in cases:
+                continue
             a = [(r["rank"], r["doc_id"], r["score"]) for r in cases[ta]().collect()]
             b = [(r["rank"], r["doc_id"], r["score"]) for r in cases[ex]().collect()]
             assert a == b, (ta, a, b)
