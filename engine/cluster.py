@@ -54,7 +54,13 @@ def dup_clusters(
     edges = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
     sym = edges.unionAll(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    )
+    # the edge list is consumed once per propagation round plus once
+    # for the initial label frame — without this checkpoint each
+    # consumer replays the WHOLE upstream pair generation (the full
+    # MinHash chain when called from clean_corpus: tokenize → shingles
+    # → signatures → band join, ~4-6 replays per clustering). Edge
+    # rows are band collisions only — tiny at any corpus size.
+    ).localCheckpoint(eager=True)
     # Propagate only over nodes that occur in edges; everything else is
     # a fixed singleton joined back at the end (at 100 TB the label
     # frame is |dup docs|, not |corpus|).

@@ -68,7 +68,9 @@ def related_terms(
             [], "rank int, term string, n_tu long, pmi double"
         )
     t = toks_t[0]
-    toks = tokens_df(corpus, use_stem=False)
+    # toks feeds dictionary + stats + the hit list + the co-occurrence
+    # join — persisted so the corpus tokenizes once per call
+    toks = tokens_df(corpus, use_stem=False).persist()
     dic = dictionary_df(toks)
     stats = corpus_stats_df(doc_stats_df(corpus, toks)).select("n_docs")
     hits = toks.where(F.col("term") == t).select("doc_id")
@@ -115,7 +117,9 @@ def more_like_this(
     from .query import bm25_scored_terms
     from .ranking import _ranked
 
-    toks = tokens_df(corpus, use_stem=False)
+    # toks feeds dictionary + stats + seed selection + scoring —
+    # persisted so the corpus tokenizes once per call
+    toks = tokens_df(corpus, use_stem=False).persist()
     dic = dictionary_df(toks)
     stats = corpus_stats_df(doc_stats_df(corpus, toks)).select("n_docs")
     src = corpus.agg(F.min("doc_id").alias("src_id"))

@@ -61,7 +61,16 @@ def bm25_scored_terms(
     Pass a cached ``tokens`` DataFrame to amortize tokenization across
     many queries (batch evaluation).
     """
-    toks = tokens if tokens is not None else tokens_df(corpus, use_stem=use_stem)
+    # self-built tokens are consumed 3× below (hits, dictionary, doc
+    # stats) — persist so the corpus tokenizes once per query, and the
+    # CacheManager's logical-plan matching shares the entry across
+    # queries over the same corpus (callers passing ``tokens`` manage
+    # their own caching)
+    toks = (
+        tokens
+        if tokens is not None
+        else tokens_df(corpus, use_stem=use_stem).persist()
+    )
     # Filter to query terms FIRST — everything downstream is tiny.
     hits = toks.join(F.broadcast(qterms), "term")
     dict_q = dictionary_df(toks).join(F.broadcast(qterms.select("term")), "term")

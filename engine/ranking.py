@@ -91,7 +91,11 @@ def tfidf_cosine_topk(
     use_stem: bool = False,
 ) -> DataFrame:
     """(rank, doc_id, cos) — reference `/search_body` analog."""
-    toks = tokens_df(corpus, use_stem=use_stem)
+    # toks feeds the dictionary, the corpus stats AND the weight frame —
+    # persisted so the corpus tokenizes once per query, not once per
+    # consumer (same shape as _fusion_signals; the indexed twin
+    # IndexReader.tfidf_topk is the at-scale serving path)
+    toks = tokens_df(corpus, use_stem=use_stem).persist()
     d = dictionary_df(toks)
     n_docs = corpus_stats_df(doc_stats_df(corpus, toks)).select("n_docs")
     qterms = query_terms_df(spark, query, use_stem=use_stem)

@@ -78,7 +78,9 @@ def wildcard_topk(
     from .query import bm25_scored_terms
     from .ranking import _ranked
 
-    toks = tokens_df(corpus, use_stem=False)
+    # toks feeds the dictionary AND the scoring join — persisted so the
+    # corpus tokenizes once per call
+    toks = tokens_df(corpus, use_stem=False).persist()
     exp = prefix_expansions(dictionary_df(toks), prefix, max_expansions)
     qterms = exp.select("term", F.lit(1).cast("long").alias("qtf"))
     scored = bm25_scored_terms(corpus, qterms, use_stem=False, tokens=toks)
