@@ -790,6 +790,9 @@ def _q_stream_window_counts(spark, sf_dir):
     return stream_window_counts(
         spark, _events_stream_src(spark, sf_dir),
         query_name=f"swc_{key}".replace(".", "_"),
+        # 3-file demo drain: few windows, so few state stores (the
+        # per-micro-batch cost is state-store count, not data size)
+        shuffle_partitions=8,
     )
 
 

@@ -243,13 +243,21 @@ def stream_window_counts(
     watermark: str = "10 minutes",
     files_per_batch: int = 1,
     query_name: str = "stream_window_counts",
+    shuffle_partitions: int | None = None,
 ) -> DataFrame:
     """Drain a file-source event stream through the watermarked
     windowed aggregation into a memory sink (complete mode — the drain
     mode where every window is emitted, so the result must equal the
     batch aggregation over the same files; append mode would hold back
     windows the watermark hasn't passed, the steady-state serving
-    shape). Returns the final table."""
+    shape). Returns the final table.
+
+    ``shuffle_partitions`` is the standard stateful-streaming sizing
+    knob: a streaming aggregation keeps one state store per shuffle
+    partition and pays it EVERY micro-batch, so a small drain wants few
+    partitions while a production stream wants the session default
+    (None — conf untouched). The value is captured at query start and
+    restored after the drain; results are partitioning-independent."""
     schema = spark.read.parquet(source_dir).schema
     ev = (
         spark.readStream.schema(schema)
@@ -257,14 +265,21 @@ def stream_window_counts(
         .parquet(source_dir)
     )
     agg = windowed_event_counts(ev, window, watermark)
-    q = (
-        agg.writeStream.outputMode("complete")
-        .format("memory")
-        .queryName(query_name)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    old_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    if shuffle_partitions is not None:
+        spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    try:
+        q = (
+            agg.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(query_name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        if shuffle_partitions is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", old_sp)
     return spark.table(query_name)
 
 
