@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from . import BM25_K1, BM25_B, TF_CAP
-from .build import corpus_stats_df, dictionary_df, doc_stats_df, tokens_df
+from .build import corpus_stats_df, doc_stats_df, tokens_df
 from .tokenizer import tokenize
 
 
@@ -73,7 +73,11 @@ def bm25_scored_terms(
     )
     # Filter to query terms FIRST — everything downstream is tiny.
     hits = toks.join(F.broadcast(qterms), "term")
-    dict_q = dictionary_df(toks).join(F.broadcast(qterms.select("term")), "term")
+    # query-term dfs from the already-filtered hits: (doc_id, term) is
+    # unique in toks, so count(*) per term over hits equals
+    # dictionary_df's df exactly — without a corpus-wide full-vocabulary
+    # groupBy per query (Catalyst cannot push a join below an Aggregate)
+    dict_q = hits.groupBy("term").agg(F.count("*").alias("df"))
     stats = corpus_stats_df(doc_stats_df(corpus, toks))
     scored = (
         hits.join(F.broadcast(dict_q.select("term", "df")), "term")

@@ -91,11 +91,7 @@ def tfidf_cosine_topk(
     use_stem: bool = False,
 ) -> DataFrame:
     """(rank, doc_id, cos) — reference `/search_body` analog."""
-    # toks feeds the dictionary, the corpus stats AND the weight frame —
-    # persisted so the corpus tokenizes once per query, not once per
-    # consumer (same shape as _fusion_signals; the indexed twin
-    # IndexReader.tfidf_topk is the at-scale serving path)
-    toks = tokens_df(corpus, use_stem=use_stem).persist()
+    toks = tokens_df(corpus, use_stem=use_stem)
     d = dictionary_df(toks)
     n_docs = corpus_stats_df(doc_stats_df(corpus, toks)).select("n_docs")
     qterms = query_terms_df(spark, query, use_stem=use_stem)
@@ -112,6 +108,12 @@ def tfidf_cosine_topk(
         .crossJoin(F.broadcast(n_docs))
         .select("doc_id", "term", wtd.alias("w"))
     )
+    # weights feeds BOTH the norm agg and the dot-product join — the
+    # lazy checkpoint materializes (doc_id, term, w) once instead of
+    # re-running the tokenize+join per consumer (persisting toks
+    # instead measured SLOWER: the corpus-wide aggs dominate and the
+    # extra cache write is pure overhead — BENCH/BASELINE.md round 4)
+    weights = weights.localCheckpoint(eager=False)
     norms = weights.groupBy("doc_id").agg(
         F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("dnorm")
     )
