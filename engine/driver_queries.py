@@ -67,6 +67,11 @@ _DRIVER_PRIORITY = [
     "bm25_streamed_indexed",
     "stream_window_counts",
     "sessionize_events",
+    # -- new in round 4, never driver-checked (4) --
+    "qstring_topk",
+    "qstring_topk_indexed",
+    "suggest_terms",
+    "suggest_terms_indexed",
     # -- green in r2 only; window rotated past them in r3 (17) --
     "pagerank",
     "bm25_q_table_scan",
@@ -1167,6 +1172,41 @@ def _hit_counts_sql() -> str:
     return f"WITH {_base_ctes()} " + " UNION ALL ".join(parts)
 
 
+# ------------------- Lucene-style query string + autocomplete (round 4)
+#
+# One fixed query exercising every clause type of engine/qparser.py:
+# MUST, prefix wildcard, fuzzy, MUST_NOT, exact phrase, repo filter.
+QSTRING = '+table s* merg~ -dup "row scan" repo:src1'
+SUGGEST_PREFIX = "s"
+
+
+def _q_qstring(spark, sf_dir):
+    from .qparser import query_string_topk
+
+    return query_string_topk(
+        spark, _corpus(spark, sf_dir), QSTRING, K, round_scores=ROUND
+    )
+
+
+def _q_qstring_indexed(spark, sf_dir):
+    return _index_reader(spark, sf_dir, with_positions=True).query_string_topk(
+        QSTRING, K, round_scores=ROUND
+    )
+
+
+def _q_suggest(spark, sf_dir):
+    from .wildcard import suggest_prefix
+
+    return suggest_prefix(
+        dictionary_df(tokens_df(_corpus(spark, sf_dir), use_stem=False)),
+        SUGGEST_PREFIX, K,
+    )
+
+
+def _q_suggest_indexed(spark, sf_dir):
+    return _index_reader(spark, sf_dir).suggest_terms(SUGGEST_PREFIX, K)
+
+
 def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out: dict[str, Callable] = {
         "tokenize_tf": _q_tokenize_tf,
@@ -1268,6 +1308,11 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # streaming analytics: watermarked window agg + sessionization
     out["stream_window_counts"] = _q_stream_window_counts
     out["sessionize_events"] = _q_sessionize_events
+    # Lucene-style query-string front door + autocomplete (round 4)
+    out["qstring_topk"] = _q_qstring
+    out["qstring_topk_indexed"] = _q_qstring_indexed
+    out["suggest_terms"] = _q_suggest
+    out["suggest_terms_indexed"] = _q_suggest_indexed
     return _driver_order(out)
 
 
@@ -1452,4 +1497,12 @@ def oracle_sqls() -> dict[str, str]:
     out["bm25_paged_indexed"] = _paged_sql()
     out["stream_window_counts"] = stream_window_counts_sql()
     out["sessionize_events"] = sessionize_sql()
+    # query-string front door: one SQL mirror serves both twins
+    from .qparser import query_string_sql
+    from .wildcard import suggest_prefix_sql
+
+    out["qstring_topk"] = query_string_sql(QSTRING, K, round_scores=ROUND)
+    out["qstring_topk_indexed"] = query_string_sql(QSTRING, K, round_scores=ROUND)
+    out["suggest_terms"] = suggest_prefix_sql(SUGGEST_PREFIX, K)
+    out["suggest_terms_indexed"] = suggest_prefix_sql(SUGGEST_PREFIX, K)
     return _driver_order(out)

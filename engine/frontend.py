@@ -327,6 +327,47 @@ class SearchService:
             "score",
         )
 
+    def query_string(self, qs: str, k: int = 10) -> list[tuple]:
+        """Lucene-style query-string search (engine/qparser.py grammar:
+        +must -not "phrase" pre* fuzzy~ repo:/path:/lang: filters) —
+        index-served when the bound index is unstemmed (the grammar is
+        pinned to unstemmed terms), else the recompute twin;
+        rank-identical, parity-tested. A lang: filter falls back to
+        the recompute path (doc_stats has no lang column)."""
+        if self.reader is not None and not self.reader.use_stem:
+            try:
+                return self._with_meta(
+                    self.reader.query_string_topk(qs, k), "score"
+                )
+            except ValueError:
+                pass  # lang: filter → recompute below
+        from .qparser import query_string_topk
+
+        return self._with_meta(
+            query_string_topk(self.spark, self.corpus, qs, k), "score"
+        )
+
+    def complete(self, prefix: str, k: int = 10) -> list[list]:
+        """Autocomplete [term, df]: top dictionary terms for a prefix
+        by (df DESC, term ASC) — a pruned dictionary read when an
+        unstemmed index is bound (completing to stemmed forms would be
+        wrong), else the corpus-derived dictionary."""
+        from .wildcard import suggest_prefix
+
+        if self.reader is not None and not self.reader.use_stem:
+            df = self.reader.suggest_terms(prefix, k)
+        else:
+            from .build import dictionary_df, tokens_df
+
+            if self._dictionary is None:
+                self._dictionary = dictionary_df(
+                    tokens_df(
+                        self.corpus.select("doc_id", "content"), use_stem=False
+                    )
+                )
+            df = suggest_prefix(self._dictionary, prefix, k)
+        return [[r["term"], r["df"]] for r in df.collect()]
+
     def related(self, term: str, k: int = 10) -> list[list]:
         """Query-expansion suggestions [term, n_tu, pmi] — doc-level
         PMI co-occurrence (engine/mlt.related_terms)."""
@@ -481,6 +522,14 @@ def create_app(service: SearchService):
     @app.route("/suggest")
     def suggest():
         return jsonify(service.suggest(request.args.get("term", "")))
+
+    @app.route("/query")
+    def query_string():
+        return jsonify(service.query_string(request.args.get("q", "")))
+
+    @app.route("/complete")
+    def complete():
+        return jsonify(service.complete(request.args.get("prefix", "")))
 
     @app.route("/search_wildcard")
     def search_wildcard():

@@ -1339,6 +1339,221 @@ class IndexReader:
             "query_id", F.coalesce("n_hits", F.lit(0)).alias("n_hits")
         )
 
+    def suggest_terms(self, prefix: str, k: int = 10) -> DataFrame:
+        """(rank, term, df) — autocomplete: top dictionary terms for a
+        prefix by (df DESC, term ASC), served from the dictionary
+        artifact alone (a pruned parquet scan + ordered limit; zero
+        posting access). DuckDB mirror: engine/wildcard.suggest_prefix_sql.
+        Pinned to unstemmed vocabularies like fuzzy_terms — suggesting
+        stemmed forms to a user is wrong."""
+        if self.use_stem:
+            raise ValueError(
+                "suggest_terms is pinned to unstemmed vocabularies; this "
+                "index was built with use_stem=True"
+            )
+        from .wildcard import suggest_prefix
+
+        return suggest_prefix(self.dictionary(), prefix, k)
+
+    def query_string_topk(
+        self, qs: str, k: int = 10, *,
+        max_expansions: int = 50, round_scores: int | None = None,
+        prune: bool = True,
+    ) -> DataFrame:
+        """(rank, doc_id, score) — Lucene-style query-string search
+        served from the index artifacts alone (engine/qparser.py holds
+        the grammar + pinned semantics; its DuckDB mirror
+        query_string_sql is the oracle; rank-identical to the recompute
+        twin engine/qparser.query_string_topk).
+
+        Plan: wildcard/fuzzy expansions are ordered limits over the
+        pruned dictionary (≤ max_expansions driver rows each); every
+        constraint becomes a per-shard survivor/excluded doc_id frame —
+        must/must_not from the isin-pruned posting blocks' doc runs
+        (a doc's postings live wholly in its shard, so per-shard set
+        algebra is exact), phrases from the isin-pruned position
+        blocks (engine/positions._phrase_kernel), repo/path filters
+        from σ(doc_stats) — keeps intersected (survivor-sized inner
+        joins), drops unioned, and the combined (shard, doc_id, kind)
+        frame COGROUPED into the block-max kernel: keeps ride the
+        filtered_topk keep-mask (θ stays a floor over eligible docs,
+        so pruning is rank-safe under every constraint), drops ride
+        the tombstone mask. Nothing corpus-sized visits the driver;
+        100 TB cost = queried posting mass + survivor-sized exchanges."""
+        import pandas as pd
+
+        from .boolean import _decode_term_docs
+        from .qparser import parse_query, resolve_scoring_terms
+
+        if self.use_stem:
+            raise ValueError(
+                "query_string_topk is pinned to unstemmed terms; this "
+                "index was built with use_stem=True"
+            )
+        spark = self.spark
+        out_schema = "rank int, doc_id long, score double"
+        parsed = parse_query(qs)
+        scoring = resolve_scoring_terms(
+            spark, self.dictionary(), parsed, max_expansions
+        )
+        if not scoring:
+            return spark.createDataFrame([], out_schema)
+        qtf_map = {t: 1.0 for t in scoring}
+        for fld, _ in parsed.filters:
+            if fld == "lang":
+                raise ValueError(
+                    "lang filters need the recompute path — the "
+                    "doc_stats artifact carries (repo, path) only"
+                )
+        if not parsed.has_constraints:
+            return self._qtf_topk(
+                qtf_map, k, prune=prune, round_scores=round_scores
+            )
+
+        n_shards = self.manifest["config"]["n_shards"]
+
+        def _aux(df: DataFrame, kind: int) -> DataFrame:
+            return df.select(
+                F.pmod(F.xxhash64("doc_id"), F.lit(n_shards))
+                .cast("int").alias("shard"),
+                F.col("doc_id").cast("long").alias("doc_id"),
+                F.lit(kind).cast("int").alias("kind"),
+            )
+
+        keeps: list[DataFrame] = []
+        drops: list[DataFrame] = []
+
+        # -- metadata filters over doc_stats (repo eq / path prefix) --
+        meta = None
+        for fld, val in parsed.filters:
+            if meta is None:
+                meta = self.doc_stats()
+            if fld == "repo":
+                meta = meta.where(F.col("repo") == val)
+            elif fld == "path":
+                meta = meta.where(F.col("path").startswith(val))
+        if meta is not None:
+            keeps.append(meta.select("doc_id"))
+
+        # -- must / must_not from posting doc runs --------------------
+        m_terms, n_terms = list(parsed.must), list(parsed.must_not)
+        if m_terms or n_terms:
+            involved = sorted(set(m_terms + n_terms))
+            blocks_mn = self.postings().where(F.col("term").isin(involved))
+            emit_kind = 0 if m_terms else 1
+
+            def mn_kernel(key, pdf: pd.DataFrame) -> pd.DataFrame:
+                import numpy as np
+
+                per = {
+                    str(t): _decode_term_docs(g)
+                    for t, g in pdf.groupby("term")
+                }
+                nothing = np.empty(0, dtype=np.int64)
+                if m_terms:
+                    base = per.get(m_terms[0], nothing)
+                    for t in m_terms[1:]:
+                        base = np.intersect1d(
+                            base, per.get(t, nothing), assume_unique=True
+                        )
+                    if n_terms and base.size:
+                        excl = np.unique(np.concatenate(
+                            [per.get(t, nothing) for t in n_terms]
+                        ))
+                        base = np.setdiff1d(base, excl, assume_unique=True)
+                else:
+                    base = np.unique(np.concatenate(
+                        [per.get(t, nothing) for t in n_terms] or [nothing]
+                    ))
+                return pd.DataFrame({"doc_id": base})
+
+            mn = blocks_mn.groupBy("shard").applyInPandas(
+                mn_kernel, "doc_id long"
+            )
+            (keeps if emit_kind == 0 else drops).append(mn)
+
+        # -- phrases from position blocks ------------------------------
+        if parsed.phrases:
+            from .positions import _phrase_kernel
+
+            pos = self.positions()
+            for ph, neg in parsed.phrases:
+                terms = list(ph)
+                occ = (
+                    pos.where(F.col("term").isin(sorted(set(terms))))
+                    .groupBy("shard")
+                    .applyInPandas(_phrase_kernel(terms), "doc_id long, n_occ long")
+                    .select("doc_id")
+                )
+                (drops if neg else keeps).append(occ)
+
+        keep = None
+        for f in keeps:
+            keep = f if keep is None else keep.join(f, "doc_id")
+        aux_parts = []
+        if keep is not None:
+            aux_parts.append(_aux(keep, 0))
+        for f in drops:
+            aux_parts.append(_aux(f, 1))
+        aux = aux_parts[0]
+        for f in aux_parts[1:]:
+            aux = aux.unionByName(f)
+        has_keep = keep is not None
+
+        # -- masked block-max scoring (the filtered_topk mechanism) ----
+        avgdl = self.manifest["stats"]["avgdl"]
+        n = self.manifest["stats"]["n_docs"]
+        dic = (
+            self.dictionary()
+            .where(F.col("term").isin(list(qtf_map)))
+            .select(
+                "term",
+                idf_col(F.col("df").cast("double"), F.lit(float(n))).alias("idf"),
+            )
+        )
+        blocks = self.postings().where(
+            F.col("term").isin(list(qtf_map))
+        ).join(F.broadcast(dic), "term")
+        eps = 0.5 * 10.0 ** (-round_scores) if round_scores is not None else 0.0
+        tomb = self._tomb_array()
+        tomb = tomb if tomb.size else None
+
+        def shard_kernel(bl: pd.DataFrame, ax: pd.DataFrame) -> pd.DataFrame:
+            import numpy as np
+
+            from .wand import topk_shard
+
+            keep_ids = (
+                np.sort(ax.loc[ax["kind"] == 0, "doc_id"].to_numpy(np.int64))
+                if has_keep else None
+            )
+            drop = ax.loc[ax["kind"] == 1, "doc_id"].to_numpy(np.int64)
+            if tomb is not None:
+                drop = np.concatenate([drop, tomb])
+            drop_ids = np.unique(drop) if drop.size else None
+            idf = dict(zip(bl["term"], bl["idf"]))
+            weights = {t: qtf_map[t] * v for t, v in idf.items()}
+            ids, sc = topk_shard(
+                bl, weights, avgdl, k, prune=prune, eps=eps,
+                drop_ids=drop_ids, keep_ids=keep_ids,
+            )
+            return pd.DataFrame({"doc_id": ids, "score": sc})
+
+        per_shard = (
+            blocks.groupBy("shard")
+            .cogroup(aux.groupBy("shard"))
+            .applyInPandas(shard_kernel, "doc_id long, score double")
+        )
+        if round_scores is not None:
+            per_shard = per_shard.select(
+                "doc_id", F.round("score", round_scores).alias("score")
+            )
+        topk = per_shard.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+        w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+        return topk.withColumn("rank", F.row_number().over(w)).select(
+            "rank", "doc_id", "score"
+        )
+
     def _qtf_topk(
         self, qtf_map: dict[str, float], k: int, *, prune: bool = True,
         with_metadata: bool = False, round_scores: int | None = None,

@@ -88,3 +88,42 @@ def wildcard_topk(
     if round_scores is not None:
         agg = agg.select("doc_id", F.round("score", round_scores).alias("score"))
     return _ranked(agg, "score", k)
+
+
+# ------------------------------------------------ autocomplete (suggest)
+
+def suggest_prefix(dictionary: DataFrame, prefix: str, k: int = 10) -> DataFrame:
+    """(rank, term, df) — autocomplete suggestions: the top-k dictionary
+    terms for a prefix by (df DESC, term ASC). Over an index this is a
+    pruned dictionary-parquet scan + ordered limit — zero posting
+    access; over 100 TB the dictionary is vocabulary-sized, not
+    corpus-sized. DuckDB mirror: suggest_prefix_sql."""
+    from pyspark.sql import Window
+
+    exp = prefix_expansions(dictionary, prefix, k)
+    w = Window.orderBy(F.desc("df"), F.asc("term"))
+    return exp.withColumn("rank", F.row_number().over(w)).select(
+        "rank", "term", F.col("df").cast("long").alias("df")
+    )
+
+
+def suggest_prefix_sql(prefix: str, k: int = 10) -> str:
+    """DuckDB mirror of suggest_prefix over the driver `documents` view
+    (dictionary rebuilt from the text column — same tokenize chain)."""
+    from .phrase import _tokd_cte
+
+    p = normalize_prefix(prefix).replace("'", "''")
+    if not p:
+        return (
+            "SELECT 0::INTEGER AS rank, ''::VARCHAR AS term, 0::BIGINT AS df "
+            "WHERE false"
+        )
+    return f"""
+WITH {_tokd_cte()},
+tfv AS (SELECT DISTINCT doc_id, unnest(toks) AS term FROM tokd),
+dict AS (SELECT term, count(*)::BIGINT AS df FROM tfv GROUP BY term),
+top AS (SELECT term, df FROM dict WHERE starts_with(term, '{p}')
+        ORDER BY df DESC, term LIMIT {int(k)})
+SELECT row_number() OVER (ORDER BY df DESC, term ASC)::INTEGER AS rank, term, df
+FROM top ORDER BY df DESC, term ASC
+"""

@@ -283,3 +283,22 @@ def test_search_paged_route(client):
     ).get_json()
     assert len(p1) == 5 and len(p2) == 5
     assert {h[0] for h in p1}.isdisjoint({h[0] for h in p2})
+
+
+def test_query_string_and_complete_routes(client, service):
+    # the module fixture binds a STEMMED index → both routes take the
+    # recompute path (the query-string grammar is pinned unstemmed);
+    # the index-served twin is covered in tests/test_qparser.py
+    r = client.get("/query", query_string={"q": '+merge seg* -rollback'})
+    assert r.status_code == 200
+    body = r.get_json()
+    assert isinstance(body, list) and len(body) > 0
+    scores = [row[2] for row in body]
+    assert scores == sorted(scores, reverse=True)
+
+    r = client.get("/complete", query_string={"prefix": "se"})
+    assert r.status_code == 200
+    comp = r.get_json()
+    assert comp and all(t.startswith("se") for t, _df in comp)
+    dfs = [d for _t, d in comp]
+    assert dfs == sorted(dfs, reverse=True) or len(set(dfs)) < len(dfs)
