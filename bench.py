@@ -174,6 +174,8 @@ def main() -> None:
             "related_terms",
             "more_like_this",
             "facet_counts_lang",
+            "qstring_topk",
+            "suggest_terms",
             "sessionize_events",
             "stream_window_counts",
         ):

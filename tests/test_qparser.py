@@ -189,3 +189,39 @@ def test_stemmed_index_rejects_query_string(spark, tiny_corpus, tmp_path_factory
         r.query_string_topk("value", 5)
     with pytest.raises(ValueError, match="unstemmed"):
         r.suggest_terms("va", 5)
+
+
+# --------------------------------------------------------- plan audits
+
+def _plan_of(df) -> str:
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_recompute_match_predicate_is_codegen(spark, tiny_corpus):
+    # the match pass (must/not probes + phrase counting) must stay
+    # JVM-side: no row-at-a-time Python eval anywhere in the plan
+    df = query_string_topk(
+        spark, tiny_corpus, '+merge seg* "def return" -rollback', 10
+    )
+    p = _plan_of(df)
+    assert "BatchEvalPython" not in p and "PythonUDF" not in p, p
+
+
+def test_indexed_plans_prune_terms_and_push_filters(spark, qidx):
+    # scoring + constraint posting scans must isin-prune on term, and
+    # the doc_stats metadata filter must reach the parquet scan
+    df = qidx.query_string_topk('+merge block repo:org0/repo0', 10)
+    p = _plan_of(df)
+    assert "PushedFilters" in p and "In(term" in p, p
+    assert "EqualTo(repo,org0/repo0)" in p, p
+
+
+def test_suggest_dictionary_scan_is_pruned(spark, qidx):
+    p = _plan_of(qidx.suggest_terms("se", 10))
+    assert "StringStartsWith(term,se)" in p, p
