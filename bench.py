@@ -176,6 +176,7 @@ def main() -> None:
             "facet_counts_lang",
             "qstring_topk",
             "suggest_terms",
+            "bm25f_topk",
             "sessionize_events",
             "stream_window_counts",
         ):

@@ -72,6 +72,7 @@ _DRIVER_PRIORITY = [
     "qstring_topk_indexed",
     "suggest_terms",
     "suggest_terms_indexed",
+    "bm25f_topk",
     # -- green in r2 only; window rotated past them in r3 (17) --
     "pagerank",
     "bm25_q_table_scan",
@@ -1207,6 +1208,15 @@ def _q_suggest_indexed(spark, sf_dir):
     return _index_reader(spark, sf_dir).suggest_terms(SUGGEST_PREFIX, K)
 
 
+def _q_bm25f(spark, sf_dir):
+    from .bm25f import bm25f_topk
+
+    return bm25f_topk(
+        spark, _corpus(spark, sf_dir), FIXED_QUERIES["q_table_scan"], K,
+        round_scores=ROUND,
+    )
+
+
 def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out: dict[str, Callable] = {
         "tokenize_tf": _q_tokenize_tf,
@@ -1313,6 +1323,8 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["qstring_topk_indexed"] = _q_qstring_indexed
     out["suggest_terms"] = _q_suggest
     out["suggest_terms_indexed"] = _q_suggest_indexed
+    # BM25F fielded scoring (title + body, engine/bm25f.py)
+    out["bm25f_topk"] = _q_bm25f
     return _driver_order(out)
 
 
@@ -1505,4 +1517,9 @@ def oracle_sqls() -> dict[str, str]:
     out["qstring_topk_indexed"] = query_string_sql(QSTRING, K, round_scores=ROUND)
     out["suggest_terms"] = suggest_prefix_sql(SUGGEST_PREFIX, K)
     out["suggest_terms_indexed"] = suggest_prefix_sql(SUGGEST_PREFIX, K)
+    from .bm25f import bm25f_topk_sql
+
+    out["bm25f_topk"] = bm25f_topk_sql(
+        FIXED_QUERIES["q_table_scan"], K, round_scores=ROUND
+    )
     return _driver_order(out)

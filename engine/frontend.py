@@ -368,6 +368,18 @@ class SearchService:
             df = suggest_prefix(self._dictionary, prefix, k)
         return [[r["term"], r["df"]] for r in df.collect()]
 
+    def search_bm25f(self, query: str, k: int = 10) -> list[tuple]:
+        """BM25F fielded ranking (engine/bm25f.py: title + body field
+        frequencies combined before saturation) — recompute path (the
+        fielded pseudo-frequency needs per-field tfs the posting blocks
+        don't carry; the fusion routes are the index-served fielded
+        alternative)."""
+        from .bm25f import bm25f_topk
+
+        return self._with_meta(
+            bm25f_topk(self.spark, self.corpus, query, k), "score"
+        )
+
     def related(self, term: str, k: int = 10) -> list[list]:
         """Query-expansion suggestions [term, n_tu, pmi] — doc-level
         PMI co-occurrence (engine/mlt.related_terms)."""
@@ -530,6 +542,10 @@ def create_app(service: SearchService):
     @app.route("/complete")
     def complete():
         return jsonify(service.complete(request.args.get("prefix", "")))
+
+    @app.route("/search_bm25f")
+    def search_bm25f():
+        return jsonify(service.search_bm25f(_query()))
 
     @app.route("/search_wildcard")
     def search_wildcard():
