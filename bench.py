@@ -177,6 +177,7 @@ def main() -> None:
             "qstring_topk",
             "suggest_terms",
             "bm25f_topk",
+            "collapse_topk",
             "sessionize_events",
             "stream_window_counts",
         ):

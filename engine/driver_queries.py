@@ -73,6 +73,8 @@ _DRIVER_PRIORITY = [
     "suggest_terms",
     "suggest_terms_indexed",
     "bm25f_topk",
+    "collapse_topk",
+    "collapse_topk_indexed",
     # -- green in r2 only; window rotated past them in r3 (17) --
     "pagerank",
     "bm25_q_table_scan",
@@ -1217,6 +1219,21 @@ def _q_bm25f(spark, sf_dir):
     )
 
 
+def _q_collapse(spark, sf_dir):
+    from .collapse import collapse_topk
+
+    return collapse_topk(
+        spark, _corpus(spark, sf_dir), FIXED_QUERIES["q_table_scan"], K,
+        round_scores=ROUND,
+    )
+
+
+def _q_collapse_indexed(spark, sf_dir):
+    return _index_reader(spark, sf_dir).collapse_topk(
+        FIXED_QUERIES["q_table_scan"], K, round_scores=ROUND
+    )
+
+
 def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out: dict[str, Callable] = {
         "tokenize_tf": _q_tokenize_tf,
@@ -1325,6 +1342,9 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["suggest_terms_indexed"] = _q_suggest_indexed
     # BM25F fielded scoring (title + body, engine/bm25f.py)
     out["bm25f_topk"] = _q_bm25f
+    # field collapsing: best doc per repo (engine/collapse.py)
+    out["collapse_topk"] = _q_collapse
+    out["collapse_topk_indexed"] = _q_collapse_indexed
     return _driver_order(out)
 
 
@@ -1522,4 +1542,10 @@ def oracle_sqls() -> dict[str, str]:
     out["bm25f_topk"] = bm25f_topk_sql(
         FIXED_QUERIES["q_table_scan"], K, round_scores=ROUND
     )
+    from .collapse import collapse_topk_sql
+
+    out["collapse_topk"] = collapse_topk_sql(
+        FIXED_QUERIES["q_table_scan"], K, round_scores=ROUND
+    )
+    out["collapse_topk_indexed"] = out["collapse_topk"]
     return _driver_order(out)

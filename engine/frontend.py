@@ -368,6 +368,23 @@ class SearchService:
             df = suggest_prefix(self._dictionary, prefix, k)
         return [[r["term"], r["df"]] for r in df.collect()]
 
+    def search_collapsed(self, query: str, k: int = 10) -> list[tuple]:
+        """Field-collapsed search — best doc per repo (Lucene grouping,
+        engine/collapse.py): index-served when bound, else recompute;
+        rank-identical, parity-tested."""
+        from .collapse import collapse_topk
+
+        if self.reader is not None:
+            df = self.reader.collapse_topk(query, k)
+        else:
+            df = collapse_topk(
+                self.spark, self.corpus, query, k, use_stem=self._use_stem
+            )
+        return [
+            (r["doc_id"], r["repo"], r["score"])
+            for r in df.collect()
+        ]
+
     def search_bm25f(self, query: str, k: int = 10) -> list[tuple]:
         """BM25F fielded ranking (engine/bm25f.py: title + body field
         frequencies combined before saturation) — recompute path (the
@@ -546,6 +563,10 @@ def create_app(service: SearchService):
     @app.route("/search_bm25f")
     def search_bm25f():
         return jsonify(service.search_bm25f(_query()))
+
+    @app.route("/search_collapsed")
+    def search_collapsed():
+        return jsonify(service.search_collapsed(_query()))
 
     @app.route("/search_wildcard")
     def search_wildcard():

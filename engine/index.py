@@ -1339,6 +1339,16 @@ class IndexReader:
             "query_id", F.coalesce("n_hits", F.lit(0)).alias("n_hits")
         )
 
+    def collapse_topk(
+        self, query: str, k: int = 10, *, round_scores: int | None = None,
+    ) -> DataFrame:
+        """Field-collapsed BM25 top-k — at most one doc per repo
+        (Lucene grouping; engine/collapse.py pins semantics and the
+        exhaustive-scoring rank-safety argument)."""
+        from .collapse import collapse_topk_from_index
+
+        return collapse_topk_from_index(self, query, k, round_scores=round_scores)
+
     def suggest_terms(self, prefix: str, k: int = 10) -> DataFrame:
         """(rank, term, df) — autocomplete: top dictionary terms for a
         prefix by (df DESC, term ASC), served from the dictionary
