@@ -231,6 +231,126 @@ q AS (SELECT term, 1::BIGINT AS qtf FROM exp),
 {_bm25_tail_sql(k)}"""
 
 
+def _qcte(query_text: str, *, stemmed: bool = False) -> str:
+    """q(term, qtf) VALUES cte for a non-empty query."""
+    qtf = Counter(tokenize(query_text, use_stem=stemmed))
+    rows = ", ".join(
+        "('" + t.replace("'", "''") + f"', {c}::BIGINT)"
+        for t, c in sorted(qtf.items())
+    )
+    return f"q(term, qtf) AS (VALUES {rows})"
+
+
+_SCORED_AGG = f"""
+scored AS (
+  SELECT tfv.doc_id, tfv.term,
+         least(tfv.tf, 65535)::BIGINT AS tf,
+         dict.df,
+         ln(1.0 + (s.n_docs - dict.df + 0.5) / (dict.df + 0.5)) AS idf,
+         q.qtf * ln(1.0 + (s.n_docs - dict.df + 0.5) / (dict.df + 0.5))
+               * least(tfv.tf, 65535) * 2.5
+               / (least(tfv.tf, 65535) + 1.5 * (1.0 - 0.75 + 0.75 * dl.doc_len / s.avgdl))
+           AS partial
+  FROM tfv JOIN q USING (term) JOIN dict USING (term) JOIN dl USING (doc_id)
+  CROSS JOIN stats s
+),
+agg AS (SELECT doc_id, round(sum(partial), {ROUND}) AS score FROM scored GROUP BY doc_id)
+"""
+
+
+def search_after_sql(query_text: str, k: int = K, cursor_rank: int = K) -> str:
+    """DuckDB mirror of IndexReader.search_after / engine/searchafter —
+    self-contained: the cursor is derived in-SQL as the hit at absolute
+    rank ``cursor_rank``, then the page is the k docs sorting strictly
+    after it, re-ranked 1..k (a cursor carries no absolute offset)."""
+    return f"""
+WITH {_base_ctes()},
+{_qcte(query_text)},
+{_SCORED_AGG},
+ranked AS (SELECT doc_id, score,
+                  row_number() OVER (ORDER BY score DESC, doc_id ASC) AS r
+           FROM agg),
+cur AS (SELECT score AS s_a, doc_id AS d_a FROM ranked WHERE r = {cursor_rank})
+SELECT row_number() OVER (ORDER BY a.score DESC, a.doc_id ASC)::INTEGER AS rank,
+       a.doc_id, a.score
+FROM agg a CROSS JOIN cur
+WHERE a.score < cur.s_a OR (a.score = cur.s_a AND a.doc_id > cur.d_a)
+ORDER BY a.score DESC, a.doc_id ASC LIMIT {k}
+"""
+
+
+def explain_sql(query_text: str, k: int = K) -> str:
+    """DuckDB mirror of engine/explain — per-(top-k doc, query term)
+    BM25 component breakdown; ``score`` is the rounded sum of the
+    UNROUNDED partials, bit-identical to the BM25 entries' key."""
+    return f"""
+WITH {_base_ctes()},
+{_qcte(query_text)},
+{_SCORED_AGG},
+topk AS (SELECT doc_id, score,
+                row_number() OVER (ORDER BY score DESC, doc_id ASC)::INTEGER AS rank
+         FROM agg ORDER BY score DESC, doc_id ASC LIMIT {k})
+SELECT t.rank, s.doc_id, s.term, s.tf, s.df,
+       round(s.idf, {ROUND}) AS idf, round(s.partial, {ROUND}) AS partial,
+       t.score
+FROM scored s JOIN topk t USING (doc_id)
+"""
+
+
+def rescore_sql(
+    query_text: str, phrase: str, k: int = K, *,
+    window_n: int = 30, weight: float = 2.0,
+) -> str:
+    """DuckDB mirror of engine/rescore — BM25 window_n window, exact
+    phrase-occurrence bonus, combined = round(score + weight·n_occ)."""
+    from .phrase import _phrase_list_sql, _tokd_cte
+
+    terms = tokenize(phrase, use_stem=False)
+    m = len(terms)
+    return f"""
+WITH {_base_ctes()},
+{_qcte(query_text)},
+{_SCORED_AGG},
+win AS (SELECT doc_id, score FROM (
+          SELECT doc_id, score,
+                 row_number() OVER (ORDER BY score DESC, doc_id ASC) AS r
+          FROM agg) WHERE r <= {window_n}),
+{_tokd_cte()},
+occ AS (
+  SELECT doc_id,
+         len(list_filter(range(1, len(toks) - {m} + 2),
+             i -> toks[i:i + {m - 1}] = {_phrase_list_sql(terms)}))::BIGINT AS n_occ
+  FROM tokd
+),
+comb AS (SELECT w.doc_id,
+                round(w.score + {weight} * coalesce(o.n_occ, 0), {ROUND}) AS score,
+                coalesce(o.n_occ, 0)::BIGINT AS n_occ
+         FROM win w LEFT JOIN occ o USING (doc_id))
+SELECT row_number() OVER (ORDER BY score DESC, doc_id ASC)::INTEGER AS rank,
+       doc_id, score, n_occ
+FROM comb ORDER BY score DESC, doc_id ASC LIMIT {k}
+"""
+
+
+def match_sorted_sql(query_text: str, k: int = K, *, by_sql: str = "source",
+                     by_name: str = "repo") -> str:
+    """DuckDB mirror of engine/sortby — conjunctive match set sorted by
+    a metadata field (``by_sql`` names the documents-view column,
+    ``by_name`` the corpus-shape alias the Spark twins emit)."""
+    from .phrase import _phrase_list_sql, _tokd_cte
+
+    terms = sorted(set(tokenize(query_text, use_stem=False)))
+    return f"""
+WITH {_tokd_cte()},
+m AS (SELECT doc_id FROM tokd
+      WHERE list_has_all(toks, {_phrase_list_sql(terms)}))
+SELECT row_number() OVER (ORDER BY d.{by_sql} ASC, d.doc_id ASC)::INTEGER AS rank,
+       d.doc_id, d.{by_sql} AS {by_name}
+FROM m JOIN documents d USING (doc_id)
+ORDER BY d.{by_sql} ASC, d.doc_id ASC LIMIT {k}
+"""
+
+
 def related_terms_sql(term: str, k: int = K, min_cooc: int = 2) -> str:
     """DuckDB mirror of engine/mlt.related_terms — doc-level PMI."""
     t = tokenize(term, use_stem=False)[0].replace("'", "''")
@@ -1234,6 +1354,99 @@ def _q_collapse_indexed(spark, sf_dir):
     )
 
 
+# -- round-4b search-API family: searchAfter cursor paging, explain
+#    (score breakdown), two-phase rescore, sort-by-field -------------
+
+RESCORE_PHRASE = "table scan"
+SORT_QUERY = "table scan"
+_PAGE_SCHEMA = "rank int, doc_id long, score double"
+
+
+def _q_search_after(spark, sf_dir):
+    """Cursor = the hit at absolute rank K (page 1's last row), derived
+    live like the oracle derives it in-SQL; empty when page 1 is short
+    (the oracle's rank-K cursor row is then empty too)."""
+    from .searchafter import search_after_topk
+
+    c = _corpus(spark, sf_dir)
+    base = bm25_topk_exhaustive(
+        spark, c, FIXED_QUERIES["q_table_scan"], K,
+        use_stem=False, round_scores=ROUND,
+    ).collect()
+    if len(base) < K:
+        return spark.createDataFrame([], _PAGE_SCHEMA)
+    return search_after_topk(
+        spark, c, FIXED_QUERIES["q_table_scan"],
+        base[-1]["score"], base[-1]["doc_id"], K,
+        use_stem=False, round_scores=ROUND,
+    )
+
+
+def _q_search_after_indexed(spark, sf_dir):
+    r = _index_reader(spark, sf_dir)
+    base = r.bm25_topk(
+        FIXED_QUERIES["q_table_scan"], K, round_scores=ROUND
+    ).collect()
+    if len(base) < K:
+        return spark.createDataFrame([], _PAGE_SCHEMA)
+    return r.search_after(
+        FIXED_QUERIES["q_table_scan"], base[-1]["score"], base[-1]["doc_id"],
+        K, round_scores=ROUND,
+    )
+
+
+def _q_explain(spark, sf_dir):
+    from .explain import bm25_explain
+
+    return bm25_explain(
+        spark, _corpus(spark, sf_dir), FIXED_QUERIES["q_multi"], K,
+        use_stem=False,
+    )
+
+
+def _q_explain_indexed(spark, sf_dir):
+    from .explain import explain_from_index
+
+    return explain_from_index(
+        _index_reader(spark, sf_dir), FIXED_QUERIES["q_multi"], K
+    )
+
+
+def _q_rescore(spark, sf_dir):
+    from .rescore import rescore_topk
+
+    return rescore_topk(
+        spark, _corpus(spark, sf_dir), FIXED_QUERIES["q_table_scan"],
+        RESCORE_PHRASE, K, use_stem=False,
+    )
+
+
+def _q_rescore_indexed(spark, sf_dir):
+    from .rescore import rescore_from_index
+
+    return rescore_from_index(
+        _index_reader(spark, sf_dir, with_positions=True),
+        FIXED_QUERIES["q_table_scan"], RESCORE_PHRASE, K,
+    )
+
+
+def _q_match_sorted(spark, sf_dir):
+    from .sortby import match_sorted_topk
+
+    return match_sorted_topk(
+        spark, _corpus(spark, sf_dir), SORT_QUERY, K, by="repo",
+        use_stem=False,
+    )
+
+
+def _q_match_sorted_indexed(spark, sf_dir):
+    from .sortby import match_sorted_from_index
+
+    return match_sorted_from_index(
+        _index_reader(spark, sf_dir), SORT_QUERY, K, by="repo"
+    )
+
+
 def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out: dict[str, Callable] = {
         "tokenize_tf": _q_tokenize_tf,
@@ -1345,6 +1558,18 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # field collapsing: best doc per repo (engine/collapse.py)
     out["collapse_topk"] = _q_collapse
     out["collapse_topk_indexed"] = _q_collapse_indexed
+    # round-4b search-API family (engine/searchafter, explain, rescore,
+    # sortby) — registered at the tail: the r4 driver window is pinned
+    # to the attestation backlog in _DRIVER_PRIORITY; these rotate in
+    # next round
+    out["search_after_topk"] = _q_search_after
+    out["search_after_indexed"] = _q_search_after_indexed
+    out["bm25_explain"] = _q_explain
+    out["bm25_explain_indexed"] = _q_explain_indexed
+    out["rescore_topk"] = _q_rescore
+    out["rescore_topk_indexed"] = _q_rescore_indexed
+    out["match_sorted_topk"] = _q_match_sorted
+    out["match_sorted_indexed"] = _q_match_sorted_indexed
     return _driver_order(out)
 
 
@@ -1548,4 +1773,17 @@ def oracle_sqls() -> dict[str, str]:
         FIXED_QUERIES["q_table_scan"], K, round_scores=ROUND
     )
     out["collapse_topk_indexed"] = out["collapse_topk"]
+    # round-4b search-API family
+    out["search_after_topk"] = search_after_sql(
+        FIXED_QUERIES["q_table_scan"], K, K
+    )
+    out["search_after_indexed"] = out["search_after_topk"]
+    out["bm25_explain"] = explain_sql(FIXED_QUERIES["q_multi"], K)
+    out["bm25_explain_indexed"] = out["bm25_explain"]
+    out["rescore_topk"] = rescore_sql(
+        FIXED_QUERIES["q_table_scan"], RESCORE_PHRASE, K
+    )
+    out["rescore_topk_indexed"] = out["rescore_topk"]
+    out["match_sorted_topk"] = match_sorted_sql(SORT_QUERY, K)
+    out["match_sorted_indexed"] = out["match_sorted_topk"]
     return _driver_order(out)

@@ -1242,6 +1242,33 @@ class IndexReader:
         )
         return out.where(F.col("rank") > offset)
 
+    def search_after(
+        self, query: str, after_score: float, after_doc_id: int,
+        k: int = 10, *, prune: bool = True, round_scores: int | None = None,
+    ) -> DataFrame:
+        """Cursor pagination (Lucene ``searchAfter``): the k hits
+        sorting strictly after ``(after_score, after_doc_id)`` in
+        (score DESC, doc_id ASC) order — identical RESULTS to
+        ``bm25_topk_paged`` at the cursor's absolute rank (the oracle),
+        but the page-N plan: every per-shard heap stays size k instead
+        of offset+k, and the kernel evicts docs that provably sort
+        at/before the cursor (engine/wand.py ``after``), so deep pages
+        stop paying Lucene's from+size heap tax. ``after_score`` must
+        be in the serving score space — pass the previous page's last
+        ROUNDED score when ``round_scores`` is set. Ranks restart at 1
+        per page (a cursor carries no absolute offset, as in Lucene).
+        """
+        from collections import Counter
+
+        qtf = Counter(tokenize(query, use_stem=self.use_stem))
+        return self._qtf_topk(
+            {t: float(c) for t, c in qtf.items()},
+            k,
+            prune=prune,
+            round_scores=round_scores,
+            after=(float(after_score), int(after_doc_id)),
+        )
+
     def hit_counts(self, queries: dict[str, str]) -> DataFrame:
         """(query_id, n_hits): number of distinct live docs matching ≥1
         term of each query — the "total hits" header every search API
@@ -1568,12 +1595,17 @@ class IndexReader:
         self, qtf_map: dict[str, float], k: int, *, prune: bool = True,
         with_metadata: bool = False, round_scores: int | None = None,
         exclude_ids: list[int] | None = None,
+        after: tuple[float, int] | None = None,
     ) -> DataFrame:
         """Shared (term → qtf) weighted top-k body for bm25_topk and
         wildcard_topk — per-shard block-max kernel + global
         TakeOrderedAndProject. ``exclude_ids`` rides the tombstone
         drop-mask (more_like_this excludes the source doc this way, so
-        θ-pruning stays rank-safe over the remaining docs)."""
+        θ-pruning stays rank-safe over the remaining docs). ``after``
+        is the searchAfter cursor (engine/wand.py): the kernel keeps a
+        size-k heap of docs sorting strictly after it, and the exact
+        rounded-key cursor filter is re-applied here on the global
+        merge (the kernel's eviction is conservative at boundaries)."""
         import pandas as pd
 
         avgdl = self.manifest["stats"]["avgdl"]
@@ -1606,7 +1638,8 @@ class IndexReader:
             idf = dict(zip(pdf["term"], pdf["idf"]))
             weights = {t: qtf_map[t] * v for t, v in idf.items()}
             ids, sc = topk_shard(
-                pdf, weights, avgdl, k, prune=prune, eps=eps, drop_ids=tomb
+                pdf, weights, avgdl, k, prune=prune, eps=eps, drop_ids=tomb,
+                after=after,
             )
             return pd.DataFrame({"doc_id": ids, "score": sc})
 
@@ -1616,6 +1649,12 @@ class IndexReader:
         if round_scores is not None:
             per_shard = per_shard.select(
                 "doc_id", F.round("score", round_scores).alias("score")
+            )
+        if after is not None:
+            s_a, d_a = after
+            per_shard = per_shard.where(
+                (F.col("score") < s_a)
+                | ((F.col("score") == s_a) & (F.col("doc_id") > d_a))
             )
         topk = per_shard.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
         w = Window.orderBy(F.desc("score"), F.asc("doc_id"))

@@ -72,6 +72,44 @@ def _isin_sorted(ids: np.ndarray, sorted_set: np.ndarray) -> np.ndarray:
     return sorted_set[pos] == ids
 
 
+def _cursor_masks(
+    acc_sc: np.ndarray,
+    acc_ids: np.ndarray,
+    rem: float,
+    s_a: float,
+    d_a: int,
+    eps: float,
+) -> tuple[np.ndarray, np.ndarray]:
+    """(guaranteed_accepted, guaranteed_rejected) masks vs a searchAfter
+    cursor whose sort key is (rounded score DESC, doc_id ASC).
+
+    TAAT cannot know a doc's final score mid-stream, so both masks are
+    one-sided certainties derived from monotonicity (partials only
+    grow; ``rem`` bounds everything a doc can still gain):
+
+    - rejected-for-sure: the PARTIAL's rounded key already sorts at or
+      before the cursor — final ≥ partial, so the final key can only
+      sort earlier still. With rounding granularity 2·eps, "rounds
+      above s_a" is certain when partial > s_a + eps, and "rounds to
+      s_a or above" when partial > s_a − eps (doc_id ≤ d_a then loses
+      the asc tiebreak either way).
+    - accepted-for-sure: even partial + rem rounds strictly below s_a
+      (< s_a − eps), or rounds to ≤ s_a (< s_a + eps) with the doc_id
+      tiebreak won (doc_id > d_a).
+
+    Docs within eps of the boundary are neither — kept, never counted
+    toward θ; the exact rounded-key filter downstream decides them."""
+    if eps > 0.0:
+        rejected = (acc_sc > s_a + eps) | ((acc_sc > s_a - eps) & (acc_ids <= d_a))
+        u = acc_sc + rem
+        accepted = (u < s_a - eps) | ((u < s_a + eps) & (acc_ids > d_a))
+    else:
+        rejected = (acc_sc > s_a) | ((acc_sc >= s_a) & (acc_ids <= d_a))
+        u = acc_sc + rem
+        accepted = (u < s_a) | ((u <= s_a) & (acc_ids > d_a))
+    return accepted, rejected
+
+
 def topk_shard(
     blocks: pd.DataFrame,
     weights: dict[str, float],
@@ -82,6 +120,7 @@ def topk_shard(
     eps: float = 0.0,
     drop_ids: np.ndarray | None = None,
     keep_ids: np.ndarray | None = None,
+    after: tuple[float, int] | None = None,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Score one shard's blocks for one query → (doc_ids, scores) of the
     shard-local top-k (unsorted). ``blocks`` has the BLOCKS_SCHEMA
@@ -106,7 +145,22 @@ def topk_shard(
     block-max pruning engage under a filter (filtered_topk). Blocks
     whose [first_doc_id, last_doc_id] range contains no kept doc are
     skipped without decoding. Scores stay full-corpus (Lucene FILTER
-    semantics — the filter gates emission, never rescores)."""
+    semantics — the filter gates emission, never rescores).
+
+    ``after`` = (cursor_score, cursor_doc_id) turns the kernel into a
+    Lucene ``searchAfter`` collector: only docs whose FINAL rounded sort
+    key sorts strictly after the cursor may fill the page, and the heap
+    stays size k (the whole point vs from+size, whose heap is
+    offset+k). Because TAAT never knows a final score mid-stream, θ is
+    derived from GUARANTEED-accepted docs only (partial + remaining
+    upper bound already sorts after the cursor — their finals are both
+    accepted and ≥ their partials, so θ is a true floor of the page's
+    k-th final), and guaranteed-REJECTED docs (partial alone already
+    sorts at/before the cursor; partials only grow) are evicted so they
+    can never crowd the final cut. Boundary docs within eps stay until
+    the exact rounded-key filter downstream. ``cursor_score`` must be
+    in the SAME space the caller sorts on (the rounded score when
+    ``round_scores`` is set — eps is the matching half-step)."""
     if keep_ids is not None and keep_ids.size == 0:
         return np.empty(0, np.int64), np.empty(0, np.float64)
     by_term: dict[str, pd.DataFrame] = {
@@ -125,10 +179,32 @@ def topk_shard(
     acc_ids = np.empty(0, np.int64)
     acc_sc = np.empty(0, np.float64)
 
+    def _acc_theta(rem: float, evict: bool) -> float:
+        """θ over docs allowed to witness the top-k floor. Plain top-k:
+        every accumulator doc. searchAfter: guaranteed-accepted docs
+        only. ``evict`` additionally drops guaranteed-rejected docs —
+        legal ONLY where no later term can re-merge them as "new" with
+        a dangling partial (the AND phase, which only updates existing
+        docs and is absorbing, and the final cut); during the OR phase
+        rejected docs must stay so their accumulation stays complete."""
+        nonlocal acc_ids, acc_sc
+        if after is None:
+            return _theta(acc_sc, k) - eps
+        if acc_ids.size == 0:
+            return -np.inf
+        accepted, rejected = _cursor_masks(
+            acc_sc, acc_ids, rem, after[0], after[1], eps
+        )
+        if evict and rejected.any():
+            live = ~rejected
+            acc_ids, acc_sc = acc_ids[live], acc_sc[live]
+            accepted = accepted[live]
+        return _theta(acc_sc[accepted], k) - eps
+
     for i, t in enumerate(terms):
         w = weights[t]
         g = by_term[t]
-        theta = _theta(acc_sc, k) - eps
+        theta = _acc_theta(ubs[i] + remaining_after[i], evict=False)
         and_phase = prune and np.isfinite(theta) and (ubs[i] + remaining_after[i]) < theta
 
         if not and_phase:
@@ -170,10 +246,19 @@ def topk_shard(
                 ids, tfs, dls = decode_block(row)
                 _update_existing(acc_ids, acc_sc, ids, w * score_norm(tfs, dls, avgdl))
             # prune accumulator docs that can no longer reach top-k
-            theta = _theta(acc_sc, k) - eps
+            theta = _acc_theta(remaining_after[i], evict=True)
             if np.isfinite(theta):
                 keep = acc_sc + remaining_after[i] >= theta
                 acc_ids, acc_sc = acc_ids[keep], acc_sc[keep]
+
+    if after is not None and acc_ids.size:
+        # final scores are known (rem=0): evict everything that sorts
+        # at/before the cursor so it cannot crowd accepted docs out of
+        # the size-k cut below; boundary docs (within eps) survive for
+        # the exact rounded-key filter downstream
+        _, rejected = _cursor_masks(acc_sc, acc_ids, 0.0, after[0], after[1], eps)
+        live = ~rejected
+        acc_ids, acc_sc = acc_ids[live], acc_sc[live]
 
     if acc_ids.size > k:
         idx = np.argpartition(acc_sc, acc_sc.size - k)[acc_sc.size - k :]
