@@ -178,6 +178,10 @@ def main() -> None:
             "suggest_terms",
             "bm25f_topk",
             "collapse_topk",
+            "search_after_topk",
+            "bm25_explain",
+            "rescore_topk",
+            "match_sorted_topk",
             "sessionize_events",
             "stream_window_counts",
         ):

@@ -456,6 +456,85 @@ class SearchService:
             ).where(F.col("rank") > offset)
         return self._with_meta(df, "score")
 
+    def search_after(
+        self, query: str, after_score: float, after_doc_id: int, k: int = 10
+    ) -> list[tuple]:
+        """Cursor pagination (Lucene searchAfter; the deep-paging API
+        production engines steer clients to instead of from+size) —
+        index-served via the kernel's cursor eviction when bound, else
+        the recompute twin (engine/searchafter.py)."""
+        if self.reader is not None:
+            df = self.reader.search_after(query, after_score, after_doc_id, k)
+        else:
+            from .searchafter import search_after_topk
+
+            df = search_after_topk(
+                self.spark, self.corpus, query, after_score, after_doc_id,
+                k, use_stem=self._use_stem,
+            )
+        return self._with_meta(df, "score")
+
+    def explain(self, query: str, k: int = 10) -> list[list]:
+        """Per-(top-k doc, query term) BM25 score breakdown (Lucene
+        IndexSearcher.explain): [rank, doc_id, term, tf, df, idf,
+        partial, score] rows, rank-major then term order."""
+        if self.reader is not None:
+            from .explain import explain_from_index
+
+            df = explain_from_index(self.reader, query, k)
+        else:
+            from .explain import bm25_explain
+
+            df = bm25_explain(
+                self.spark, self.corpus, query, k, use_stem=self._use_stem
+            )
+        rows = sorted(df.collect(), key=lambda r: (r["rank"], r["term"]))
+        return [
+            [r["rank"], r["doc_id"], r["term"], r["tf"], r["df"],
+             r["idf"], r["partial"], r["score"]]
+            for r in rows
+        ]
+
+    def rescore(self, query: str, phrase: str, k: int = 10) -> list[tuple]:
+        """Two-phase rescoring (Elasticsearch rescore API): BM25 window
+        re-scored with an exact phrase-occurrence bonus — positions-
+        artifact-served when the bound index carries it, else the
+        corpus recompute (both parity-tested)."""
+        if self.reader is not None and (
+            self.reader.manifest["stages"].get("positions") == "done"
+        ):
+            from .rescore import rescore_from_index
+
+            df = rescore_from_index(self.reader, query, phrase, k)
+        else:
+            from .rescore import rescore_topk
+
+            df = rescore_topk(
+                self.spark, self.corpus.select("doc_id", "content"),
+                query, phrase, k, use_stem=self._use_stem,
+            )
+        return self._with_meta(df, "score")
+
+    def search_sorted(self, query: str, k: int = 10) -> list[list]:
+        """Field-sorted conjunctive match (Lucene Sort): docs containing
+        ALL query terms ordered by (repo ASC, doc_id ASC) — scoring
+        skipped entirely, like Lucene's TopFieldCollector."""
+        if self.reader is not None:
+            from .sortby import match_sorted_from_index
+
+            df = match_sorted_from_index(self.reader, query, k, by="repo")
+        else:
+            from .sortby import match_sorted_topk
+
+            df = match_sorted_topk(
+                self.spark, self.corpus, query, k, by="repo",
+                use_stem=self._use_stem,
+            )
+        return [
+            [r["rank"], r["doc_id"], r["repo"]]
+            for r in sorted(df.collect(), key=lambda r: r["rank"])
+        ]
+
     def hit_counts(self, query: str) -> list[list]:
         """Total-hits header [query_id, n_hits] for one query — the
         count of distinct live docs matching ≥1 query term, decoded
@@ -605,6 +684,31 @@ def create_app(service: SearchService):
                 int(request.args.get("from", "0")),
             )
         )
+
+    @app.route("/search_after")
+    def search_after():
+        return jsonify(
+            service.search_after(
+                _query(),
+                float(request.args.get("after_score", "inf")),
+                int(request.args.get("after_doc_id", "-1")),
+                int(request.args.get("size", "10")),
+            )
+        )
+
+    @app.route("/explain")
+    def explain():
+        return jsonify(service.explain(_query()))
+
+    @app.route("/rescore")
+    def rescore():
+        return jsonify(
+            service.rescore(_query(), request.args.get("phrase", ""))
+        )
+
+    @app.route("/search_sorted")
+    def search_sorted():
+        return jsonify(service.search_sorted(_query()))
 
     @app.route("/get_pagerank", methods=["POST"])
     def get_pagerank():

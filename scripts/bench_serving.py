@@ -126,6 +126,26 @@ def main() -> None:
             {f"q{i}": s for i, s in enumerate(
                 [q, "posting list merge", "query scan", "distributed merge sort"]
             )}))
+        # round-4 additions: query-string front door, field collapsing,
+        # cursor paging, explain, two-phase rescore, field sort
+        timed("qstring", lambda: reader.query_string_topk(
+            'index merge -zebra "index merge"', 10))
+        timed("collapse", lambda: reader.collapse_topk(q, 10))
+        cur = reader.bm25_topk(q, 10, round_scores=6).collect()[-1]
+        timed("search_after_p2", lambda: reader.search_after(
+            q, cur["score"], cur["doc_id"], 10, round_scores=6))
+        timed("paged_p2_fromsize", lambda: reader.bm25_topk_paged(
+            q, 10, offset=10, round_scores=6))
+
+        from engine.explain import explain_from_index
+        from engine.rescore import rescore_from_index
+        from engine.sortby import match_sorted_from_index
+
+        timed("explain", lambda: explain_from_index(reader, q, 10))
+        timed("rescore", lambda: rescore_from_index(
+            reader, q, "index merge", 10))
+        timed("match_sorted", lambda: match_sorted_from_index(
+            reader, "index merge", 10, by="repo"))
     finally:
         spark.stop()
         shutil.rmtree(idx_dir, ignore_errors=True)

@@ -302,3 +302,63 @@ def test_query_string_and_complete_routes(client, service):
     assert comp and all(t.startswith("se") for t, _df in comp)
     dfs = [d for _t, d in comp]
     assert dfs == sorted(dfs, reverse=True) or len(set(dfs)) < len(dfs)
+
+
+def test_search_after_route_matches_paged(client):
+    first = client.get(
+        "/search_paged", query_string={"query": QUERY, "size": "10", "from": "0"}
+    ).get_json()
+    if len(first) < 10:
+        pytest.skip("not enough hits")
+    last = first[-1]
+    nxt = client.get(
+        "/search_after",
+        query_string={
+            "query": QUERY,
+            "after_score": repr(last[2]),
+            "after_doc_id": str(last[0]),
+            "size": "10",
+        },
+    ).get_json()
+    want = client.get(
+        "/search_paged", query_string={"query": QUERY, "size": "10", "from": "10"}
+    ).get_json()
+    assert [r[0] for r in nxt] == [r[0] for r in want]
+    # default cursor (inf, -1) is page 1
+    p1 = client.get("/search_after", query_string={"query": QUERY}).get_json()
+    assert [r[0] for r in p1] == [r[0] for r in first]
+
+
+def test_explain_route_reconciles(client):
+    rows = client.get("/explain", query_string={"query": QUERY}).get_json()
+    assert rows and all(len(r) == 8 for r in rows)
+    from collections import defaultdict
+
+    agg: dict = defaultdict(float)
+    score: dict = {}
+    for rank, doc_id, term, tf, df, idf, partial, s in rows:
+        agg[doc_id] += partial
+        score[doc_id] = s
+        assert tf >= 1 and df >= 1 and idf > 0
+    for d in agg:
+        assert abs(agg[d] - score[d]) < 1e-3
+
+
+def test_rescore_route(client):
+    r = client.get(
+        "/rescore", query_string={"query": QUERY, "phrase": "index merge"}
+    )
+    assert r.status_code == 200
+    body = r.get_json()
+    assert isinstance(body, list) and len(body) <= 10
+    scores = [row[2] for row in body]
+    assert scores == sorted(scores, reverse=True)
+
+
+def test_search_sorted_route(client):
+    rows = client.get(
+        "/search_sorted", query_string={"query": "index merge"}
+    ).get_json()
+    assert rows
+    keys = [(r[2], r[1]) for r in rows]
+    assert keys == sorted(keys)

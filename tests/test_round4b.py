@@ -208,3 +208,54 @@ def test_match_sorted_twins_and_semantics(spark, tiny_corpus, reader):
     # order: (repo ASC, doc_id ASC)
     keys = list(zip(rc["repo"], rc["doc_id"]))
     assert keys == sorted(keys)
+
+
+# -------------------------------------------------------------- plan audits
+
+def _plan_of(df) -> str:
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_search_after_plan_is_pruned_kernel_shape(reader):
+    """Cursor paging must keep bm25_topk's plan: postings scan pruned to
+    the query terms (PushedFilters In(term)), no sort-merge join —
+    the cursor adds only a Filter over the kernel output."""
+    df = reader.search_after("index merge partition", 1.0, 0, K,
+                             round_scores=R)
+    p = _plan_of(df)
+    assert "PushedFilters" in p and "In(term" in p, p
+    assert "SortMergeJoin" not in p, p
+
+
+def test_explain_indexed_plan_is_query_sized(reader):
+    """Indexed explain: posting scan pruned to query terms; every join
+    (dictionary, qtf, top-k docs) broadcast — nothing corpus-sized
+    shuffles for a k-doc explanation."""
+    from engine.explain import explain_from_index
+
+    p = _plan_of(explain_from_index(reader, "index merge", 5))
+    assert "In(term" in p, p
+    assert "SortMergeJoin" not in p, p
+
+
+def test_rescore_indexed_plan_prunes_positions(reader):
+    """Phase-2 positions scan must be pruned to the phrase terms."""
+    from engine.rescore import rescore_from_index
+
+    p = _plan_of(rescore_from_index(reader, "index merge partition",
+                                    "index merge", 5))
+    assert "In(term" in p, p
+    assert "SortMergeJoin" not in p, p
+
+
+def test_match_sorted_indexed_plan_prunes_postings(reader):
+    from engine.sortby import match_sorted_from_index
+
+    p = _plan_of(match_sorted_from_index(reader, "index merge", 5))
+    assert "In(term" in p, p
