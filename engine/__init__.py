@@ -32,6 +32,14 @@ Layout
 - :mod:`engine.metrics`     — precision@k / MAP@40 retrieval evaluation.
 - :mod:`engine.porter_sql`  — generated DuckDB SQL Porter stemmer
   (oracle-side twin of engine.stemmer).
+- search-API layer — :mod:`engine.qparser` (Lucene query-string
+  grammar), :mod:`engine.bm25f` (fielded BM25F), :mod:`engine.collapse`
+  (field collapsing), :mod:`engine.searchafter` (cursor pagination),
+  :mod:`engine.explain` (score breakdown), :mod:`engine.rescore`
+  (two-phase rescoring), :mod:`engine.sortby` (sort-by-field),
+  :mod:`engine.phrase` / :mod:`engine.positions` (positional search),
+  :mod:`engine.boolean`, :mod:`engine.fuzzy`, :mod:`engine.wildcard`,
+  :mod:`engine.mlt`, :mod:`engine.facets`.
 - :mod:`engine.frontend`    — reference-API Flask serving facade.
 """
 
