@@ -232,8 +232,15 @@ q AS (SELECT term, 1::BIGINT AS qtf FROM exp),
 
 
 def _qcte(query_text: str, *, stemmed: bool = False) -> str:
-    """q(term, qtf) VALUES cte for a non-empty query."""
+    """q(term, qtf) VALUES cte; empty/all-stopword queries get an
+    empty-relation q so the downstream joins yield zero rows (the
+    Spark twins' empty-DataFrame contract)."""
     qtf = Counter(tokenize(query_text, use_stem=stemmed))
+    if not qtf:
+        return (
+            "q AS (SELECT NULL::VARCHAR AS term, NULL::BIGINT AS qtf "
+            "WHERE false)"
+        )
     rows = ", ".join(
         "('" + t.replace("'", "''") + f"', {c}::BIGINT)"
         for t, c in sorted(qtf.items())
@@ -307,6 +314,14 @@ def rescore_sql(
 
     terms = tokenize(phrase, use_stem=False)
     m = len(terms)
+    occ_expr = (
+        f"len(list_filter(range(1, len(toks) - {m} + 2), "
+        f"i -> toks[i:i + {m - 1}] = {_phrase_list_sql(terms)}))::BIGINT"
+        if terms
+        # empty/all-stopword phrase: zero bonus everywhere, matching the
+        # Spark twins' empty-occurrence frame
+        else "0::BIGINT"
+    )
     return f"""
 WITH {_base_ctes()},
 {_qcte(query_text)},
@@ -316,12 +331,7 @@ win AS (SELECT doc_id, score FROM (
                  row_number() OVER (ORDER BY score DESC, doc_id ASC) AS r
           FROM agg) WHERE r <= {window_n}),
 {_tokd_cte()},
-occ AS (
-  SELECT doc_id,
-         len(list_filter(range(1, len(toks) - {m} + 2),
-             i -> toks[i:i + {m - 1}] = {_phrase_list_sql(terms)}))::BIGINT AS n_occ
-  FROM tokd
-),
+occ AS (SELECT doc_id, {occ_expr} AS n_occ FROM tokd),
 comb AS (SELECT w.doc_id,
                 round(w.score + {weight} * coalesce(o.n_occ, 0), {ROUND}) AS score,
                 coalesce(o.n_occ, 0)::BIGINT AS n_occ
@@ -340,6 +350,13 @@ def match_sorted_sql(query_text: str, k: int = K, *, by_sql: str = "source",
     from .phrase import _phrase_list_sql, _tokd_cte
 
     terms = sorted(set(tokenize(query_text, use_stem=False)))
+    if not terms:
+        # list_has_all(toks, []) is TRUE — but the Spark twins return
+        # an empty frame for an empty/all-stopword query, so pin that
+        return (
+            f"SELECT 0::INTEGER AS rank, 0::BIGINT AS doc_id, "
+            f"''::VARCHAR AS {by_name} WHERE false"
+        )
     return f"""
 WITH {_tokd_cte()},
 m AS (SELECT doc_id FROM tokd

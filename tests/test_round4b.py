@@ -259,3 +259,46 @@ def test_match_sorted_indexed_plan_prunes_postings(reader):
 
     p = _plan_of(match_sorted_from_index(reader, "index merge", 5))
     assert "In(term" in p, p
+
+
+# ----------------------------------------------- SQL-builder edge cases
+# DuckDB-only (no Spark): the oracle builders must match the Spark
+# twins' empty-result contract for empty / all-stopword inputs.
+
+def _duck_docs():
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM (VALUES "
+        "(1::BIGINT, 'table scan fast scan', 'src1', 'en'), "
+        "(2::BIGINT, 'merge sort table', 'src2', 'en')"
+        ") AS t(doc_id, text, source, lang)"
+    )
+    return con
+
+def test_match_sorted_sql_empty_query_is_empty():
+    from engine.driver_queries import match_sorted_sql
+
+    con = _duck_docs()
+    out = con.sql(match_sorted_sql("the and of", 5)).df()
+    assert len(out) == 0
+    assert sorted(out.columns) == ["doc_id", "rank", "repo"]
+
+
+def test_rescore_sql_empty_phrase_is_zero_bonus():
+    from engine.driver_queries import rescore_sql
+
+    con = _duck_docs()
+    with_b = con.sql(rescore_sql("table scan", "table", 5)).df()
+    no_b = con.sql(rescore_sql("table scan", "the and", 5)).df()
+    assert (no_b["n_occ"] == 0).all()
+    assert len(with_b) == len(no_b) and with_b["n_occ"].sum() > 0
+
+
+def test_search_after_and_explain_sql_empty_query():
+    from engine.driver_queries import explain_sql, search_after_sql
+
+    con = _duck_docs()
+    assert len(con.sql(search_after_sql("the and of", 5, 5)).df()) == 0
+    assert len(con.sql(explain_sql("the and of", 5)).df()) == 0
