@@ -182,6 +182,7 @@ def main() -> None:
             "bm25_explain",
             "rescore_topk",
             "match_sorted_topk",
+            "synonym_topk",
             "sessionize_events",
             "stream_window_counts",
         ):

@@ -368,6 +368,55 @@ ORDER BY d.{by_sql} ASC, d.doc_id ASC LIMIT {k}
 """
 
 
+def synonym_topk_sql(
+    query_text: str, synonyms: dict[str, list[str]], k: int = K
+) -> str:
+    """DuckDB mirror of engine/synonyms — blended per-group tf (member
+    tfs capped, summed, re-capped) saturated once, EXACT union df per
+    group, one idf per group."""
+    from .synonyms import expand_groups
+
+    groups = expand_groups(query_text, synonyms, use_stem=False)
+    if not groups:
+        return (
+            "SELECT 0::INTEGER AS rank, 0::BIGINT AS doc_id, "
+            "0.0::DOUBLE AS score WHERE false"
+        )
+    qterms = tokenize(query_text, use_stem=False)
+    g_rows = ", ".join(
+        "('" + g.replace("'", "''") + "', '" + m.replace("'", "''") + "')"
+        for g, ms in sorted(groups.items())
+        for m in ms
+    )
+    q_rows = ", ".join(
+        f"('{g}', {float(qterms.count(g))}::DOUBLE)" for g in sorted(groups)
+    )
+    return f"""
+WITH {_base_ctes()},
+gmap(gid, term) AS (VALUES {g_rows}),
+gq(gid, qtf) AS (VALUES {q_rows}),
+hits AS (SELECT tfv.doc_id, gmap.gid, least(tfv.tf, 65535) AS tfc, dl.doc_len
+         FROM tfv JOIN gmap USING (term) JOIN dl USING (doc_id)),
+gtf AS (SELECT doc_id, gid, least(sum(tfc), 65535)::BIGINT AS gtf,
+               min(doc_len) AS doc_len
+        FROM hits GROUP BY doc_id, gid),
+gdf AS (SELECT gid, count(DISTINCT doc_id)::BIGINT AS gdf
+        FROM hits GROUP BY gid),
+scored AS (
+  SELECT gtf.doc_id,
+         gq.qtf * ln(1.0 + (s.n_docs - gdf.gdf + 0.5) / (gdf.gdf + 0.5))
+               * gtf.gtf * 2.5
+               / (gtf.gtf + 1.5 * (1.0 - 0.75 + 0.75 * gtf.doc_len / s.avgdl))
+           AS partial
+  FROM gtf JOIN gdf USING (gid) JOIN gq USING (gid) CROSS JOIN stats s
+),
+agg AS (SELECT doc_id, round(sum(partial), {ROUND}) AS score FROM scored GROUP BY doc_id)
+SELECT row_number() OVER (ORDER BY score DESC, doc_id ASC)::INTEGER AS rank,
+       doc_id, score
+FROM agg ORDER BY score DESC, doc_id ASC LIMIT {k}
+"""
+
+
 def related_terms_sql(term: str, k: int = K, min_cooc: int = 2) -> str:
     """DuckDB mirror of engine/mlt.related_terms — doc-level PMI."""
     t = tokenize(term, use_stem=False)[0].replace("'", "''")
@@ -1464,6 +1513,71 @@ def _q_match_sorted_indexed(spark, sf_dir):
     )
 
 
+# fixture-vocab synonym table ("quick" deliberately absent from the
+# corpus — exercises the missing-member path on every twin)
+SYNONYMS = {"scan": ["scan", "filter"], "fast": ["fast", "quick"]}
+
+
+def _q_synonym(spark, sf_dir):
+    from .synonyms import synonym_topk
+
+    return synonym_topk(
+        spark, _corpus(spark, sf_dir), FIXED_QUERIES["q_table_scan"],
+        SYNONYMS, K, use_stem=False, round_scores=ROUND,
+    )
+
+
+def _q_synonym_indexed(spark, sf_dir):
+    from .synonyms import synonym_topk_from_index
+
+    return synonym_topk_from_index(
+        _index_reader(spark, sf_dir), FIXED_QUERIES["q_table_scan"],
+        SYNONYMS, K, round_scores=ROUND,
+    )
+
+
+def _q_term_vector(spark, sf_dir):
+    """Term-vectors API (Lucene getTermVector): the (term, tf) list for
+    one document — the min-doc_id pick is the oracle-stable choice."""
+    c = _corpus(spark, sf_dir)
+    toks = tokens_df(c, use_stem=False)
+    src = c.groupBy().agg(F.min("doc_id").alias("doc_id"))
+    return toks.join(F.broadcast(src), "doc_id").select("doc_id", "term", "tf")
+
+
+def _q_term_vector_indexed(spark, sf_dir):
+    """Artifact twin: one shard-pruned point read of the tokens
+    checkpoint (IndexReader.doc_tokens), exploded to (term, tf)."""
+    r = _index_reader(spark, sf_dir)
+    src_id = r.doc_stats().groupBy().agg(
+        F.min("doc_id").alias("m")
+    ).collect()[0]["m"]
+    n_shards = r.manifest["config"]["n_shards"]
+    shard = F.pmod(
+        F.xxhash64(F.lit(int(src_id)).cast("long")), F.lit(n_shards)
+    ).cast("int")
+    z = F.explode(F.arrays_zip("terms", "tfs")).alias("e")
+    return (
+        r.doc_tokens()
+        .where((F.col("shard") == shard) & (F.col("doc_id") == int(src_id)))
+        .select("doc_id", z)
+        .select(
+            "doc_id",
+            F.col("e.terms").alias("term"),
+            F.col("e.tfs").cast("long").alias("tf"),
+        )
+    )
+
+
+def _term_vector_sql() -> str:
+    return f"""
+WITH {_base_ctes()},
+src AS (SELECT min(doc_id) AS doc_id FROM documents)
+SELECT tfv.doc_id, tfv.term, tfv.tf
+FROM tfv JOIN src USING (doc_id)
+"""
+
+
 def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out: dict[str, Callable] = {
         "tokenize_tf": _q_tokenize_tf,
@@ -1587,6 +1701,11 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["rescore_topk_indexed"] = _q_rescore_indexed
     out["match_sorted_topk"] = _q_match_sorted
     out["match_sorted_indexed"] = _q_match_sorted_indexed
+    # synonym-expansion scoring + term-vectors API (round 4b)
+    out["synonym_topk"] = _q_synonym
+    out["synonym_topk_indexed"] = _q_synonym_indexed
+    out["term_vector"] = _q_term_vector
+    out["term_vector_indexed"] = _q_term_vector_indexed
     return _driver_order(out)
 
 
@@ -1803,4 +1922,10 @@ def oracle_sqls() -> dict[str, str]:
     out["rescore_topk_indexed"] = out["rescore_topk"]
     out["match_sorted_topk"] = match_sorted_sql(SORT_QUERY, K)
     out["match_sorted_indexed"] = out["match_sorted_topk"]
+    out["synonym_topk"] = synonym_topk_sql(
+        FIXED_QUERIES["q_table_scan"], SYNONYMS, K
+    )
+    out["synonym_topk_indexed"] = out["synonym_topk"]
+    out["term_vector"] = _term_vector_sql()
+    out["term_vector_indexed"] = _term_vector_sql()
     return _driver_order(out)

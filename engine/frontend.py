@@ -515,6 +515,62 @@ class SearchService:
             )
         return self._with_meta(df, "score")
 
+    def search_synonyms(
+        self, query: str, synonyms: dict[str, list[str]], k: int = 10
+    ) -> list[tuple]:
+        """Synonym-expanded search (Lucene SynonymQuery semantics,
+        engine/synonyms.py: blended per-group tf, exact union df) —
+        index-served when bound, else recompute."""
+        if self.reader is not None:
+            from .synonyms import synonym_topk_from_index
+
+            df = synonym_topk_from_index(self.reader, query, synonyms, k)
+        else:
+            from .synonyms import synonym_topk
+
+            df = synonym_topk(
+                self.spark, self.corpus, query, synonyms, k,
+                use_stem=self._use_stem,
+            )
+        return self._with_meta(df, "score")
+
+    def term_vector(self, doc_id: int) -> list[list]:
+        """Per-doc (term, tf) list (Lucene getTermVector): one
+        shard-pruned point read of the tokens checkpoint when an index
+        with a tokens stage is bound, else a corpus recompute."""
+        from .build import tokens_df
+
+        if (
+            self.reader is not None
+            and self.reader.manifest["stages"].get("tokens") == "done"
+        ):
+            n_shards = self.reader.manifest["config"]["n_shards"]
+            shard = F.pmod(
+                F.xxhash64(F.lit(int(doc_id)).cast("long")), F.lit(n_shards)
+            ).cast("int")
+            z = F.explode(F.arrays_zip("terms", "tfs")).alias("e")
+            df = (
+                self.reader.doc_tokens()
+                .where((F.col("shard") == shard) & (F.col("doc_id") == int(doc_id)))
+                .select(z)
+                .select(
+                    F.col("e.terms").alias("term"),
+                    F.col("e.tfs").cast("long").alias("tf"),
+                )
+            )
+        else:
+            df = (
+                tokens_df(
+                    self.corpus.where(F.col("doc_id") == int(doc_id)).select(
+                        "doc_id", "content"
+                    ),
+                    use_stem=self._use_stem,
+                ).select("term", "tf")
+            )
+        return sorted(
+            [[r["term"], r["tf"]] for r in df.collect()], key=lambda x: x[0]
+        )
+
     def search_sorted(self, query: str, k: int = 10) -> list[list]:
         """Field-sorted conjunctive match (Lucene Sort): docs containing
         ALL query terms ordered by (repo ASC, doc_id ASC) — scoring
@@ -709,6 +765,22 @@ def create_app(service: SearchService):
     @app.route("/search_sorted")
     def search_sorted():
         return jsonify(service.search_sorted(_query()))
+
+    @app.route("/search_synonyms")
+    def search_synonyms():
+        # ?syn=term:alt1|alt2,term2:alt3 — a per-request synonym table
+        syn: dict[str, list[str]] = {}
+        for part in filter(None, request.args.get("syn", "").split(",")):
+            term, _, alts = part.partition(":")
+            if term and alts:
+                syn[term.strip()] = [a for a in alts.split("|") if a]
+        return jsonify(service.search_synonyms(_query(), syn))
+
+    @app.route("/termvectors")
+    def termvectors():
+        return jsonify(
+            service.term_vector(int(request.args.get("doc_id", "-1")))
+        )
 
     @app.route("/get_pagerank", methods=["POST"])
     def get_pagerank():

@@ -146,6 +146,11 @@ def main() -> None:
             reader, q, "index merge", 10))
         timed("match_sorted", lambda: match_sorted_from_index(
             reader, "index merge", 10, by="repo"))
+
+        from engine.synonyms import synonym_topk_from_index
+
+        timed("synonyms", lambda: synonym_topk_from_index(
+            reader, q, {"merge": ["merge", "compaction"]}, 10))
     finally:
         spark.stop()
         shutil.rmtree(idx_dir, ignore_errors=True)

@@ -362,3 +362,28 @@ def test_search_sorted_route(client):
     assert rows
     keys = [(r[2], r[1]) for r in rows]
     assert keys == sorted(keys)
+
+
+def test_search_synonyms_route(client, service):
+    rows = client.get(
+        "/search_synonyms",
+        query_string={"query": "index merge", "syn": "merge:partition,index:ghost"},
+    ).get_json()
+    assert rows and len(rows) <= 10
+    scores = [r[2] for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    # empty syn table behaves like plain search order on doc_ids
+    plain = client.get(
+        "/search_synonyms", query_string={"query": "index merge"}
+    ).get_json()
+    assert plain
+
+
+def test_termvectors_route(client, service):
+    did = service.corpus.select("doc_id").orderBy("doc_id").limit(1).collect()[0]["doc_id"]
+    rows = client.get("/termvectors", query_string={"doc_id": str(did)}).get_json()
+    assert rows and all(len(r) == 2 and r[1] >= 1 for r in rows)
+    terms = [r[0] for r in rows]
+    assert terms == sorted(terms)
+    # unknown doc: empty list, no throw
+    assert client.get("/termvectors", query_string={"doc_id": "-5"}).get_json() == []

@@ -302,3 +302,43 @@ def test_search_after_and_explain_sql_empty_query():
     con = _duck_docs()
     assert len(con.sql(search_after_sql("the and of", 5, 5)).df()) == 0
     assert len(con.sql(explain_sql("the and of", 5)).df()) == 0
+
+
+# ----------------------------------------------------------------- synonyms
+
+def test_synonym_twins_and_blended_semantics(spark, tiny_corpus, reader):
+    from engine.query import bm25_topk_exhaustive
+    from engine.synonyms import synonym_topk, synonym_topk_from_index
+
+    q = "index merge"
+    # merge & partition co-occur in 78/200 fixture docs; ghostterm is
+    # absent (exercises the missing-member path)
+    syn = {"merge": ["merge", "partition"], "index": ["index", "ghostterm"]}
+    rc = synonym_topk(spark, tiny_corpus, q, syn, K, use_stem=False,
+                      round_scores=R).collect()
+    ix = synonym_topk_from_index(reader, q, syn, K, round_scores=R).collect()
+    assert _vals(rc) == _vals(ix)
+    assert len(rc) == K
+    # blended scoring is NOT the naive per-member OR: group df is the
+    # union and tfs merge before saturation, so the ranking must differ
+    # from plain BM25 over the expanded bag of terms
+    naive = bm25_topk_exhaustive(
+        spark, tiny_corpus, "index merge partition", K,
+        use_stem=False, round_scores=R,
+    ).collect()
+    assert _vals(rc) != _vals(naive)
+    # no synonyms table → identical to plain BM25
+    plain_syn = synonym_topk(spark, tiny_corpus, q, {}, K, use_stem=False,
+                             round_scores=R).collect()
+    plain = bm25_topk_exhaustive(spark, tiny_corpus, q, K, use_stem=False,
+                                 round_scores=R).collect()
+    assert _vals(plain_syn) == _vals(plain)
+
+
+def test_synonym_empty_query(spark, tiny_corpus, reader):
+    from engine.synonyms import synonym_topk, synonym_topk_from_index
+
+    assert synonym_topk(
+        spark, tiny_corpus, "the and of", {}, K, use_stem=False
+    ).collect() == []
+    assert synonym_topk_from_index(reader, "", {}, K).collect() == []
