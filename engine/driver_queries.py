@@ -67,7 +67,7 @@ _DRIVER_PRIORITY = [
     "bm25_streamed_indexed",
     "stream_window_counts",
     "sessionize_events",
-    # -- new in round 4, never driver-checked (4) --
+    # -- new in round 4 (session 1), never driver-checked (7) --
     "qstring_topk",
     "qstring_topk_indexed",
     "suggest_terms",
@@ -75,24 +75,29 @@ _DRIVER_PRIORITY = [
     "bm25f_topk",
     "collapse_topk",
     "collapse_topk_indexed",
-    # -- green in r2 only; window rotated past them in r3 (17) --
+    # -- new in round 4b, never driver-checked (12): these take the
+    #    window slots of r2-green entries (which already have a green
+    #    CORRECTNESS row), so after r4 EVERY registry entry is
+    #    driver-green at least once --
+    "search_after_topk",
+    "search_after_indexed",
+    "bm25_explain",
+    "bm25_explain_indexed",
+    "rescore_topk",
+    "rescore_topk_indexed",
+    "match_sorted_topk",
+    "match_sorted_indexed",
+    "synonym_topk",
+    "synonym_topk_indexed",
+    "term_vector",
+    "term_vector_indexed",
+    # -- green in r2 only; refresh the longest-standing five (the rest
+    #    of the r2-stale family keeps its r2 attestation) --
     "pagerank",
     "bm25_q_table_scan",
-    "bm25_q_table_scan_stemmed",
     "bm25_q_table_scan_indexed",
-    "bm25_q_multi",
-    "bm25_q_multi_stemmed",
-    "bm25_q_multi_indexed",
-    "bm25_q_hot_stop",
-    "bm25_q_hot_stop_stemmed",
-    "bm25_q_hot_stop_indexed",
-    "bm25_q_repeat",
-    "bm25_q_repeat_stemmed",
-    "bm25_q_repeat_indexed",
-    "bm25_q_table_scan_stemmed_indexed",
     "bm25_batch_indexed",
     "tfidf_topk_indexed",
-    "title_topk_indexed",
 ]
 
 
