@@ -133,6 +133,19 @@ def main() -> None:
         reader.hit_counts(bm25_queries).collect()
         timings["hit_counts_indexed"] = time.perf_counter() - t
 
+        # federated multi-index serving (round 4): two unmerged
+        # parity-split generations searched under global statistics.
+        # Generation build rides the persistent driver cache (same
+        # halves the merge entry uses) — timed apart from the query.
+        from engine import driver_queries as _dq
+
+        t = time.perf_counter()
+        _fed = _dq._federated_reader(spark, sf_dir)
+        timings["federated_halves_build_or_load"] = time.perf_counter() - t
+        t = time.perf_counter()
+        _fed.bm25_topk("table scan fast", 10, round_scores=6).collect()
+        timings["federated_topk"] = time.perf_counter() - t
+
         # IVF: build-time cell partitioning, then the pruned probe
         from engine.sim import build_ivf, ivf_topk_indexed, load_embeddings, query_vector
 

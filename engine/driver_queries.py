@@ -825,6 +825,19 @@ def _merged_reader(spark: SparkSession, sf_dir: str):
     man = _read_manifest(out_dir)
     if man and man.get("stages", {}).get("complete") == "done":
         return IndexReader(spark, out_dir)
+    halves = _half_dirs(spark, sf_dir)
+    return merge_indexes(spark, halves[0], halves[1], out_dir)
+
+
+def _half_dirs(spark: SparkSession, sf_dir: str) -> list[str]:
+    """The two doc_id-parity half-corpus indexes, resume-cached —
+    shared by the physical-merge entry (bm25_merged_indexed) and the
+    logical-federation entries (federated_*): both must reproduce the
+    full single-index answers from the same two generations."""
+    from .index import build_index
+
+    ensure_importable(spark)
+    key = os.path.basename(os.path.normpath(sf_dir)) or "sf"
     corpus = documents_as_corpus(spark, sf_dir).withColumn(
         "content_sha256", F.sha2(F.col("content"), 256)
     )
@@ -840,7 +853,28 @@ def _merged_reader(spark: SparkSession, sf_dir: str):
             n_chunks=1,
         )
         halves.append(d)
-    return merge_indexes(spark, halves[0], halves[1], out_dir)
+    return halves
+
+
+def _federated_reader(spark: SparkSession, sf_dir: str):
+    """Driver-proven FEDERATED SERVING (engine/federated.py): the same
+    two generations the merge entry folds physically are here searched
+    UNMERGED under global statistics; the oracles are the ordinary
+    full-corpus SQLs — federate(build(even), build(odd)) must be
+    indistinguishable from build(all)."""
+    from .federated import FederatedReader
+
+    return FederatedReader(spark, _half_dirs(spark, sf_dir))
+
+
+def _q_federated_topk(spark, sf_dir):
+    return _federated_reader(spark, sf_dir).bm25_topk(
+        FIXED_QUERIES["q_table_scan"], K, prune=True, round_scores=ROUND
+    )
+
+
+def _q_federated_hit_counts(spark, sf_dir):
+    return _federated_reader(spark, sf_dir).hit_counts(FIXED_QUERIES)
 
 
 def _q_bm25_merged_indexed(spark, sf_dir):
@@ -1711,6 +1745,11 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["synonym_topk_indexed"] = _q_synonym_indexed
     out["term_vector"] = _q_term_vector
     out["term_vector_indexed"] = _q_term_vector_indexed
+    # federated multi-index serving (engine/federated.py): the same
+    # two generations bm25_merged_indexed folds physically, searched
+    # UNMERGED under global statistics — same full-corpus oracles
+    out["federated_topk"] = _q_federated_topk
+    out["federated_hit_counts"] = _q_federated_hit_counts
     return _driver_order(out)
 
 
@@ -1933,4 +1972,7 @@ def oracle_sqls() -> dict[str, str]:
     out["synonym_topk_indexed"] = out["synonym_topk"]
     out["term_vector"] = _term_vector_sql()
     out["term_vector_indexed"] = _term_vector_sql()
+    # federated serving must equal full-corpus BM25 / hit counts
+    out["federated_topk"] = _bm25_sql(FIXED_QUERIES["q_table_scan"])
+    out["federated_hit_counts"] = _hit_counts_sql()
     return _driver_order(out)

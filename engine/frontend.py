@@ -76,10 +76,17 @@ class SearchService:
         index_dir: str | None = None,
         pageviews: DataFrame | None = None,
         pagerank_dir: str | None = None,
+        federated_dirs: list[str] | None = None,
     ) -> None:
         self.spark = spark
         self.corpus = corpus
         self.reader = IndexReader(spark, index_dir) if index_dir else None
+        if federated_dirs:
+            from .federated import FederatedReader
+
+            self.federated = FederatedReader(spark, federated_dirs)
+        else:
+            self.federated = None
         self._meta = corpus.select("doc_id", "repo", "path")
         self._pagerank_dir = pagerank_dir
         self._pagerank_df: DataFrame | None = None
@@ -266,6 +273,28 @@ class SearchService:
                 should,
                 must_not,
                 k,
+            ),
+            "score",
+        )
+
+    def search_federated(self, query: str, k: int = 10) -> list[tuple]:
+        """BM25 over every bound index generation under GLOBAL
+        statistics (engine/federated.py) — identical results to
+        searching the physically merged index. Fallbacks preserve the
+        identity: with no generation list a bound single index IS a
+        federation of one, and with no index at all the exhaustive
+        recompute gives the same full-corpus answer."""
+        if self.federated is not None:
+            return self._with_meta(
+                self.federated.bm25_topk(query, k), "score"
+            )
+        if self.reader is not None:
+            return self._with_meta(self.reader.bm25_topk(query, k), "score")
+        from .query import bm25_topk_exhaustive
+
+        return self._with_meta(
+            bm25_topk_exhaustive(
+                self.spark, self.corpus, query, k, use_stem=self._use_stem
             ),
             "score",
         )
@@ -730,6 +759,14 @@ def create_app(service: SearchService):
     @app.route("/count")
     def count():
         return jsonify(service.hit_counts(_query()))
+
+    @app.route("/search_federated")
+    def search_federated():
+        return jsonify(
+            service.search_federated(
+                _query(), int(request.args.get("k", "10"))
+            )
+        )
 
     @app.route("/search_paged")
     def search_paged():

@@ -1591,6 +1591,63 @@ class IndexReader:
             "rank", "doc_id", "score"
         )
 
+    def _qtf_shard_scores(
+        self, qtf_map: dict[str, float], k: int, *, prune: bool = True,
+        eps: float = 0.0, exclude_ids: list[int] | None = None,
+        after: tuple[float, int] | None = None,
+        idf_frame: DataFrame | None = None, avgdl: float | None = None,
+        bound_scale: float = 1.0,
+    ) -> DataFrame:
+        """Per-shard block-max scoring → unrounded (doc_id, score) of
+        each shard's local top-k. The shared physical body under
+        _qtf_topk AND federated serving (engine/federated.py): the
+        latter passes GLOBAL statistics — ``idf_frame`` (term, idf)
+        built from the summed cross-generation dfs, the
+        length-weighted global ``avgdl``, and ``bound_scale`` =
+        max(1, avgdl_global / avgdl_built) so this index's stored
+        block-max bounds stay upper bounds under the foreign avgdl
+        (engine/wand.py topk_shard docstring for the proof)."""
+        import pandas as pd
+
+        if avgdl is None:
+            avgdl = self.manifest["stats"]["avgdl"]
+        if idf_frame is None:
+            n = self.manifest["stats"]["n_docs"]
+            idf_frame = (
+                self.dictionary()
+                .where(F.col("term").isin(list(qtf_map)))
+                .select(
+                    "term",
+                    idf_col(
+                        F.col("df").cast("double"), F.lit(float(n))
+                    ).alias("idf"),
+                )
+            )
+        blocks = self.postings().where(F.col("term").isin(list(qtf_map))).join(
+            F.broadcast(idf_frame), "term"
+        )
+        tomb = self._tomb_array()
+        if exclude_ids:
+            import numpy as np
+
+            tomb = np.union1d(tomb, np.asarray(exclude_ids, dtype=np.int64))
+        tomb = tomb if tomb.size else None
+
+        def shard_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+            from .wand import topk_shard
+
+            idf = dict(zip(pdf["term"], pdf["idf"]))
+            weights = {t: qtf_map[t] * v for t, v in idf.items()}
+            ids, sc = topk_shard(
+                pdf, weights, avgdl, k, prune=prune, eps=eps, drop_ids=tomb,
+                after=after, bound_scale=bound_scale,
+            )
+            return pd.DataFrame({"doc_id": ids, "score": sc})
+
+        return blocks.groupBy("shard").applyInPandas(
+            shard_kernel, "doc_id long, score double"
+        )
+
     def _qtf_topk(
         self, qtf_map: dict[str, float], k: int, *, prune: bool = True,
         with_metadata: bool = False, round_scores: int | None = None,
@@ -1606,45 +1663,13 @@ class IndexReader:
         size-k heap of docs sorting strictly after it, and the exact
         rounded-key cursor filter is re-applied here on the global
         merge (the kernel's eviction is conservative at boundaries)."""
-        import pandas as pd
-
-        avgdl = self.manifest["stats"]["avgdl"]
         spark = self.spark
         if not qtf_map:
             return spark.createDataFrame([], "rank int, doc_id long, score double")
-        n = self.manifest["stats"]["n_docs"]
-        dic = (
-            self.dictionary()
-            .where(F.col("term").isin(list(qtf_map)))
-            .select(
-                "term",
-                idf_col(F.col("df").cast("double"), F.lit(float(n))).alias("idf"),
-            )
-        )
-        blocks = self.postings().where(F.col("term").isin(list(qtf_map))).join(
-            F.broadcast(dic), "term"
-        )
         eps = 0.5 * 10.0 ** (-round_scores) if round_scores is not None else 0.0
-        tomb = self._tomb_array()
-        if exclude_ids:
-            import numpy as np
-
-            tomb = np.union1d(tomb, np.asarray(exclude_ids, dtype=np.int64))
-        tomb = tomb if tomb.size else None
-
-        def shard_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
-            from .wand import topk_shard
-
-            idf = dict(zip(pdf["term"], pdf["idf"]))
-            weights = {t: qtf_map[t] * v for t, v in idf.items()}
-            ids, sc = topk_shard(
-                pdf, weights, avgdl, k, prune=prune, eps=eps, drop_ids=tomb,
-                after=after,
-            )
-            return pd.DataFrame({"doc_id": ids, "score": sc})
-
-        per_shard = blocks.groupBy("shard").applyInPandas(
-            shard_kernel, "doc_id long, score double"
+        per_shard = self._qtf_shard_scores(
+            qtf_map, k, prune=prune, eps=eps, exclude_ids=exclude_ids,
+            after=after,
         )
         if round_scores is not None:
             per_shard = per_shard.select(

@@ -121,6 +121,7 @@ def topk_shard(
     drop_ids: np.ndarray | None = None,
     keep_ids: np.ndarray | None = None,
     after: tuple[float, int] | None = None,
+    bound_scale: float = 1.0,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Score one shard's blocks for one query → (doc_ids, scores) of the
     shard-local top-k (unsorted). ``blocks`` has the BLOCKS_SCHEMA
@@ -160,7 +161,18 @@ def topk_shard(
     can never crowd the final cut. Boundary docs within eps stay until
     the exact rounded-key filter downstream. ``cursor_score`` must be
     in the SAME space the caller sorts on (the rounded score when
-    ``round_scores`` is set — eps is the matching half-step)."""
+    ``round_scores`` is set — eps is the matching half-step).
+
+    ``bound_scale`` multiplies every stored block-max bound. The stored
+    ``block_max_norm`` is an upper bound of score_norm only at the
+    avgdl the index was BUILT with; when the caller scores with a
+    different (e.g. federated-global) avgdl_g, the norm ratio
+    norm(avgdl_g)/norm(avgdl_b) is bounded above by
+    max(1, avgdl_g/avgdl_b) (the ratio is monotone in dl and tends to
+    avgdl_g/avgdl_b as dl→∞), so passing that factor keeps every
+    θ-comparison rank-safe. Scores themselves are always computed
+    exactly from the decoded (tf, dl) at the passed avgdl — the scale
+    only loosens pruning, never changes a result."""
     if keep_ids is not None and keep_ids.size == 0:
         return np.empty(0, np.int64), np.empty(0, np.float64)
     by_term: dict[str, pd.DataFrame] = {
@@ -170,7 +182,8 @@ def topk_shard(
         return np.empty(0, np.int64), np.empty(0, np.float64)
 
     term_ub = {
-        t: weights[t] * float(g["block_max_norm"].max()) for t, g in by_term.items()
+        t: weights[t] * bound_scale * float(g["block_max_norm"].max())
+        for t, g in by_term.items()
     }
     terms = sorted(term_ub, key=lambda t: -term_ub[t])
     ubs = np.array([term_ub[t] for t in terms])
@@ -240,7 +253,7 @@ def topk_shard(
                 hi = np.searchsorted(acc_ids, row.last_doc_id, side="right")
                 if lo >= hi:
                     continue  # no accumulator doc in this block's range
-                block_ub = w * row.block_max_norm
+                block_ub = w * bound_scale * row.block_max_norm
                 if acc_max + block_ub + remaining_after[i] < theta:
                     continue  # even the best candidate cannot profit
                 ids, tfs, dls = decode_block(row)
