@@ -196,6 +196,7 @@ def main() -> None:
             "rescore_topk",
             "match_sorted_topk",
             "synonym_topk",
+            "percolate_counts",
             "sessionize_events",
             "stream_window_counts",
         ):

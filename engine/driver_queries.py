@@ -877,6 +877,36 @@ def _q_federated_hit_counts(spark, sf_dir):
     return _federated_reader(spark, sf_dir).hit_counts(FIXED_QUERIES)
 
 
+# ------------------------- percolator: reverse search (engine/percolate.py)
+#
+# Fixed registered queries exercising every registration shape: pure
+# conjunction, exclusion, zero matches, a stopword-diluted must, a
+# registration that tokenizes to nothing, and a pure exclusion.
+PERC_REGS = [
+    ("p_and", "table scan", ""),
+    ("p_excl", "query", "window"),
+    ("p_zero", "zzznope", ""),
+    ("p_stopmix", "the value", ""),
+    ("p_empty", "the and", ""),
+    ("p_not_only", "", "query"),
+]
+
+
+def _q_percolate(spark, sf_dir):
+    from .percolate import percolate_counts
+
+    return percolate_counts(spark, _corpus(spark, sf_dir), PERC_REGS)
+
+
+def _q_percolate_indexed(spark, sf_dir):
+    from .percolate import percolate_counts_from_postings
+
+    r = _index_reader(spark, sf_dir)
+    return percolate_counts_from_postings(
+        spark, r.postings(), PERC_REGS, tombstones=r.tombstones_df()
+    )
+
+
 def _q_bm25_merged_indexed(spark, sf_dir):
     return _merged_reader(spark, sf_dir).bm25_topk(
         FIXED_QUERIES["q_multi"], K, prune=True, round_scores=ROUND
@@ -1750,6 +1780,9 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # UNMERGED under global statistics — same full-corpus oracles
     out["federated_topk"] = _q_federated_topk
     out["federated_hit_counts"] = _q_federated_hit_counts
+    # percolator: registered standing queries matched against the corpus
+    out["percolate_counts"] = _q_percolate
+    out["percolate_counts_indexed"] = _q_percolate_indexed
     return _driver_order(out)
 
 
@@ -1975,4 +2008,8 @@ def oracle_sqls() -> dict[str, str]:
     # federated serving must equal full-corpus BM25 / hit counts
     out["federated_topk"] = _bm25_sql(FIXED_QUERIES["q_table_scan"])
     out["federated_hit_counts"] = _hit_counts_sql()
+    from .percolate import percolate_counts_sql
+
+    out["percolate_counts"] = percolate_counts_sql(PERC_REGS)
+    out["percolate_counts_indexed"] = out["percolate_counts"]
     return _driver_order(out)

@@ -299,6 +299,17 @@ class SearchService:
             "score",
         )
 
+    def percolate(
+        self, doc_id: int, regs: list[tuple[str, str, str]]
+    ) -> list[str]:
+        """Reverse search (ES percolate, engine/percolate.py): the
+        registered standing queries this one document matches. The
+        corpus scan prunes to the doc_id; the registry rides as a
+        broadcast literal."""
+        from .percolate import percolate_doc
+
+        return percolate_doc(self.spark, self.corpus, regs, doc_id)
+
     def snippets(self, query: str, k: int = 10) -> list[list]:
         """Proximity-ranked results with the matched window rendered as
         text [doc_id, min_span, snippet]: artifact-only (positions +
@@ -759,6 +770,13 @@ def create_app(service: SearchService):
     @app.route("/count")
     def count():
         return jsonify(service.hit_counts(_query()))
+
+    @app.route("/percolate", methods=["POST"])
+    def percolate():
+        # body: {"doc_id": N, "queries": [[id, must, must_not], ...]}
+        body = request.get_json(force=True, silent=True) or {}
+        regs = [tuple(r) for r in body.get("queries", [])]
+        return jsonify(service.percolate(int(body.get("doc_id", 0)), regs))
 
     @app.route("/search_federated")
     def search_federated():
