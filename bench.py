@@ -197,6 +197,11 @@ def main() -> None:
             "match_sorted_topk",
             "synonym_topk",
             "percolate_counts",
+            "range_agg_chars",
+            "significant_terms_q",
+            "top_hits_by_lang",
+            "dismax_topk",
+            "date_histogram_events",
             "sessionize_events",
             "stream_window_counts",
         ):

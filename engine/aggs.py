@@ -1,0 +1,531 @@
+"""Search aggregations — the Elasticsearch/Lucene-facets agg family
+computed over the MATCH SET of a free-text query.
+
+The reference family's routes return ranked doc ids only; every
+production deployment of that engine also runs aggregations next to
+the ranked list (range buckets with stats, date histograms,
+cardinality, percentiles, top-hits-per-bucket, significant terms).
+These are first-class SURVEY §2-adjacent operators with the same
+oracle discipline as engine/facets.py, which covers the plain
+terms-facet case.
+
+Pinned semantics (shared by all ops here)
+-----------------------------------------
+- The query is tokenized with the ordered, stopword-filtered,
+  UNSTEMMED pipeline and deduped; a doc MATCHES iff its token set
+  intersects the query terms (OR semantics — the match set of ranked
+  retrieval, not the top-k). Mirrors engine/facets.facet_counts.
+- All float outputs are ROUNDED to ``round_scores`` decimals on both
+  engines and rounded values are the sort keys (repo float
+  discipline).
+- Empty query → empty frame with the documented schema.
+
+Scale shape
+-----------
+Every op is one pruned corpus scan (whole-stage-codegen match
+predicate over the token array — no Python, no second pass) feeding a
+map-side-combined aggregation whose exchange carries bucket-cardinality
+rows, not docs:
+
+- range_stats_agg / date_histogram / cardinality_agg: groupBy over a
+  handful of buckets — kilobyte shuffles at any corpus size.
+- percentiles_agg: Spark's exact ``percentile`` aggregate (partial
+  per-partition state, single reduce). At 100 TB the scale path is
+  ``approx_percentile`` (t-digest sketch, fixed-size state) — exposed
+  as ``percentiles_approx`` and recall-tested, while the exact twin
+  is the oracle-checked fixture path.
+- cardinality_approx: HyperLogLog++ (``approx_count_distinct``) —
+  fixed 1.5 KB state per group vs the exact twin's distinct shuffle;
+  same split: exact is the oracle path, HLL is the 100 TB path.
+- top_hits_agg: WindowGroupLimit pushes the per-bucket row_number cut
+  below the shuffle (same plan family as engine/sampling.py's
+  stratified_sample, plan-tested there).
+- significant_terms: two term-level aggregates over the SAME distinct
+  (doc, term) projection — both map-side combined; the join is
+  term-keyed (dictionary-sized, not corpus-sized).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .textops import tokens_filtered_col
+from .tokenizer import tokenize
+
+ROUND = 6
+
+
+def _qterms(query: str) -> list[str]:
+    return sorted(set(tokenize(query, use_stem=False)))
+
+
+def _match(corpus: DataFrame, terms: list[str]) -> DataFrame:
+    """OR-match filter: token set intersects the query terms."""
+    return corpus.where(
+        F.arrays_overlap(
+            tokens_filtered_col(F.col("content")),
+            F.lit(terms).cast("array<string>"),
+        )
+    )
+
+
+# ------------------------------------------------------------- range+stats
+
+def range_stats_agg(
+    corpus: DataFrame,
+    query: str,
+    value_col: str,
+    boundaries: list[int],
+    round_scores: int = ROUND,
+) -> DataFrame:
+    """ES ``range`` agg with a ``stats`` sub-agg: bucket the match set
+    by half-open ranges [b_i, b_{i+1}) over ``value_col`` (last bucket
+    open-ended), emit per-bucket count/min/max/sum/avg. Only non-empty
+    buckets appear. DuckDB mirror: range_stats_sql."""
+    terms = _qterms(query)
+    spark = corpus.sparkSession
+    schema = (
+        "bucket_lo long, n_docs long, min_v long, max_v long, "
+        "sum_v long, avg_v double"
+    )
+    if not terms:
+        return spark.createDataFrame([], schema)
+    v = F.col(value_col).cast("long")
+    bucket = F.lit(int(boundaries[0])).cast("long")
+    for b in boundaries[1:]:
+        bucket = F.when(v >= int(b), int(b)).otherwise(bucket)
+    m = _match(corpus, terms).where(v >= int(boundaries[0]))
+    return (
+        m.select(bucket.alias("bucket_lo"), v.alias("v"))
+        .groupBy("bucket_lo")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("v").alias("min_v"),
+            F.max("v").alias("max_v"),
+            F.sum("v").alias("sum_v"),
+            F.round(F.avg("v"), round_scores).alias("avg_v"),
+        )
+        .orderBy("bucket_lo")
+    )
+
+
+def range_stats_sql(
+    query: str,
+    value_col: str,
+    boundaries: list[int],
+    round_scores: int = ROUND,
+) -> str:
+    """DuckDB mirror of range_stats_agg over the driver `documents`."""
+    from .phrase import _phrase_list_sql, _tokd_cte
+
+    terms = _qterms(query)
+    if not terms:
+        return (
+            "SELECT 0::BIGINT AS bucket_lo, 0::BIGINT AS n_docs, "
+            "0::BIGINT AS min_v, 0::BIGINT AS max_v, 0::BIGINT AS sum_v, "
+            "0::DOUBLE AS avg_v WHERE false"
+        )
+    case = f"{int(boundaries[0])}::BIGINT"
+    for b in boundaries[1:]:
+        case = f"CASE WHEN v >= {int(b)} THEN {int(b)}::BIGINT ELSE {case} END"
+    return f"""
+WITH {_tokd_cte()},
+m AS (SELECT d.{value_col}::BIGINT AS v
+      FROM tokd t JOIN documents d USING (doc_id)
+      WHERE list_has_any(t.toks, {_phrase_list_sql(terms)})
+        AND d.{value_col} >= {int(boundaries[0])}),
+b AS (SELECT {case} AS bucket_lo, v FROM m)
+SELECT bucket_lo, count(*)::BIGINT AS n_docs,
+       min(v)::BIGINT AS min_v, max(v)::BIGINT AS max_v,
+       sum(v)::BIGINT AS sum_v,
+       round(avg(v), {int(round_scores)})::DOUBLE AS avg_v
+FROM b GROUP BY bucket_lo ORDER BY bucket_lo
+"""
+
+
+# ---------------------------------------------------------- date histogram
+
+def date_histogram(
+    events: DataFrame,
+    bucket_seconds: int = 86400,
+    round_scores: int = ROUND,
+) -> DataFrame:
+    """ES ``date_histogram`` with per-type sub-aggs over the events
+    stream: 1970-aligned ``bucket_seconds`` buckets (epoch seconds, the
+    repo's cross-engine time discipline — engine/streaming.py) ×
+    event_type, with count / sum(value) / avg(value). DuckDB mirror:
+    date_histogram_sql."""
+    tsec = F.col("ts").cast("timestamp").cast("long")
+    bucket = (F.floor(tsec / F.lit(int(bucket_seconds))) * int(bucket_seconds)).cast(
+        "long"
+    )
+    return (
+        events.select(
+            bucket.alias("bucket_start"),
+            "event_type",
+            F.col("value").cast("double").alias("value"),
+        )
+        .groupBy("bucket_start", "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), round_scores).alias("sum_value"),
+            F.round(F.avg("value"), round_scores).alias("avg_value"),
+        )
+        .orderBy("bucket_start", "event_type")
+    )
+
+
+def date_histogram_sql(
+    bucket_seconds: int = 86400, round_scores: int = ROUND
+) -> str:
+    """DuckDB mirror of date_histogram (same epoch-bucket arithmetic as
+    engine/driver_queries.stream_window_counts_sql)."""
+    b = int(bucket_seconds)
+    return f"""
+SELECT CAST(floor(epoch(ts) / {b}) * {b} AS BIGINT) AS bucket_start,
+       event_type, count(*)::BIGINT AS n_events,
+       round(sum(value), {int(round_scores)})::DOUBLE AS sum_value,
+       round(avg(value), {int(round_scores)})::DOUBLE AS avg_value
+FROM events GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+# ------------------------------------------------------------- cardinality
+
+def cardinality_agg(corpus: DataFrame, query: str, col: str) -> DataFrame:
+    """ES ``cardinality`` agg, EXACT twin (the oracle path): number of
+    matching docs + exact distinct count of ``col`` over the match
+    set. DuckDB mirror: cardinality_sql. The 100 TB serving path is
+    cardinality_approx (HyperLogLog++, fixed state)."""
+    terms = _qterms(query)
+    spark = corpus.sparkSession
+    if not terms:
+        return spark.createDataFrame([], "n_docs long, n_distinct long")
+    return _match(corpus, terms).agg(
+        F.count("*").alias("n_docs"),
+        F.count_distinct(F.col(col)).alias("n_distinct"),
+    )
+
+
+def cardinality_approx(
+    corpus: DataFrame, query: str, col: str, rsd: float = 0.05
+) -> DataFrame:
+    """HyperLogLog++ twin of cardinality_agg — ``approx_count_distinct``
+    keeps O(1/rsd²) bytes of state per group instead of shuffling the
+    distinct values; the scale path for high-cardinality fields.
+    Accuracy vs the exact twin is pinned by tests/test_aggs.py."""
+    terms = _qterms(query)
+    spark = corpus.sparkSession
+    if not terms:
+        return spark.createDataFrame([], "n_docs long, n_distinct long")
+    return _match(corpus, terms).agg(
+        F.count("*").alias("n_docs"),
+        F.approx_count_distinct(F.col(col), rsd).alias("n_distinct"),
+    )
+
+
+def cardinality_sql(query: str, col: str) -> str:
+    """DuckDB mirror of cardinality_agg."""
+    from .phrase import _phrase_list_sql, _tokd_cte
+
+    terms = _qterms(query)
+    if not terms:
+        return "SELECT 0::BIGINT AS n_docs, 0::BIGINT AS n_distinct WHERE false"
+    return f"""
+WITH {_tokd_cte()}
+SELECT count(*)::BIGINT AS n_docs,
+       count(DISTINCT d.{col})::BIGINT AS n_distinct
+FROM tokd t JOIN documents d USING (doc_id)
+WHERE list_has_any(t.toks, {_phrase_list_sql(terms)})
+"""
+
+
+# -------------------------------------------------------------- percentiles
+
+def percentiles_agg(
+    corpus: DataFrame,
+    query: str,
+    value_col: str,
+    pcts: list[float],
+    round_scores: int = ROUND,
+) -> DataFrame:
+    """ES ``percentiles`` agg, EXACT twin: linear-interpolated
+    percentiles of ``value_col`` over the match set (Spark
+    ``percentile`` == DuckDB ``quantile_cont`` semantics). DuckDB
+    mirror: percentiles_sql. Scale path: percentiles_approx."""
+    terms = _qterms(query)
+    spark = corpus.sparkSession
+    if not terms:
+        return spark.createDataFrame([], "pct double, value double")
+    ps = ", ".join(repr(float(p)) for p in pcts)
+    arr = _match(corpus, terms).agg(
+        F.expr(f"percentile({value_col}, array({ps}))").alias("vs")
+    )
+    return (
+        arr.select(F.posexplode("vs").alias("pos", "value"))
+        .select(
+            F.element_at(
+                F.lit([float(p) for p in pcts]).cast("array<double>"),
+                F.col("pos") + 1,
+            ).alias("pct"),
+            F.round("value", round_scores).alias("value"),
+        )
+        .where(F.col("value").isNotNull())
+        .orderBy("pct")
+    )
+
+
+def percentiles_approx(
+    corpus: DataFrame,
+    query: str,
+    value_col: str,
+    pcts: list[float],
+    accuracy: int = 10000,
+    round_scores: int = ROUND,
+) -> DataFrame:
+    """Sketch twin of percentiles_agg — ``approx_percentile`` keeps
+    bounded per-partition state (Greenwald-Khanna), the 100 TB path.
+    Rank error ≤ 1/accuracy; pinned vs the exact twin in tests."""
+    terms = _qterms(query)
+    spark = corpus.sparkSession
+    if not terms:
+        return spark.createDataFrame([], "pct double, value double")
+    ps = ", ".join(repr(float(p)) for p in pcts)
+    arr = _match(corpus, terms).agg(
+        F.expr(
+            f"approx_percentile({value_col}, array({ps}), {int(accuracy)})"
+        ).alias("vs")
+    )
+    return (
+        arr.select(F.posexplode("vs").alias("pos", "value"))
+        .select(
+            F.element_at(
+                F.lit([float(p) for p in pcts]).cast("array<double>"),
+                F.col("pos") + 1,
+            ).alias("pct"),
+            F.round(F.col("value").cast("double"), round_scores).alias("value"),
+        )
+        .where(F.col("value").isNotNull())
+        .orderBy("pct")
+    )
+
+
+def percentiles_sql(
+    query: str,
+    value_col: str,
+    pcts: list[float],
+    round_scores: int = ROUND,
+) -> str:
+    """DuckDB mirror of percentiles_agg (quantile_cont; multiple
+    unnests in one SELECT zip positionally)."""
+    from .phrase import _phrase_list_sql, _tokd_cte
+
+    terms = _qterms(query)
+    if not terms:
+        return "SELECT 0::DOUBLE AS pct, 0::DOUBLE AS value WHERE false"
+    plist = "[" + ", ".join(repr(float(p)) for p in pcts) + "]"
+    return f"""
+WITH {_tokd_cte()},
+m AS (SELECT d.{value_col} AS v
+      FROM tokd t JOIN documents d USING (doc_id)
+      WHERE list_has_any(t.toks, {_phrase_list_sql(terms)})),
+qs AS (SELECT quantile_cont(v, {plist}) AS vs FROM m)
+SELECT unnest({plist})::DOUBLE AS pct,
+       round(unnest(vs), {int(round_scores)})::DOUBLE AS value
+FROM qs WHERE vs IS NOT NULL ORDER BY pct
+"""
+
+
+# ---------------------------------------------------------------- top hits
+
+def top_hits_agg(
+    corpus: DataFrame,
+    query: str,
+    group_col: str,
+    n_hits: int = 3,
+    k_groups: int = 5,
+) -> DataFrame:
+    """ES ``terms`` agg with a ``top_hits`` sub-agg: the k_groups
+    largest buckets of ``group_col`` over the match set, and inside
+    each bucket the n_hits best docs by total query-term frequency
+    (tf_sum DESC, doc_id ASC — the deterministic relevance proxy that
+    both engines compute identically without float math). NULL groups
+    are dropped (cross-engine NULL-ordering pin, as engine/facets.py).
+    DuckDB mirror: top_hits_sql."""
+    terms = _qterms(query)
+    spark = corpus.sparkSession
+    schema = "facet string, n_docs long, hit_rank int, doc_id long, tf_sum long"
+    if not terms:
+        return spark.createDataFrame([], schema)
+    ev = (
+        corpus.where(F.col(group_col).isNotNull())
+        .select(
+            "doc_id",
+            F.col(group_col).alias("facet"),
+            F.explode(tokens_filtered_col(F.col("content"))).alias("term"),
+        )
+        .where(F.col("term").isin(terms))
+    )
+    tfs = ev.groupBy("doc_id", "facet").agg(F.count("*").alias("tf_sum"))
+    groups = (
+        tfs.groupBy("facet")
+        .agg(F.count("*").alias("n_docs"))
+        .orderBy(F.desc("n_docs"), F.asc("facet"))
+        .limit(k_groups)
+    )
+    w = Window.partitionBy("facet").orderBy(F.desc("tf_sum"), F.asc("doc_id"))
+    hits = (
+        tfs.join(F.broadcast(groups), "facet")
+        .withColumn("hit_rank", F.row_number().over(w))
+        .where(F.col("hit_rank") <= n_hits)
+    )
+    return hits.select(
+        "facet", "n_docs", "hit_rank", "doc_id", "tf_sum"
+    ).orderBy(F.desc("n_docs"), F.asc("facet"), F.asc("hit_rank"))
+
+
+def top_hits_sql(
+    query: str, group_col: str, n_hits: int = 3, k_groups: int = 5
+) -> str:
+    """DuckDB mirror of top_hits_agg."""
+    from .phrase import _phrase_list_sql, _tokd_cte
+
+    terms = _qterms(query)
+    if not terms:
+        return (
+            "SELECT ''::VARCHAR AS facet, 0::BIGINT AS n_docs, "
+            "0::INTEGER AS hit_rank, 0::BIGINT AS doc_id, "
+            "0::BIGINT AS tf_sum WHERE false"
+        )
+    return f"""
+WITH {_tokd_cte()},
+ev AS (SELECT t.doc_id, d.{group_col} AS facet, u.term
+       FROM tokd t JOIN documents d USING (doc_id),
+            unnest(t.toks) AS u(term)
+       WHERE d.{group_col} IS NOT NULL
+         AND u.term IN (SELECT unnest({_phrase_list_sql(terms)}))),
+tfs AS (SELECT doc_id, facet, count(*)::BIGINT AS tf_sum
+        FROM ev GROUP BY doc_id, facet),
+g AS (SELECT facet, count(*)::BIGINT AS n_docs FROM tfs GROUP BY facet
+      ORDER BY n_docs DESC, facet ASC LIMIT {int(k_groups)}),
+h AS (SELECT tfs.facet, g.n_docs, tfs.doc_id, tfs.tf_sum,
+             row_number() OVER (PARTITION BY tfs.facet
+                                ORDER BY tfs.tf_sum DESC, tfs.doc_id ASC)
+               ::INTEGER AS hit_rank
+      FROM tfs JOIN g USING (facet))
+SELECT facet, n_docs, hit_rank, doc_id, tf_sum
+FROM h WHERE hit_rank <= {int(n_hits)}
+ORDER BY n_docs DESC, facet ASC, hit_rank ASC
+"""
+
+
+# -------------------------------------------------------- significant terms
+
+def significant_terms(
+    corpus: DataFrame,
+    query: str,
+    k: int = 15,
+    min_fg_df: int = 2,
+    round_scores: int = ROUND,
+) -> DataFrame:
+    """ES ``significant_terms``: terms overrepresented in the match set
+    (foreground) vs the whole corpus (background), query terms
+    excluded. Pinned score — foreground rate × log rate-ratio (the
+    mutual-information-flavored measure):
+
+        score = (fg_df / fg_n) * ln((fg_df * bg_n) / (bg_df * fg_n))
+
+    rounded to ``round_scores``; top-k by (score DESC, term ASC);
+    terms with fg_df < min_fg_df are dropped. DuckDB mirror:
+    significant_terms_sql."""
+    terms = _qterms(query)
+    spark = corpus.sparkSession
+    schema = "rank int, term string, fg_df long, bg_df long, score double"
+    if not terms:
+        return spark.createDataFrame([], schema)
+    toks = corpus.select(
+        "doc_id", tokens_filtered_col(F.col("content")).alias("toks")
+    )
+    td = toks.select(
+        "doc_id", F.explode(F.array_distinct("toks")).alias("term")
+    )
+    m_ids = toks.where(
+        F.arrays_overlap(F.col("toks"), F.lit(terms).cast("array<string>"))
+    ).select("doc_id")
+    bg = td.groupBy("term").agg(F.count("*").alias("bg_df"))
+    fg = (
+        td.join(m_ids, "doc_id")
+        .groupBy("term")
+        .agg(F.count("*").alias("fg_df"))
+        .where(F.col("fg_df") >= int(min_fg_df))
+        .where(~F.col("term").isin(terms))
+    )
+    fg_n = m_ids.agg(F.count("*").alias("fg_n"))
+    bg_n = corpus.agg(F.count("*").alias("bg_n"))
+    scored = (
+        fg.join(bg, "term")
+        .crossJoin(F.broadcast(fg_n))
+        .crossJoin(F.broadcast(bg_n))
+        .select(
+            "term",
+            "fg_df",
+            "bg_df",
+            F.round(
+                (F.col("fg_df").cast("double") / F.col("fg_n"))
+                * F.log(
+                    (F.col("fg_df") * F.col("bg_n")).cast("double")
+                    / (F.col("bg_df") * F.col("fg_n")).cast("double")
+                ),
+                round_scores,
+            ).alias("score"),
+        )
+    )
+    topk = scored.orderBy(F.desc("score"), F.asc("term")).limit(k)
+    w = Window.orderBy(F.desc("score"), F.asc("term"))
+    return topk.withColumn("rank", F.row_number().over(w)).select(
+        "rank", "term", "fg_df", "bg_df", "score"
+    )
+
+
+def significant_terms_sql(
+    query: str,
+    k: int = 15,
+    min_fg_df: int = 2,
+    round_scores: int = ROUND,
+) -> str:
+    """DuckDB mirror of significant_terms."""
+    from .phrase import _phrase_list_sql, _tokd_cte
+
+    terms = _qterms(query)
+    if not terms:
+        return (
+            "SELECT 0::INTEGER AS rank, ''::VARCHAR AS term, "
+            "0::BIGINT AS fg_df, 0::BIGINT AS bg_df, "
+            "0::DOUBLE AS score WHERE false"
+        )
+    tl = _phrase_list_sql(terms)
+    return f"""
+WITH {_tokd_cte()},
+td AS (SELECT DISTINCT doc_id, u.term
+       FROM tokd, unnest(toks) AS u(term)),
+m AS (SELECT doc_id FROM tokd WHERE list_has_any(toks, {tl})),
+fgn AS (SELECT count(*)::BIGINT AS fg_n FROM m),
+bgn AS (SELECT count(*)::BIGINT AS bg_n FROM documents),
+bg AS (SELECT term, count(*)::BIGINT AS bg_df FROM td GROUP BY term),
+fg AS (SELECT term, count(*)::BIGINT AS fg_df
+       FROM td JOIN m USING (doc_id) GROUP BY term
+       HAVING count(*) >= {int(min_fg_df)}),
+scored AS (
+  SELECT fg.term, fg.fg_df, bg.bg_df,
+         round((fg.fg_df::DOUBLE / fgn.fg_n)
+               * ln((fg.fg_df * bgn.bg_n)::DOUBLE
+                    / (bg.bg_df * fgn.fg_n)::DOUBLE),
+               {int(round_scores)}) AS score
+  FROM fg JOIN bg USING (term) CROSS JOIN fgn CROSS JOIN bgn
+  WHERE fg.term NOT IN (SELECT unnest({tl}))
+)
+SELECT row_number() OVER (ORDER BY score DESC, term ASC)::INTEGER AS rank,
+       term, fg_df, bg_df, score
+FROM scored ORDER BY score DESC, term ASC LIMIT {int(k)}
+"""

@@ -129,6 +129,89 @@ def bm25f_topk(
     return _ranked(agg, "score", k)
 
 
+def dismax_topk(
+    spark: SparkSession,
+    corpus: DataFrame,
+    query: str,
+    k: int = 10,
+    *,
+    tie_breaker: float = 0.3,
+    round_scores: int | None = None,
+) -> DataFrame:
+    """Lucene DisjunctionMaxQuery over the (title, body) fields: per
+    query term, score the term in EACH field with the field's own BM25
+    saturation, take the best field plus ``tie_breaker`` × the other —
+
+        s_title = idf * sat(tf_title / B_title)
+        s_body  = idf * sat(tf_body  / B_body)
+        term    = qtf * (max(s_title, s_body)
+                         + tie_breaker * min(s_title, s_body))
+
+    where sat/B/idf/k1/b/TF_CAP and the field definitions are exactly
+    bm25f_topk's (title ⊆ body prefix ⇒ shared document idf). Contrast
+    with BM25F, which merges tfs BEFORE saturation; dis_max keeps the
+    fields independent and rewards the best one — the standard Lucene
+    multi-field front door (``type: best_fields``). Same plan shape as
+    bm25f_topk: one tokenize pass, broadcast query join, no new
+    shuffle class. DuckDB mirror: dismax_topk_sql."""
+    from .build import corpus_stats_df, doc_stats_df, tokens_df
+    from .query import idf_col
+    from .ranking import _ranked
+
+    qtf = Counter(tokenize(query, use_stem=False))
+    if not qtf:
+        return spark.createDataFrame([], "rank int, doc_id long, score double")
+    qterms = spark.createDataFrame(
+        sorted((t, int(c)) for t, c in qtf.items()), "term string, qtf long"
+    )
+
+    toks = tokens_df(corpus, use_stem=False).persist()
+    body_stats = corpus_stats_df(doc_stats_df(corpus, toks))
+    hits = toks.join(F.broadcast(qterms), "term")
+    dfq = hits.groupBy("term").agg(F.count("*").alias("df"))
+
+    tl = corpus.select("doc_id", _title_col(F.col("content")).alias("ttoks"))
+    tlen = tl.select("doc_id", F.size("ttoks").cast("long").alias("title_len"))
+    t_stats = tlen.agg(F.avg("title_len").alias("avg_tlen"))
+    ttf = (
+        tl.select("doc_id", F.explode("ttoks").alias("term"))
+        .join(F.broadcast(qterms.select("term")), "term")
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").cast("long").alias("tf_title"))
+    )
+
+    idf = idf_col(F.col("df").cast("double"), F.col("n_docs").cast("double"))
+    s_title = idf * _sat(
+        F.coalesce(F.col("tf_title"), F.lit(0)).cast("double")
+        / _bnorm(F.col("title_len"), F.col("avg_tlen"))
+    )
+    s_body = idf * _sat(
+        F.col("tf").cast("double")
+        / _bnorm(F.col("doc_len").cast("double"), F.col("avgdl"))
+    )
+    scored = (
+        hits.join(ttf, ["doc_id", "term"], "left")
+        .join(tlen, "doc_id")
+        .join(F.broadcast(dfq), "term")
+        .crossJoin(F.broadcast(body_stats))
+        .crossJoin(F.broadcast(t_stats))
+        .select(
+            "doc_id",
+            (
+                F.col("qtf").cast("double")
+                * (
+                    F.greatest(s_title, s_body)
+                    + F.lit(float(tie_breaker)) * F.least(s_title, s_body)
+                )
+            ).alias("partial"),
+        )
+    )
+    agg = scored.groupBy("doc_id").agg(F.sum("partial").alias("score"))
+    if round_scores is not None:
+        agg = agg.select("doc_id", F.round("score", round_scores).alias("score"))
+    return _ranked(agg, "score", k)
+
+
 def _bnorm(len_col, avg_col):
     return F.lit(1.0 - BM25_B) + F.lit(BM25_B) * len_col / avg_col
 
@@ -194,6 +277,71 @@ scored AS (
        LEFT JOIN ttf ON tfv.doc_id = ttf.doc_id AND tfv.term = ttf.term
        JOIN tlen ON tfv.doc_id = tlen.doc_id
        JOIN dl ON tfv.doc_id = dl.doc_id
+  CROSS JOIN stats s CROSS JOIN tstats ts
+),
+agg AS (SELECT doc_id, round(sum(partial), {int(round_scores)}) AS score
+        FROM scored GROUP BY doc_id)
+SELECT row_number() OVER (ORDER BY score DESC, doc_id ASC)::INTEGER AS rank,
+       doc_id, score
+FROM agg ORDER BY score DESC, doc_id ASC LIMIT {int(k)}
+"""
+
+
+def dismax_topk_sql(
+    query: str,
+    k: int = 10,
+    *,
+    tie_breaker: float = 0.3,
+    round_scores: int = 6,
+) -> str:
+    """DuckDB mirror of dismax_topk over the driver `documents` view."""
+    from .phrase import _tokd_cte
+
+    qtf = Counter(tokenize(query, use_stem=False))
+    if not qtf:
+        return (
+            "SELECT 0::INTEGER AS rank, 0::BIGINT AS doc_id, "
+            "0::DOUBLE AS score WHERE false"
+        )
+    rows = ", ".join(
+        "('" + t.replace("'", "''") + f"', {c}::BIGINT)"
+        for t, c in sorted(qtf.items())
+    )
+    b, k1, cap, tie = BM25_B, BM25_K1, TF_CAP, float(tie_breaker)
+    sat = (
+        "least({{tfw}}, {cap}) * ({k1} + 1.0) / ({k1} + least({{tfw}}, {cap}))"
+    ).format(cap=cap, k1=k1)
+    tfw_t = (
+        "(coalesce(ttf.tf_title, 0)::DOUBLE"
+        f" / ((1.0 - {b}) + {b} * tlen.title_len / ts.avg_tlen))"
+    )
+    tfw_b = f"(tfv.tf::DOUBLE / ((1.0 - {b}) + {b} * dl.doc_len / s.avgdl))"
+    st = f"(idf * {sat.format(tfw=tfw_t)})"
+    sb = f"(idf * {sat.format(tfw=tfw_b)})"
+    return f"""
+WITH {_tokd_cte()},
+q(term, qtf) AS (VALUES {rows}),
+tfv AS (SELECT doc_id, term, count(*)::BIGINT AS tf
+        FROM (SELECT doc_id, unnest(toks) AS term FROM tokd) GROUP BY doc_id, term),
+dl AS (SELECT d.doc_id, coalesce(sum(tfv.tf), 0)::BIGINT AS doc_len
+       FROM documents d LEFT JOIN tfv USING (doc_id) GROUP BY d.doc_id),
+stats AS (SELECT count(*)::BIGINT AS n_docs, avg(doc_len)::DOUBLE AS avgdl FROM dl),
+dfq AS (SELECT term, count(*)::BIGINT AS df FROM tfv JOIN q USING (term) GROUP BY term),
+tl AS (SELECT doc_id, toks[1:{TITLE_TOKENS}] AS ttoks FROM tokd),
+tlen AS (SELECT doc_id, len(ttoks)::BIGINT AS title_len FROM tl),
+tstats AS (SELECT avg(title_len)::DOUBLE AS avg_tlen FROM tlen),
+ttf AS (SELECT doc_id, term, count(*)::BIGINT AS tf_title
+        FROM (SELECT doc_id, unnest(ttoks) AS term FROM tl)
+        WHERE term IN (SELECT term FROM q) GROUP BY doc_id, term),
+scored AS (
+  SELECT tfv.doc_id,
+         q.qtf * (greatest({st}, {sb}) + {tie} * least({st}, {sb})) AS partial
+  FROM (SELECT tfv.*, ln(1.0 + (s.n_docs - dfq.df + 0.5) / (dfq.df + 0.5)) AS idf
+        FROM tfv JOIN dfq USING (term) CROSS JOIN stats s) tfv
+  JOIN q USING (term)
+  LEFT JOIN ttf ON tfv.doc_id = ttf.doc_id AND tfv.term = ttf.term
+  JOIN tlen ON tfv.doc_id = tlen.doc_id
+  JOIN dl ON tfv.doc_id = dl.doc_id
   CROSS JOIN stats s CROSS JOIN tstats ts
 ),
 agg AS (SELECT doc_id, round(sum(partial), {int(round_scores)}) AS score

@@ -777,6 +777,71 @@ def _q_facet_lang(spark, sf_dir):
     return facet_counts(corpus, FACET_QUERY, "lang", 20)
 
 
+# ----------------------------------------------------- aggregations family
+
+AGG_QUERY = FIXED_QUERIES["q_multi"]
+RANGE_BOUNDS = [0, 200, 400, 800, 1600]
+PCTS = [0.25, 0.5, 0.75, 0.95]
+
+
+def _docs_meta(spark, sf_dir):
+    """documents with doc_id/content + the metadata the aggs bucket on."""
+    ensure_importable(spark)
+    from .io import normalize_splits
+
+    d = normalize_splits(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+    return d.select(
+        "doc_id", F.col("text").alias("content"), "lang", "source", "n_chars"
+    )
+
+
+def _q_range_agg(spark, sf_dir):
+    from .aggs import range_stats_agg
+
+    return range_stats_agg(_docs_meta(spark, sf_dir), AGG_QUERY, "n_chars",
+                           RANGE_BOUNDS)
+
+
+def _q_date_histogram(spark, sf_dir):
+    from .aggs import date_histogram
+
+    ensure_importable(spark)
+    return date_histogram(spark.read.parquet(f"{sf_dir}/events.parquet"))
+
+
+def _q_cardinality(spark, sf_dir):
+    from .aggs import cardinality_agg
+
+    return cardinality_agg(_docs_meta(spark, sf_dir), AGG_QUERY, "source")
+
+
+def _q_percentiles(spark, sf_dir):
+    from .aggs import percentiles_agg
+
+    return percentiles_agg(_docs_meta(spark, sf_dir), AGG_QUERY, "n_chars", PCTS)
+
+
+def _q_top_hits(spark, sf_dir):
+    from .aggs import top_hits_agg
+
+    return top_hits_agg(_docs_meta(spark, sf_dir), AGG_QUERY, "lang", 3, 5)
+
+
+def _q_significant_terms(spark, sf_dir):
+    from .aggs import significant_terms
+
+    return significant_terms(_docs_meta(spark, sf_dir), AGG_QUERY, 15, 2)
+
+
+def _q_dismax(spark, sf_dir):
+    from .bm25f import dismax_topk
+
+    return dismax_topk(
+        spark, _docs(spark, sf_dir), FIXED_QUERIES["q_table_scan"], K,
+        round_scores=ROUND,
+    )
+
+
 def _q_fuzzy(spark, sf_dir):
     from .build import dictionary_df, tokens_df
     from .fuzzy import fuzzy_terms
@@ -1783,6 +1848,16 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # percolator: registered standing queries matched against the corpus
     out["percolate_counts"] = _q_percolate
     out["percolate_counts_indexed"] = _q_percolate_indexed
+    # search aggregations (engine/aggs.py) + dis_max (engine/bm25f.py):
+    # the ES-agg surface next to every ranked list — registered at the
+    # tail like the round-4b family; the r5 window rotates them in
+    out["range_agg_chars"] = _q_range_agg
+    out["date_histogram_events"] = _q_date_histogram
+    out["cardinality_source"] = _q_cardinality
+    out["percentiles_chars"] = _q_percentiles
+    out["top_hits_by_lang"] = _q_top_hits
+    out["significant_terms_q"] = _q_significant_terms
+    out["dismax_topk"] = _q_dismax
     return _driver_order(out)
 
 
@@ -2012,4 +2087,23 @@ def oracle_sqls() -> dict[str, str]:
 
     out["percolate_counts"] = percolate_counts_sql(PERC_REGS)
     out["percolate_counts_indexed"] = out["percolate_counts"]
+    from .aggs import (
+        cardinality_sql,
+        date_histogram_sql,
+        percentiles_sql,
+        range_stats_sql,
+        significant_terms_sql,
+        top_hits_sql,
+    )
+    from .bm25f import dismax_topk_sql
+
+    out["range_agg_chars"] = range_stats_sql(AGG_QUERY, "n_chars", RANGE_BOUNDS)
+    out["date_histogram_events"] = date_histogram_sql()
+    out["cardinality_source"] = cardinality_sql(AGG_QUERY, "source")
+    out["percentiles_chars"] = percentiles_sql(AGG_QUERY, "n_chars", PCTS)
+    out["top_hits_by_lang"] = top_hits_sql(AGG_QUERY, "lang", 3, 5)
+    out["significant_terms_q"] = significant_terms_sql(AGG_QUERY, 15, 2)
+    out["dismax_topk"] = dismax_topk_sql(
+        FIXED_QUERIES["q_table_scan"], K, round_scores=ROUND
+    )
     return _driver_order(out)

@@ -458,6 +458,86 @@ class SearchService:
         )
         return [[r["facet"], r["n_docs"]] for r in df.collect()]
 
+    def _agg_corpus(self) -> DataFrame:
+        """Corpus projection the aggregation family buckets on: the
+        bound corpus's metadata plus a derived n_chars (the service
+        corpus shape has no length column)."""
+        return self.corpus.select(
+            "doc_id", "content", "repo", "lang",
+            F.length("content").cast("long").alias("n_chars"),
+        )
+
+    def aggs_range(
+        self, query: str, boundaries: list[int] | None = None
+    ) -> list[list]:
+        """Range+stats buckets over content length (ES range agg)."""
+        from .aggs import range_stats_agg
+
+        df = range_stats_agg(
+            self._agg_corpus(), query, "n_chars",
+            boundaries or [0, 200, 400, 800, 1600],
+        )
+        return [
+            [r["bucket_lo"], r["n_docs"], r["min_v"], r["max_v"],
+             r["sum_v"], r["avg_v"]]
+            for r in df.collect()
+        ]
+
+    def aggs_cardinality(
+        self, query: str, field: str = "repo", approx: bool = False
+    ) -> list:
+        """[n_docs, n_distinct] over the match set; approx=True uses
+        the HyperLogLog++ scale path."""
+        from .aggs import cardinality_agg, cardinality_approx
+
+        fn = cardinality_approx if approx else cardinality_agg
+        rows = fn(self._agg_corpus(), query, field).collect()
+        if not rows:
+            return [0, 0]
+        return [rows[0]["n_docs"], rows[0]["n_distinct"]]
+
+    def aggs_percentiles(
+        self, query: str, pcts: list[float] | None = None
+    ) -> list[list]:
+        """[pct, value] percentiles of content length over the match set."""
+        from .aggs import percentiles_agg
+
+        df = percentiles_agg(
+            self._agg_corpus(), query, "n_chars",
+            pcts or [0.25, 0.5, 0.75, 0.95],
+        )
+        return [[r["pct"], r["value"]] for r in df.collect()]
+
+    def aggs_top_hits(
+        self, query: str, group: str = "lang", n_hits: int = 3, k_groups: int = 5
+    ) -> list[list]:
+        """Top buckets with their best docs (ES terms + top_hits)."""
+        from .aggs import top_hits_agg
+
+        df = top_hits_agg(self._agg_corpus(), query, group, n_hits, k_groups)
+        return [
+            [r["facet"], r["n_docs"], r["hit_rank"], r["doc_id"], r["tf_sum"]]
+            for r in df.collect()
+        ]
+
+    def aggs_significant(self, query: str, k: int = 15) -> list[list]:
+        """Significant terms of the match set vs the corpus."""
+        from .aggs import significant_terms
+
+        df = significant_terms(self._agg_corpus(), query, k)
+        return [
+            [r["rank"], r["term"], r["fg_df"], r["bg_df"], r["score"]]
+            for r in df.collect()
+        ]
+
+    def search_dismax(self, query: str, k: int = 10) -> list[tuple]:
+        """Lucene dis_max over (title, body) — engine/bm25f.dismax_topk."""
+        from .bm25f import dismax_topk
+
+        return self._with_meta(
+            dismax_topk(self.spark, self.corpus, query, k), "score"
+        )
+
     def search_filtered(self, query: str, repo: str, k: int = 10) -> list[tuple]:
         """Repo-filtered search (Lucene filter-query semantics: the
         filter gates emission, BM25 weights stay full-corpus) —
@@ -756,6 +836,37 @@ def create_app(service: SearchService):
         return jsonify(
             service.facets(_query(), request.args.get("facet", "lang"))
         )
+
+    @app.route("/aggs_range")
+    def aggs_range():
+        return jsonify(service.aggs_range(_query()))
+
+    @app.route("/aggs_cardinality")
+    def aggs_cardinality():
+        approx = request.args.get("approx", "") in ("1", "true")
+        return jsonify(
+            service.aggs_cardinality(
+                _query(), request.args.get("field", "repo"), approx=approx
+            )
+        )
+
+    @app.route("/aggs_percentiles")
+    def aggs_percentiles():
+        return jsonify(service.aggs_percentiles(_query()))
+
+    @app.route("/aggs_top_hits")
+    def aggs_top_hits():
+        return jsonify(
+            service.aggs_top_hits(_query(), request.args.get("group", "lang"))
+        )
+
+    @app.route("/aggs_significant")
+    def aggs_significant():
+        return jsonify(service.aggs_significant(_query()))
+
+    @app.route("/search_dismax")
+    def search_dismax():
+        return jsonify(service.search_dismax(_query()))
 
     @app.route("/snippets")
     def snippets():

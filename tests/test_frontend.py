@@ -387,3 +387,38 @@ def test_termvectors_route(client, service):
     assert terms == sorted(terms)
     # unknown doc: empty list, no throw
     assert client.get("/termvectors", query_string={"doc_id": "-5"}).get_json() == []
+
+
+def test_aggs_routes(client):
+    """The ES-agg family next to the ranked list (engine/aggs.py)."""
+    rng = client.get("/aggs_range", query_string={"query": QUERY}).get_json()
+    assert rng and all(len(r) == 6 for r in rng)
+    assert [r[0] for r in rng] == sorted(r[0] for r in rng)
+    card = client.get(
+        "/aggs_cardinality", query_string={"query": QUERY, "field": "repo"}
+    ).get_json()
+    assert len(card) == 2 and card[0] >= card[1] >= 1
+    approx = client.get(
+        "/aggs_cardinality",
+        query_string={"query": QUERY, "field": "repo", "approx": "1"},
+    ).get_json()
+    assert approx[0] == card[0]
+    assert abs(approx[1] - card[1]) <= max(1, 0.2 * card[1])
+    pcts = client.get("/aggs_percentiles", query_string={"query": QUERY}).get_json()
+    assert [p[0] for p in pcts] == [0.25, 0.5, 0.75, 0.95]
+    assert [p[1] for p in pcts] == sorted(p[1] for p in pcts)
+    th = client.get("/aggs_top_hits", query_string={"query": QUERY}).get_json()
+    assert th and all(len(r) == 5 for r in th)
+    sig = client.get("/aggs_significant", query_string={"query": QUERY}).get_json()
+    assert sig and all(len(r) == 5 for r in sig)
+    from engine.tokenizer import tokenize
+
+    qterms = set(tokenize(QUERY, use_stem=False))
+    assert not qterms & {r[1] for r in sig}
+
+
+def test_search_dismax_route(client):
+    rows = client.get("/search_dismax", query_string={"query": QUERY}).get_json()
+    assert rows and len(rows) <= 10
+    scores = [r[2] for r in rows]
+    assert scores == sorted(scores, reverse=True)
