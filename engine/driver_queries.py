@@ -91,13 +91,17 @@ _DRIVER_PRIORITY = [
     "synonym_topk_indexed",
     "term_vector",
     "term_vector_indexed",
-    # -- green in r2 only; refresh the longest-standing five (the rest
-    #    of the r2-stale family keeps its r2 attestation) --
-    "pagerank",
-    "bm25_q_table_scan",
-    "bm25_q_table_scan_indexed",
-    "bm25_batch_indexed",
-    "tfidf_topk_indexed",
+    # -- new in round 4 (session 3): federated / percolate / dis_max /
+    #    significant-terms / top-hits. Five of the eleven fit the 50-slot
+    #    window; the remaining six (cardinality_source,
+    #    date_histogram_events, federated_hit_counts, percentiles_chars,
+    #    percolate_counts, range_agg_chars) rotate into the round-5
+    #    window together with whatever r4 leaves unattested --
+    "federated_topk",
+    "percolate_counts_indexed",
+    "dismax_topk",
+    "significant_terms_q",
+    "top_hits_by_lang",
 ]
 
 
