@@ -201,6 +201,10 @@ def main() -> None:
             "significant_terms_q",
             "top_hits_by_lang",
             "dismax_topk",
+            "function_score_topk",
+            "boosting_topk",
+            "msm_topk",
+            "regexp_topk",
             "date_histogram_events",
             "sessionize_events",
             "stream_window_counts",

@@ -16,6 +16,7 @@ values AND equal rank columns).
 from __future__ import annotations
 
 import glob
+import math
 import os
 from collections import Counter
 from collections.abc import Callable
@@ -238,6 +239,127 @@ exp AS (SELECT term FROM dict WHERE starts_with(term, '{p}')
         ORDER BY df DESC, term ASC LIMIT {max_expansions}),
 q AS (SELECT term, 1::BIGINT AS qtf FROM exp),
 {_bm25_tail_sql(k)}"""
+
+
+def regexp_sql(pattern: str, k: int = K, max_expansions: int = 50) -> str:
+    """DuckDB mirror of engine/wildcard.regexp_topk — dictionary terms
+    whose ENTIRE text matches the pattern (df DESC, term ASC, capped)
+    scored as qtf=1 BM25. regexp_full_match is DuckDB's anchored RE2
+    match, the same semantics the Spark twin pins with ^(?:...)$."""
+    p = pattern.replace("'", "''")
+    return f"""
+WITH {_base_ctes()},
+exp AS (SELECT term FROM dict WHERE regexp_full_match(term, '{p}')
+        ORDER BY df DESC, term ASC LIMIT {max_expansions}),
+q AS (SELECT term, 1::BIGINT AS qtf FROM exp),
+{_bm25_tail_sql(k)}"""
+
+
+def _bm25_raw_cte() -> str:
+    """scored→bm (UNROUNDED per-doc BM25 sum) — the funcscore family
+    multiplies a document-value factor onto the raw sum and rounds the
+    PRODUCT, so rounding must not happen at the BM25 agg. Expects
+    `tfv dl dict stats q` in scope."""
+    return """
+scored AS (
+  SELECT tfv.doc_id,
+         q.qtf * ln(1.0 + (s.n_docs - dict.df + 0.5) / (dict.df + 0.5))
+               * least(tfv.tf, 65535) * 2.5
+               / (least(tfv.tf, 65535) + 1.5 * (1.0 - 0.75 + 0.75 * dl.doc_len / s.avgdl))
+           AS partial
+  FROM tfv JOIN q USING (term) JOIN dict USING (term) JOIN dl USING (doc_id)
+  CROSS JOIN stats s
+),
+bm AS (SELECT doc_id, sum(partial) AS bm25 FROM scored GROUP BY doc_id)
+"""
+
+
+_RANK_TAIL = """
+SELECT row_number() OVER (ORDER BY score DESC, doc_id ASC)::INTEGER AS rank,
+       doc_id, score
+FROM agg ORDER BY score DESC, doc_id ASC LIMIT {k}
+"""
+
+
+def function_score_sql(
+    query_text: str, k: int = K, *,
+    origin: float = 300.0, scale: float = 150.0, decay: float = 0.5,
+) -> str:
+    """DuckDB mirror of engine/funcscore.function_score_topk — BM25 ×
+    gauss decay on documents.n_chars. The z² is written as z*z (not
+    pow) so both engines run the identical IEEE expression."""
+    ln_d = repr(math.log(decay))
+    z = f"((d.n_chars::DOUBLE - {float(origin)!r}) / {float(scale)!r})"
+    return f"""
+WITH {_base_ctes()},
+{_qcte(query_text)},
+{_bm25_raw_cte()},
+agg AS (SELECT b.doc_id,
+               round(b.bm25 * exp({ln_d} * {z} * {z}), {ROUND}) AS score
+        FROM bm b JOIN documents d USING (doc_id))
+{_RANK_TAIL.format(k=k)}"""
+
+
+def field_value_factor_sql(
+    query_text: str, k: int = K, *, factor: float = 1.0,
+) -> str:
+    """DuckDB mirror of engine/funcscore.field_value_factor_topk —
+    BM25 × ln(1 + factor·max(n_chars, 0))."""
+    return f"""
+WITH {_base_ctes()},
+{_qcte(query_text)},
+{_bm25_raw_cte()},
+agg AS (SELECT b.doc_id,
+               round(b.bm25 * ln(1.0 + {float(factor)!r}
+                     * greatest(d.n_chars::DOUBLE, 0.0)), {ROUND}) AS score
+        FROM bm b JOIN documents d USING (doc_id))
+{_RANK_TAIL.format(k=k)}"""
+
+
+def boosting_sql(
+    positive: str, negative: str, k: int = K, *,
+    negative_boost: float = 0.5,
+) -> str:
+    """DuckDB mirror of engine/funcscore.boosting_topk — BM25 on the
+    positive query; docs matching any negative term × negative_boost."""
+    nterms = sorted(set(tokenize(negative, use_stem=False)))
+    if nterms:
+        rows = ", ".join("('" + t.replace("'", "''") + "')" for t in nterms)
+        nq = f"nq(term) AS (VALUES {rows})"
+    else:
+        nq = "nq AS (SELECT NULL::VARCHAR AS term WHERE false)"
+    return f"""
+WITH {_base_ctes()},
+{_qcte(positive)},
+{nq},
+{_bm25_raw_cte()},
+neg AS (SELECT DISTINCT doc_id FROM tfv JOIN nq USING (term)),
+agg AS (SELECT b.doc_id,
+               round(b.bm25 * CASE WHEN n.doc_id IS NOT NULL
+                     THEN {float(negative_boost)!r} ELSE 1.0 END, {ROUND}) AS score
+        FROM bm b LEFT JOIN neg n USING (doc_id))
+{_RANK_TAIL.format(k=k)}"""
+
+
+def msm_sql(query_text: str, k: int = K, *, min_should_match: int = 2) -> str:
+    """DuckDB mirror of engine/funcscore.msm_topk — scored rows are
+    unique per (doc, term), so HAVING count(*) ≥ m IS the
+    distinct-matched-terms gate."""
+    return f"""
+WITH {_base_ctes()},
+{_qcte(query_text)},
+scored AS (
+  SELECT tfv.doc_id,
+         q.qtf * ln(1.0 + (s.n_docs - dict.df + 0.5) / (dict.df + 0.5))
+               * least(tfv.tf, 65535) * 2.5
+               / (least(tfv.tf, 65535) + 1.5 * (1.0 - 0.75 + 0.75 * dl.doc_len / s.avgdl))
+           AS partial
+  FROM tfv JOIN q USING (term) JOIN dict USING (term) JOIN dl USING (doc_id)
+  CROSS JOIN stats s
+),
+agg AS (SELECT doc_id, round(sum(partial), {ROUND}) AS score FROM scored
+        GROUP BY doc_id HAVING count(*) >= {int(min_should_match)})
+{_RANK_TAIL.format(k=k)}"""
 
 
 def _qcte(query_text: str, *, stemmed: bool = False) -> str:
@@ -843,6 +965,88 @@ def _q_dismax(spark, sf_dir):
     return dismax_topk(
         spark, _docs(spark, sf_dir), FIXED_QUERIES["q_table_scan"], K,
         round_scores=ROUND,
+    )
+
+
+# funcscore family pinned parameters (see engine/funcscore.py; the
+# gauss origin/scale bracket the driver documents' n_chars range)
+FS_ORIGIN, FS_SCALE, FS_DECAY = 300.0, 150.0, 0.5
+FVF_FACTOR = 1.0
+NEG_BOOST = 0.5
+MSM_M = 3
+REGEXP_PAT = "[a-z]*or[a-z]*"
+
+
+def _q_function_score(spark, sf_dir):
+    from .funcscore import function_score_topk
+
+    return function_score_topk(
+        spark, _docs_meta(spark, sf_dir), FIXED_QUERIES["q_table_scan"], K,
+        field="n_chars", origin=FS_ORIGIN, scale=FS_SCALE, decay=FS_DECAY,
+        round_scores=ROUND,
+    )
+
+
+def _q_function_score_indexed(spark, sf_dir):
+    # decay is rank-unsafe after a top-k cut, so the exact serving path
+    # is the exhaustive union scoring over pruned posting blocks
+    # (bm25_scores_all) × the factor over a NARROW metadata projection
+    from .funcscore import gauss_factor_col
+    from .ranking import _ranked
+
+    bm = _index_reader(spark, sf_dir).bm25_scores_all(
+        FIXED_QUERIES["q_table_scan"]
+    )
+    meta = _docs_meta(spark, sf_dir).select("doc_id", "n_chars")
+    out = bm.join(meta, "doc_id").select(
+        "doc_id",
+        F.round(
+            F.col("score")
+            * gauss_factor_col(F.col("n_chars"), FS_ORIGIN, FS_SCALE, FS_DECAY),
+            ROUND,
+        ).alias("score"),
+    )
+    return _ranked(out, "score", K)
+
+
+def _q_fvf(spark, sf_dir):
+    from .funcscore import field_value_factor_topk
+
+    return field_value_factor_topk(
+        spark, _docs_meta(spark, sf_dir), FIXED_QUERIES["q_multi"], K,
+        field="n_chars", factor=FVF_FACTOR, round_scores=ROUND,
+    )
+
+
+def _q_boosting(spark, sf_dir):
+    from .funcscore import boosting_topk
+
+    return boosting_topk(
+        spark, _docs(spark, sf_dir), FIXED_QUERIES["q_table_scan"],
+        "merge slow", K, negative_boost=NEG_BOOST, round_scores=ROUND,
+    )
+
+
+def _q_msm(spark, sf_dir):
+    from .funcscore import msm_topk
+
+    return msm_topk(
+        spark, _docs(spark, sf_dir), FIXED_QUERIES["q_multi"], K,
+        min_should_match=MSM_M, round_scores=ROUND,
+    )
+
+
+def _q_regexp(spark, sf_dir):
+    from .wildcard import regexp_topk
+
+    return regexp_topk(
+        spark, _docs(spark, sf_dir), REGEXP_PAT, K, round_scores=ROUND
+    )
+
+
+def _q_regexp_indexed(spark, sf_dir):
+    return _index_reader(spark, sf_dir).regexp_topk(
+        REGEXP_PAT, K, round_scores=ROUND
     )
 
 
@@ -1862,6 +2066,15 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["top_hits_by_lang"] = _q_top_hits
     out["significant_terms_q"] = _q_significant_terms
     out["dismax_topk"] = _q_dismax
+    # function_score family (engine/funcscore.py) + regexp query
+    # (engine/wildcard.py) — registered at the tail for the r5 window
+    out["function_score_topk"] = _q_function_score
+    out["function_score_indexed"] = _q_function_score_indexed
+    out["field_value_factor_topk"] = _q_fvf
+    out["boosting_topk"] = _q_boosting
+    out["msm_topk"] = _q_msm
+    out["regexp_topk"] = _q_regexp
+    out["regexp_topk_indexed"] = _q_regexp_indexed
     return _driver_order(out)
 
 
@@ -2110,4 +2323,23 @@ def oracle_sqls() -> dict[str, str]:
     out["dismax_topk"] = dismax_topk_sql(
         FIXED_QUERIES["q_table_scan"], K, round_scores=ROUND
     )
+    # funcscore family + regexp: the indexed twins share the recompute
+    # oracle (identical pinned semantics, rounded sort keys)
+    out["function_score_topk"] = function_score_sql(
+        FIXED_QUERIES["q_table_scan"], K,
+        origin=FS_ORIGIN, scale=FS_SCALE, decay=FS_DECAY,
+    )
+    out["function_score_indexed"] = out["function_score_topk"]
+    out["field_value_factor_topk"] = field_value_factor_sql(
+        FIXED_QUERIES["q_multi"], K, factor=FVF_FACTOR
+    )
+    out["boosting_topk"] = boosting_sql(
+        FIXED_QUERIES["q_table_scan"], "merge slow", K,
+        negative_boost=NEG_BOOST,
+    )
+    out["msm_topk"] = msm_sql(
+        FIXED_QUERIES["q_multi"], K, min_should_match=MSM_M
+    )
+    out["regexp_topk"] = regexp_sql(REGEXP_PAT, K)
+    out["regexp_topk_indexed"] = out["regexp_topk"]
     return _driver_order(out)

@@ -538,6 +538,71 @@ class SearchService:
             dismax_topk(self.spark, self.corpus, query, k), "score"
         )
 
+    def search_function_score(
+        self, query: str, k: int = 10, *,
+        origin: float = 300.0, scale: float = 150.0, decay: float = 0.5,
+    ) -> list[tuple]:
+        """BM25 × gauss decay on content length (ES function_score,
+        engine/funcscore.py); the factor is rank-unsafe after a top-k
+        cut, so this always scores the full match set."""
+        from .funcscore import function_score_topk
+
+        return self._with_meta(
+            function_score_topk(
+                self.spark, self._agg_corpus(), query, k,
+                field="n_chars", origin=origin, scale=scale, decay=decay,
+                use_stem=self._use_stem,
+            ),
+            "score",
+        )
+
+    def search_boosting(
+        self, query: str, negative: str, k: int = 10, *,
+        negative_boost: float = 0.5,
+    ) -> list[tuple]:
+        """Lucene BoostingQuery (engine/funcscore.boosting_topk): docs
+        matching any negative term are demoted, not dropped."""
+        from .funcscore import boosting_topk
+
+        return self._with_meta(
+            boosting_topk(
+                self.spark, self.corpus, query, negative, k,
+                negative_boost=negative_boost, use_stem=self._use_stem,
+            ),
+            "score",
+        )
+
+    def search_msm(
+        self, query: str, k: int = 10, *, min_should_match: int = 2
+    ) -> list[tuple]:
+        """minimum_should_match OR search (engine/funcscore.msm_topk)."""
+        from .funcscore import msm_topk
+
+        return self._with_meta(
+            msm_topk(
+                self.spark, self.corpus, query, k,
+                min_should_match=min_should_match,
+                use_stem=self._use_stem,
+            ),
+            "score",
+        )
+
+    def search_regexp(self, pattern: str, k: int = 10) -> list[tuple]:
+        """Regexp (anchored full-term) search — index-backed dictionary
+        expansion when the bound index is unstemmed (multi-term queries
+        skip analysis, engine/wildcard semantics), else the recompute
+        path; rank-identical, parity-tested."""
+        if self.reader is not None and not self.reader.use_stem:
+            return self._with_meta(self.reader.regexp_topk(pattern, k), "score")
+        from .wildcard import regexp_topk
+
+        return self._with_meta(
+            regexp_topk(
+                self.spark, self.corpus.select("doc_id", "content"), pattern, k
+            ),
+            "score",
+        )
+
     def search_filtered(self, query: str, repo: str, k: int = 10) -> list[tuple]:
         """Repo-filtered search (Lucene filter-query semantics: the
         filter gates emission, BM25 weights stay full-corpus) —
@@ -947,6 +1012,40 @@ def create_app(service: SearchService):
         return jsonify(
             service.term_vector(int(request.args.get("doc_id", "-1")))
         )
+
+    @app.route("/search_function_score")
+    def search_function_score():
+        return jsonify(
+            service.search_function_score(
+                _query(),
+                origin=float(request.args.get("origin", "300")),
+                scale=float(request.args.get("scale", "150")),
+                decay=float(request.args.get("decay", "0.5")),
+            )
+        )
+
+    @app.route("/search_boosting")
+    def search_boosting():
+        return jsonify(
+            service.search_boosting(
+                _query(),
+                request.args.get("negative", ""),
+                negative_boost=float(request.args.get("negative_boost", "0.5")),
+            )
+        )
+
+    @app.route("/search_msm")
+    def search_msm():
+        return jsonify(
+            service.search_msm(
+                _query(),
+                min_should_match=int(request.args.get("m", "2")),
+            )
+        )
+
+    @app.route("/search_regexp")
+    def search_regexp():
+        return jsonify(service.search_regexp(request.args.get("pattern", "")))
 
     @app.route("/get_pagerank", methods=["POST"])
     def get_pagerank():

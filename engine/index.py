@@ -1052,6 +1052,29 @@ class IndexReader:
             round_scores=round_scores,
         )
 
+    def regexp_topk(
+        self, pattern: str, k: int = 10, max_expansions: int = 50, *,
+        prune: bool = True, round_scores: int | None = None,
+    ) -> DataFrame:
+        """Regexp (full-term-match) search served from the index:
+        dictionary scan filtered by the anchored pattern →
+        ≤ max_expansions expansions (df DESC, term ASC — the pinned
+        order, engine/wildcard.regexp_expansions) → the standard
+        isin-pushdown block-max kernel with qtf=1 per expansion. Unlike
+        the prefix form the rlike cannot prune the dictionary scan, but
+        the dictionary is vocabulary-sized (~1e7 rows at 100 TB), and
+        the posting access stays capped at the expansion set."""
+        from .wildcard import regexp_expansions
+
+        exp = regexp_expansions(self.dictionary(), pattern, max_expansions)
+        rows = exp.select("term").collect()
+        return self._qtf_topk(
+            {r["term"]: 1.0 for r in rows},
+            k,
+            prune=prune,
+            round_scores=round_scores,
+        )
+
     def doc_tokens(self) -> DataFrame:
         """The stage-1 array-form tokens checkpoint (doc_id, terms[],
         tfs[], doc_len, shard, …) — a permanent build artifact (resume +

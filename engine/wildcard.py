@@ -127,3 +127,57 @@ top AS (SELECT term, df FROM dict WHERE starts_with(term, '{p}')
 SELECT row_number() OVER (ORDER BY df DESC, term ASC)::INTEGER AS rank, term, df
 FROM top ORDER BY df DESC, term ASC
 """
+
+
+# ------------------------------------------------ regexp query
+
+def regexp_expansions(
+    dictionary: DataFrame, pattern: str, max_expansions: int = 50
+) -> DataFrame:
+    """(term, df) — vocabulary terms whose ENTIRE text matches
+    ``pattern`` (Lucene RegexpQuery anchors implicitly), ordered
+    (df DESC, term ASC), capped at ``max_expansions``. The pattern is
+    matched verbatim against the lowercase dictionary — no analysis,
+    like every Lucene multi-term query. Keep patterns to the
+    RE2-compatible subset (no backrefs/lookaround) so the Spark (Java
+    regex) and DuckDB (RE2) twins agree."""
+    if not pattern:
+        return dictionary.select("term", "df").where(F.lit(False))
+    return (
+        dictionary.select("term", "df")
+        .where(F.col("term").rlike(f"^(?:{pattern})$"))
+        .orderBy(F.desc("df"), F.asc("term"))
+        .limit(max_expansions)
+    )
+
+
+def regexp_topk(
+    spark: SparkSession,
+    corpus: DataFrame,
+    pattern: str,
+    k: int = 10,
+    max_expansions: int = 50,
+    *,
+    round_scores: int | None = None,
+) -> DataFrame:
+    """(rank, doc_id, score) — regexp search, recompute path: the
+    regexp expansion set plays the query-terms frame of the exhaustive
+    BM25 plan with qtf=1 per expansion (the same scoring-boolean
+    rewrite wildcard_topk pins). DuckDB mirror:
+    engine.driver_queries.regexp_sql. Scale shape matches
+    wildcard_topk: the dictionary filter is vocabulary-sized (the rlike
+    can't prune the scan, but the dictionary is ~1e7 rows at 100 TB,
+    not corpus-sized) and the capped expansion broadcasts into the
+    pruned scoring join."""
+    from .build import dictionary_df, tokens_df
+    from .query import bm25_scored_terms
+    from .ranking import _ranked
+
+    toks = tokens_df(corpus, use_stem=False).persist()
+    exp = regexp_expansions(dictionary_df(toks), pattern, max_expansions)
+    qterms = exp.select("term", F.lit(1).cast("long").alias("qtf"))
+    scored = bm25_scored_terms(corpus, qterms, use_stem=False, tokens=toks)
+    agg = scored.groupBy("doc_id").agg(F.sum("partial_score").alias("score"))
+    if round_scores is not None:
+        agg = agg.select("doc_id", F.round("score", round_scores).alias("score"))
+    return _ranked(agg, "score", k)

@@ -422,3 +422,49 @@ def test_search_dismax_route(client):
     assert rows and len(rows) <= 10
     scores = [r[2] for r in rows]
     assert scores == sorted(scores, reverse=True)
+
+
+def test_function_score_route(client):
+    rows = client.get(
+        "/search_function_score", query_string={"query": QUERY}
+    ).get_json()
+    assert rows and len(rows) <= 10
+    scores = [r[2] for r in rows]
+    assert scores == sorted(scores, reverse=True)
+
+
+def test_boosting_route_demotes_not_drops(client, service):
+    base = service.search_boosting(QUERY, "", k=10)
+    demoted = service.search_boosting(QUERY, "merge", k=10, negative_boost=0.5)
+    assert base and demoted
+    # demoted scores never exceed the undemoted ones for the same doc
+    b = {d: s for d, _, s in base}
+    for d, _, s in demoted:
+        if d in b:
+            assert s <= b[d] + 1e-9
+    rows = client.get(
+        "/search_boosting",
+        query_string={"query": QUERY, "negative": "merge"},
+    ).get_json()
+    assert rows
+
+
+def test_msm_route_gates(client, service):
+    loose = service.search_msm(QUERY, k=10_000, min_should_match=1)
+    tight = service.search_msm(QUERY, k=10_000, min_should_match=3)
+    assert {d for d, _, _ in tight} <= {d for d, _, _ in loose}
+    rows = client.get(
+        "/search_msm", query_string={"query": QUERY, "m": "2"}
+    ).get_json()
+    assert isinstance(rows, list)
+
+
+def test_regexp_route(client, service):
+    # stemmed index bound -> recompute path; service pattern is
+    # unstemmed-dictionary anchored
+    rows = client.get(
+        "/search_regexp", query_string={"pattern": "m[a-z]*e"}
+    ).get_json()
+    assert rows and len(rows) <= 10
+    scores = [r[2] for r in rows]
+    assert scores == sorted(scores, reverse=True)
