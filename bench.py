@@ -205,6 +205,7 @@ def main() -> None:
             "boosting_topk",
             "msm_topk",
             "regexp_topk",
+            "did_you_mean",
             "date_histogram_events",
             "sessionize_events",
             "stream_window_counts",

@@ -1062,6 +1062,22 @@ def _q_fuzzy_indexed(spark, sf_dir):
     return _index_reader(spark, sf_dir).fuzzy_terms(FUZZY_TERM, 10)
 
 
+# a misspelling of each FIXED_QUERIES["q_table_scan"]-family term plus
+# one extra — every position has a distance-1 vocabulary correction
+DYM_QUERY = "tabel scann fastt merg"
+
+
+def _q_did_you_mean(spark, sf_dir):
+    from .fuzzy import did_you_mean
+
+    dic = dictionary_df(tokens_df(_docs(spark, sf_dir), use_stem=False))
+    return did_you_mean(spark, dic, DYM_QUERY)
+
+
+def _q_did_you_mean_indexed(spark, sf_dir):
+    return _index_reader(spark, sf_dir).did_you_mean(DYM_QUERY)
+
+
 def _q_pageviews(spark, sf_dir):
     # deterministic synthetic pageview signal (engine/pageviews.py) —
     # the reference's pickled-Counter data source, hash-checkable
@@ -2075,6 +2091,9 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["msm_topk"] = _q_msm
     out["regexp_topk"] = _q_regexp
     out["regexp_topk_indexed"] = _q_regexp_indexed
+    # did-you-mean query correction (engine/fuzzy.did_you_mean)
+    out["did_you_mean"] = _q_did_you_mean
+    out["did_you_mean_indexed"] = _q_did_you_mean_indexed
     return _driver_order(out)
 
 
@@ -2342,4 +2361,8 @@ def oracle_sqls() -> dict[str, str]:
     )
     out["regexp_topk"] = regexp_sql(REGEXP_PAT, K)
     out["regexp_topk_indexed"] = out["regexp_topk"]
+    from .fuzzy import did_you_mean_sql
+
+    out["did_you_mean"] = did_you_mean_sql(DYM_QUERY)
+    out["did_you_mean_indexed"] = out["did_you_mean"]
     return _driver_order(out)

@@ -351,6 +351,30 @@ class SearchService:
             df = fuzzy_terms(self.spark, self._dictionary, term, 1, k)
         return [[r["term"], r["dist"], r["df"]] for r in df.collect()]
 
+    def did_you_mean(self, query: str) -> list[list]:
+        """Best correction per query position [pos, input, suggestion,
+        dist, df] (ES phrase-suggester analog, engine/fuzzy.py): index
+        dictionary when the bound index is unstemmed, else the
+        corpus-derived dictionary."""
+        from .fuzzy import did_you_mean
+
+        if self.reader is not None and not self.reader.use_stem:
+            df = self.reader.did_you_mean(query)
+        else:
+            from .build import dictionary_df, tokens_df
+
+            if self._dictionary is None:
+                self._dictionary = dictionary_df(
+                    tokens_df(
+                        self.corpus.select("doc_id", "content"), use_stem=False
+                    )
+                )
+            df = did_you_mean(self.spark, self._dictionary, query)
+        return [
+            [r["pos"], r["input_term"], r["suggestion"], r["dist"], r["df"]]
+            for r in df.collect()
+        ]
+
     def search_wildcard(self, prefix: str, k: int = 10) -> list[tuple]:
         """Prefix (``term*``) search (engine/wildcard.py semantics):
         index-backed dictionary expansion when the bound index is
@@ -1012,6 +1036,10 @@ def create_app(service: SearchService):
         return jsonify(
             service.term_vector(int(request.args.get("doc_id", "-1")))
         )
+
+    @app.route("/did_you_mean")
+    def did_you_mean():
+        return jsonify(service.did_you_mean(_query()))
 
     @app.route("/search_function_score")
     def search_function_score():

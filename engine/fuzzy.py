@@ -159,3 +159,106 @@ SELECT row_number() OVER (ORDER BY dist ASC, df DESC, term ASC)::INTEGER AS rank
        term, dist, df
 FROM cand ORDER BY dist ASC, df DESC, term ASC LIMIT {k}
 """
+
+
+# ------------------------------------------------ did-you-mean (query level)
+
+_DYM_SCHEMA = (
+    "pos int, input_term string, suggestion string, dist long, df long"
+)
+
+
+def did_you_mean(
+    spark: SparkSession, dictionary: DataFrame, query: str
+) -> DataFrame:
+    """(pos, input_term, suggestion, dist, df) — the best correction
+    per query position (ES phrase-suggester analog, one candidate per
+    term). 'Best' is the pinned fuzzy order (dist ASC, df DESC, term
+    ASC) within edit distance ≤ 1; an in-vocabulary term is its own
+    distance-0 best, so only true misspellings get rewritten. Positions
+    whose term has NO candidate within distance 1 emit no row (nothing
+    to suggest). The query is analyzed with the standard chain
+    (lowercase, stopword filter, unstemmed — corrections must be
+    surface forms, not stems).
+
+    Scale shape: the query side is |terms| × (len+1) deletion keys —
+    driver-tiny, broadcast; the dictionary side reuses the SymSpell
+    explode of fuzzy_terms (pure codegen, no shuffle before the key
+    semi-join cut), so the exchange after the cut carries only the
+    handful of surviving candidates; the per-position best is a window
+    over that handful. DuckDB mirror: did_you_mean_sql."""
+    terms = tokenize(query, use_stem=False)
+    if not terms:
+        return spark.createDataFrame([], _DYM_SCHEMA)
+    q_rows = [
+        (i + 1, t, key)
+        for i, t in enumerate(terms)
+        for key in deletion_keys_py(t)
+    ]
+    qk = spark.createDataFrame(q_rows, "pos int, input_term string, key string")
+    all_keys = sorted({r[2] for r in q_rows})
+    cand = (
+        dictionary.select(
+            "term",
+            F.col("df").cast("long").alias("df"),
+            F.explode(_deletion_keys_col(F.col("term"))).alias("key"),
+        )
+        .where(F.col("key").isin(all_keys))
+        .join(F.broadcast(qk), "key")
+        .select("pos", "input_term", F.col("term").alias("suggestion"), "df")
+        .distinct()
+        .withColumn(
+            "dist",
+            F.levenshtein(F.col("suggestion"), F.col("input_term")).cast("long"),
+        )
+        .where(F.col("dist") <= 1)
+    )
+    w = Window.partitionBy("pos").orderBy(
+        F.asc("dist"), F.desc("df"), F.asc("suggestion")
+    )
+    return (
+        cand.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("pos", "input_term", "suggestion", "dist", "df")
+        .orderBy("pos")
+    )
+
+
+def did_you_mean_sql(query: str) -> str:
+    """DuckDB mirror of did_you_mean over the `documents` view (exact
+    levenshtein scan of the derived dictionary — the brute twin of the
+    Spark side's deletion-key candidate cut)."""
+    from .phrase import _tokd_cte
+
+    terms = tokenize(query, use_stem=False)
+    if not terms:
+        return (
+            "SELECT 0::INTEGER AS pos, '' AS input_term, '' AS suggestion, "
+            "0::BIGINT AS dist, 0::BIGINT AS df WHERE false"
+        )
+    rows = ", ".join(
+        f"({i + 1}, '" + t.replace("'", "''") + "')"
+        for i, t in enumerate(terms)
+    )
+    return f"""
+WITH {_tokd_cte()},
+dict AS (
+  SELECT term, count(*)::BIGINT AS df FROM (
+    SELECT DISTINCT doc_id, unnest(toks) AS term FROM tokd
+  ) GROUP BY term
+),
+q(pos, input_term) AS (VALUES {rows}),
+cand AS (
+  SELECT q.pos::INTEGER AS pos, q.input_term, d.term AS suggestion,
+         levenshtein(d.term, q.input_term)::BIGINT AS dist, d.df
+  FROM q CROSS JOIN dict d
+  WHERE levenshtein(d.term, q.input_term) <= 1
+),
+best AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY pos ORDER BY dist ASC, df DESC, suggestion ASC
+  ) AS rn FROM cand
+)
+SELECT pos, input_term, suggestion, dist, df
+FROM best WHERE rn = 1 ORDER BY pos
+"""

@@ -746,6 +746,20 @@ class IndexReader:
 
         return fuzzy_terms(self.spark, self.dictionary(), query_term, 1, k)
 
+    def did_you_mean(self, query: str) -> DataFrame:
+        """Best correction per query position from the index dictionary
+        (engine/fuzzy.did_you_mean — ES phrase-suggester analog). Same
+        unstemmed pin as fuzzy_terms; the dictionary read prunes to the
+        query's deletion-key candidates before any exchange."""
+        if self.use_stem:
+            raise ValueError(
+                "did_you_mean is pinned to unstemmed vocabularies; this "
+                "index was built with use_stem=True"
+            )
+        from .fuzzy import did_you_mean
+
+        return did_you_mean(self.spark, self.dictionary(), query)
+
     def anchor_topk(self, query: str, k: int = 100) -> DataFrame:
         """Index-backed `/search_anchor`: distinct-query-term count over
         the build-time anchor-terms table (inbound-link anchor text).

@@ -468,3 +468,12 @@ def test_regexp_route(client, service):
     assert rows and len(rows) <= 10
     scores = [r[2] for r in rows]
     assert scores == sorted(scores, reverse=True)
+
+
+def test_did_you_mean_route(client, service):
+    rows = client.get(
+        "/did_you_mean", query_string={"query": "indxe merg"}
+    ).get_json()
+    assert isinstance(rows, list)
+    for pos, inp, sug, dist, df in rows:
+        assert dist <= 1 and df > 0

@@ -868,3 +868,60 @@ def test_snippet_indexed_matches_recompute(spark, tmp_path_factory):
         a = snippet_topk(spark, docs, q, 10).toPandas()
         b = r.snippet_topk(q, 10).toPandas()
         assert a.equals(b), q
+
+
+# -------------------------------------------- did-you-mean (query level)
+
+def test_did_you_mean_matches_duckdb_and_semantics(spark):
+    """Per-position best correction == the DuckDB brute mirror; an
+    in-vocabulary term suggests itself at distance 0; a transposition
+    (lev 2) position emits no row; all-stopword queries are empty."""
+    import duckdb as dk
+
+    from engine.build import dictionary_df, tokens_df
+    from engine.fuzzy import did_you_mean, did_you_mean_sql
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", F.col("text").alias("content")
+    )
+    dic = dictionary_df(tokens_df(docs, use_stem=False)).cache()
+    con = dk.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{SF}/documents.parquet'"
+    )
+    for q in ("tabel scann fastt merg", "table scan", "the and of", ""):
+        a = [tuple(r) for r in did_you_mean(spark, dic, q).collect()]
+        w = [tuple(r) for r in con.execute(did_you_mean_sql(q)).fetchall()]
+        assert a == w, q
+    got = {
+        r["input_term"]: (r["suggestion"], r["dist"])
+        for r in did_you_mean(spark, dic, "tabel scann table").collect()
+    }
+    assert got.get("scann") == ("scan", 1)
+    assert got.get("table") == ("table", 0)  # in-vocab → itself
+    assert "tabel" not in got  # transposition is lev 2 → no suggestion
+
+
+def test_did_you_mean_indexed_and_stem_guard(spark, tmp_path_factory):
+    from engine.build import dictionary_df, tokens_df
+    from engine.fuzzy import did_you_mean
+    from engine.index import build_index
+    from engine.io import documents_as_corpus
+
+    corpus = documents_as_corpus(spark, SF).withColumn(
+        "content_sha256", F.sha2(F.col("content"), 256)
+    )
+    d = str(tmp_path_factory.mktemp("dym_idx"))
+    r = build_index(spark, corpus, d, use_stem=False, n_shards=4, n_chunks=1)
+    dic = dictionary_df(
+        tokens_df(corpus.select("doc_id", "content"), use_stem=False)
+    )
+    q = "scann fastt"
+    a = [tuple(x) for x in r.did_you_mean(q).collect()]
+    b = [tuple(x) for x in did_you_mean(spark, dic, q).collect()]
+    assert a == b and len(a) == 2
+
+    d2 = str(tmp_path_factory.mktemp("dym_idx_stem"))
+    r2 = build_index(spark, corpus, d2, use_stem=True, n_shards=4, n_chunks=1)
+    with pytest.raises(ValueError):
+        r2.did_you_mean(q)
