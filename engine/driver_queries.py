@@ -1078,6 +1078,12 @@ def _q_did_you_mean_indexed(spark, sf_dir):
     return _index_reader(spark, sf_dir).did_you_mean(DYM_QUERY)
 
 
+def _q_index_stats(spark, sf_dir):
+    # artifact-derived index statistics vs the text-derived oracle —
+    # a cross-engine conservation check of the whole build
+    return _index_reader(spark, sf_dir).stats_df()
+
+
 def _q_pageviews(spark, sf_dir):
     # deterministic synthetic pageview signal (engine/pageviews.py) —
     # the reference's pickled-Counter data source, hash-checkable
@@ -2094,6 +2100,7 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # did-you-mean query correction (engine/fuzzy.did_you_mean)
     out["did_you_mean"] = _q_did_you_mean
     out["did_you_mean_indexed"] = _q_did_you_mean_indexed
+    out["index_stats_indexed"] = _q_index_stats
     return _driver_order(out)
 
 
@@ -2365,4 +2372,12 @@ def oracle_sqls() -> dict[str, str]:
 
     out["did_you_mean"] = did_you_mean_sql(DYM_QUERY)
     out["did_you_mean_indexed"] = out["did_you_mean"]
+    out["index_stats_indexed"] = f"""
+WITH {_base_ctes()},
+d AS (SELECT count(*)::BIGINT AS n_docs, sum(doc_len)::BIGINT AS n_tokens FROM dl),
+t AS (SELECT count(*)::BIGINT AS n_terms, sum(df)::BIGINT AS n_postings FROM dict)
+SELECT n_docs, n_terms, n_postings, n_tokens,
+       round(n_tokens::DOUBLE / n_docs, 6) AS avgdl
+FROM d CROSS JOIN t
+"""
     return _driver_order(out)

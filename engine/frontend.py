@@ -351,6 +351,38 @@ class SearchService:
             df = fuzzy_terms(self.spark, self._dictionary, term, 1, k)
         return [[r["term"], r["dist"], r["df"]] for r in df.collect()]
 
+    def index_stats(self) -> list:
+        """[n_docs, n_terms, n_postings, n_tokens, avgdl] — the ES
+        _cat/indices analog, artifact-derived when an index is bound
+        (IndexReader.stats_df), else computed from the corpus."""
+        if self.reader is not None:
+            r = self.reader.stats_df().collect()[0]
+        else:
+            from .build import corpus_stats_df, dictionary_df, doc_stats_df, tokens_df
+
+            toks = tokens_df(
+                self.corpus.select("doc_id", "content"), use_stem=self._use_stem
+            ).persist()
+            dic = dictionary_df(toks).agg(
+                F.count("*").cast("long").alias("n_terms"),
+                F.sum("df").cast("long").alias("n_postings"),
+            )
+            docs = doc_stats_df(self.corpus, toks).agg(
+                F.count("*").cast("long").alias("n_docs"),
+                F.sum("doc_len").cast("long").alias("n_tokens"),
+            )
+            r = (
+                docs.crossJoin(dic)
+                .select(
+                    "n_docs", "n_terms", "n_postings", "n_tokens",
+                    F.round(
+                        F.col("n_tokens").cast("double") / F.col("n_docs"), 6
+                    ).alias("avgdl"),
+                )
+                .collect()[0]
+            )
+        return [r["n_docs"], r["n_terms"], r["n_postings"], r["n_tokens"], r["avgdl"]]
+
     def did_you_mean(self, query: str) -> list[list]:
         """Best correction per query position [pos, input, suggestion,
         dist, df] (ES phrase-suggester analog, engine/fuzzy.py): index
@@ -1036,6 +1068,10 @@ def create_app(service: SearchService):
         return jsonify(
             service.term_vector(int(request.args.get("doc_id", "-1")))
         )
+
+    @app.route("/stats")
+    def stats():
+        return jsonify(service.index_stats())
 
     @app.route("/did_you_mean")
     def did_you_mean():

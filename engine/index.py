@@ -602,6 +602,35 @@ class IndexReader:
             self._dictionary = df.cache() if self.cache else df
         return self._dictionary
 
+    def stats_df(self) -> DataFrame:
+        """One-row index statistics (the ES ``_cat/indices`` /
+        ``_stats`` analog), derived from the PHYSICAL artifacts — not
+        the manifest — so a cross-engine check of this frame attests
+        that the build conserved the logical stats end-to-end:
+        n_docs / n_tokens / avgdl from the doc_stats table, n_terms /
+        n_postings (Σ df — every (doc, term) pair appears in exactly
+        one posting list) from the dictionary. Two vocabulary-and-
+        corpus-CARDINALITY-sized aggregates, each a single map-side-
+        combined reduce to one row; avgdl is rounded to the repo's
+        cross-engine sort-key precision."""
+        docs = self.doc_stats().agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("doc_len").cast("long").alias("n_tokens"),
+        )
+        terms = self.dictionary().agg(
+            F.count("*").cast("long").alias("n_terms"),
+            F.sum("df").cast("long").alias("n_postings"),
+        )
+        return docs.crossJoin(terms).select(
+            "n_docs",
+            "n_terms",
+            "n_postings",
+            "n_tokens",
+            F.round(
+                F.col("n_tokens").cast("double") / F.col("n_docs"), 6
+            ).alias("avgdl"),
+        )
+
     def _artifact(self, name: str) -> DataFrame:
         """Memoized LAZY handle on an index-dir parquet artifact: the
         spark.read.parquet call (file listing + footer/schema read, a

@@ -477,3 +477,12 @@ def test_did_you_mean_route(client, service):
     assert isinstance(rows, list)
     for pos, inp, sug, dist, df in rows:
         assert dist <= 1 and df > 0
+
+
+def test_stats_route(client, service):
+    n_docs, n_terms, n_postings, n_tokens, avgdl = client.get(
+        "/stats"
+    ).get_json()
+    assert n_docs == service.corpus.count()
+    assert 0 < n_terms <= n_postings <= n_tokens
+    assert avgdl == round(n_tokens / n_docs, 6)

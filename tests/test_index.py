@@ -200,3 +200,43 @@ def test_index_title_matches_recompute(spark, tiny_corpus, index_dir, queries):
             for row in title_match_topk(spark, tiny_corpus, q["text"], 50).collect()
         ]
         assert got == want, q["text"]
+
+
+def test_stats_df_conserves_logical_stats(spark, tiny_corpus, tmp_path_factory):
+    """stats_df (artifact-derived) == the same aggregates recomputed
+    from the corpus text; Σdf == token-row count (posting conservation
+    through compression); also holds on a MERGED index (which has no
+    tokens artifact — stats come from dictionary + doc_stats only)."""
+    from engine.build import dictionary_df, doc_stats_df, tokens_df
+    from engine.index import build_index
+    from engine.merge import merge_indexes
+    from pyspark.sql import functions as F
+
+    d = str(tmp_path_factory.mktemp("stats_idx"))
+    r = build_index(spark, tiny_corpus, d, use_stem=False, n_shards=4, n_chunks=1)
+    got = r.stats_df().collect()[0]
+
+    toks = tokens_df(tiny_corpus, use_stem=False).persist()
+    n_post = toks.count()  # (doc_id, term) rows == Σdf
+    dic = dictionary_df(toks)
+    n_terms = dic.count()
+    ds = doc_stats_df(tiny_corpus, toks).agg(
+        F.count("*").alias("n"), F.sum("doc_len").alias("t")
+    ).collect()[0]
+    assert got["n_docs"] == ds["n"]
+    assert got["n_tokens"] == ds["t"]
+    assert got["n_terms"] == n_terms
+    assert got["n_postings"] == n_post
+    assert got["avgdl"] == round(ds["t"] / ds["n"], 6)
+
+    # merged twin: split the corpus, build halves, merge — stats equal
+    half_a = tiny_corpus.where(F.col("doc_id") % 2 == 0)
+    half_b = tiny_corpus.where(F.col("doc_id") % 2 == 1)
+    da = str(tmp_path_factory.mktemp("stats_a"))
+    db = str(tmp_path_factory.mktemp("stats_b"))
+    dm = str(tmp_path_factory.mktemp("stats_m"))
+    build_index(spark, half_a, da, use_stem=False, n_shards=4, n_chunks=1)
+    build_index(spark, half_b, db, use_stem=False, n_shards=4, n_chunks=1)
+    merged = merge_indexes(spark, da, db, dm)
+    got_m = merged.stats_df().collect()[0]
+    assert tuple(got_m) == tuple(got)
