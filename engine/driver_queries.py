@@ -1747,6 +1747,25 @@ def _q_qstring_indexed(spark, sf_dir):
     )
 
 
+# boost syntax (round 4): fast^2 doubles that term's BM25 partial,
+# slow^0.5 halves it; merge appears bare AND boosted -> explicit wins
+QSTRING_BOOST = '+table fast^2 slow^0.5 merge merge^1.5 -dup'
+
+
+def _q_qstring_boost(spark, sf_dir):
+    from .qparser import query_string_topk
+
+    return query_string_topk(
+        spark, _corpus(spark, sf_dir), QSTRING_BOOST, K, round_scores=ROUND
+    )
+
+
+def _q_qstring_boost_indexed(spark, sf_dir):
+    return _index_reader(spark, sf_dir).query_string_topk(
+        QSTRING_BOOST, K, round_scores=ROUND
+    )
+
+
 def _q_suggest(spark, sf_dir):
     from .wildcard import suggest_prefix
 
@@ -2101,6 +2120,9 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["did_you_mean"] = _q_did_you_mean
     out["did_you_mean_indexed"] = _q_did_you_mean_indexed
     out["index_stats_indexed"] = _q_index_stats
+    # query-string ^boost syntax (engine/qparser.py round-4 extension)
+    out["qstring_boost_topk"] = _q_qstring_boost
+    out["qstring_boost_indexed"] = _q_qstring_boost_indexed
     return _driver_order(out)
 
 
@@ -2380,4 +2402,8 @@ SELECT n_docs, n_terms, n_postings, n_tokens,
        round(n_tokens::DOUBLE / n_docs, 6) AS avgdl
 FROM d CROSS JOIN t
 """
+    out["qstring_boost_topk"] = query_string_sql(
+        QSTRING_BOOST, K, round_scores=ROUND
+    )
+    out["qstring_boost_indexed"] = out["qstring_boost_topk"]
     return _driver_order(out)

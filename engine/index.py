@@ -1486,7 +1486,7 @@ class IndexReader:
         import pandas as pd
 
         from .boolean import _decode_term_docs
-        from .qparser import parse_query, resolve_scoring_terms
+        from .qparser import parse_query, resolve_scoring_weights
 
         if self.use_stem:
             raise ValueError(
@@ -1496,12 +1496,11 @@ class IndexReader:
         spark = self.spark
         out_schema = "rank int, doc_id long, score double"
         parsed = parse_query(qs)
-        scoring = resolve_scoring_terms(
+        qtf_map = resolve_scoring_weights(
             spark, self.dictionary(), parsed, max_expansions
         )
-        if not scoring:
+        if not qtf_map:
             return spark.createDataFrame([], out_schema)
-        qtf_map = {t: 1.0 for t in scoring}
         for fld, _ in parsed.filters:
             if fld == "lang":
                 raise ValueError(

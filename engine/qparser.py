@@ -24,6 +24,13 @@ Grammar (whitespace-separated clauses)
                       (same candidate rule as engine/fuzzy.py),
                       capped ``max_expansions`` by (dist ASC, df DESC,
                       term ASC); expansions are SHOULD terms.
+- ``term^2.5``        boost (Lucene ``^``): the term's BM25 partial is
+                      multiplied by the boost (deboosting with < 1
+                      works too). Allowed on plain and ``+`` terms;
+                      rejected on ``-``/wildcard/fuzzy/field/phrase
+                      clauses. Per term the EXPLICIT boost wins over
+                      the implicit 1.0 of a bare appearance; multiple
+                      explicit boosts of one term take the max.
 - ``repo:x`` ``path:p`` ``lang:l``
                       metadata filter (AND of all): gates WHICH docs
                       may be emitted; ``path:`` is a prefix match.
@@ -38,7 +45,8 @@ Pinned semantics (cross-engine, the DuckDB mirror is the oracle)
   forms would be wrong). A clause that tokenizes to nothing (pure
   stopword) drops silently — Lucene analyzers do the same.
 - Scoring term set = DISTINCT(must ∪ should ∪ positive-phrase terms ∪
-  expansions), each with qtf = 1 (Lucene's scoring-boolean rewrite).
+  expansions), each with weight 1 (Lucene's scoring-boolean rewrite)
+  unless an explicit ``^boost`` sets it (resolve_scoring_weights).
   must_not terms never score.
 - A doc matches iff it contains ALL must terms, NONE of the must_not
   terms, every positive phrase contiguously, no negated phrase, and
@@ -81,6 +89,7 @@ FIELDS = ("repo", "path", "lang")
 
 _QUOTED_RE = re.compile(r'([+-]?)"([^"]*)"')
 _FIELD_RE = re.compile(r"^([a-z_]+):(.+)$")
+_BOOST_RE = re.compile(r"^(.+)\^(\d+(?:\.\d+)?)$")
 
 
 @dataclass(frozen=True)
@@ -93,6 +102,8 @@ class ParsedQuery:
     prefixes: tuple[str, ...] = ()
     fuzzies: tuple[str, ...] = ()
     filters: tuple[tuple[str, str], ...] = ()
+    # explicit ^boosts, one (term, boost) per boosted-clause token
+    boosts: tuple[tuple[str, float], ...] = ()
 
     @property
     def has_constraints(self) -> bool:
@@ -108,6 +119,7 @@ def parse_query(qs: str) -> ParsedQuery:
     prefixes: list[str] = []
     fuzzies: list[str] = []
     filters: list[tuple[str, str]] = []
+    boosts: list[tuple[str, float]] = []
 
     def _phrase(m: re.Match) -> str:
         sign, text = m.group(1), m.group(2)
@@ -125,15 +137,28 @@ def parse_query(qs: str) -> ParsedQuery:
             sign, raw = raw[0], raw[1:]
         if not raw:
             continue
+        if raw.startswith("^"):
+            raise ValueError(
+                f"{raw}: a boost needs a plain term to its left "
+                "(phrase boosts are not supported)"
+            )
+        boost: float | None = None
+        bm = _BOOST_RE.match(raw)
+        if bm:
+            raw, boost = bm.group(1), float(bm.group(2))
         fm = _FIELD_RE.match(raw)
         if fm and fm.group(1) in FIELDS:
             if sign:
                 raise ValueError(f"{sign}{raw}: +/- on a field filter is not supported")
+            if boost is not None:
+                raise ValueError(f"{raw}^{boost}: boost on a field filter is not supported")
             filters.append((fm.group(1), fm.group(2)))
             continue
         if raw.endswith("*"):
             if sign:
                 raise ValueError(f"{sign}{raw}: +/- on a wildcard clause is not supported")
+            if boost is not None:
+                raise ValueError(f"{raw}^{boost}: boost on a wildcard clause is not supported")
             p = raw[:-1].lower()
             if p:
                 prefixes.append(p)
@@ -141,12 +166,21 @@ def parse_query(qs: str) -> ParsedQuery:
         if raw.endswith("~"):
             if sign:
                 raise ValueError(f"{sign}{raw}: +/- on a fuzzy clause is not supported")
+            if boost is not None:
+                raise ValueError(f"{raw}^{boost}: boost on a fuzzy clause is not supported")
             toks = tokenize(raw[:-1], use_stem=False)
             fuzzies.extend(toks[:1])
             continue
+        if sign == "-" and boost is not None:
+            raise ValueError(
+                f"-{raw}^{boost}: boost on a must_not clause is not "
+                "supported (excluded docs never score)"
+            )
         toks = tokenize(raw, use_stem=False)
         dst = must_not if sign == "-" else (must if sign == "+" else should)
         dst.extend(toks)
+        if boost is not None:
+            boosts.extend((t, boost) for t in toks)
 
     m = sorted(set(must))
     return ParsedQuery(
@@ -157,6 +191,7 @@ def parse_query(qs: str) -> ParsedQuery:
         prefixes=tuple(prefixes),
         fuzzies=tuple(fuzzies),
         filters=tuple(filters),
+        boosts=tuple(sorted(set(boosts))),
     )
 
 
@@ -186,6 +221,26 @@ def resolve_scoring_terms(
         cand = fuzzy_terms(spark, dictionary, t, 1, k=max_expansions)
         terms.update(r["term"] for r in cand.select("term").collect())
     return sorted(terms)
+
+
+def resolve_scoring_weights(
+    spark: SparkSession,
+    dictionary: DataFrame,
+    parsed: ParsedQuery,
+    max_expansions: int = MAX_EXPANSIONS,
+) -> dict[str, float]:
+    """term → scoring weight: 1.0 for every resolved scoring term
+    (resolve_scoring_terms) unless an explicit ``^boost`` overrides it;
+    multiple explicit boosts of one term take the max (pinned — the
+    SQL mirror is coalesce(max(boost), 1.0) per term)."""
+    terms = resolve_scoring_terms(spark, dictionary, parsed, max_expansions)
+    w = {t: 1.0 for t in terms}
+    explicit: dict[str, float] = {}
+    for t, b in parsed.boosts:
+        if t in w:
+            explicit[t] = max(explicit.get(t, b), b)
+    w.update(explicit)
+    return w
 
 
 # ------------------------------------------------------------ recompute
@@ -233,14 +288,14 @@ def query_string_topk(
     parsed = parse_query(qs)
     # toks feeds the dictionary (expansions) AND the scoring join
     toks = tokens if tokens is not None else tokens_df(corpus, use_stem=False).persist()
-    scoring = resolve_scoring_terms(
+    weights = resolve_scoring_weights(
         spark, dictionary_df(toks), parsed, max_expansions
     )
-    if not scoring:
+    if not weights:
         return spark.createDataFrame([], "rank int, doc_id long, score double")
 
     qterms = spark.createDataFrame(
-        [(t, 1) for t in scoring], "term string, qtf long"
+        sorted(weights.items()), "term string, qtf double"
     )
     scored = bm25_scored_terms(corpus, qterms, use_stem=False, tokens=toks)
     agg = scored.groupBy("doc_id").agg(F.sum("partial_score").alias("score"))
@@ -291,23 +346,32 @@ def query_string_sql(
     parsed = parse_query(qs)
 
     # -- scoring term set: exact terms + in-SQL expansions ------------
+    # (term, boost-or-NULL) appearances; per term the final weight is
+    # coalesce(max(boost), 1.0) — the resolve_scoring_weights pin
     exact = set(parsed.must) | set(parsed.should)
     for ph, neg in parsed.phrases:
         if not neg:
             exact.update(ph)
     parts = []
     if exact:
-        vals = ", ".join(f"('{_sq(t)}')" for t in sorted(exact))
-        parts.append(f"SELECT term FROM (VALUES {vals}) v(term)")
+        vals = ", ".join(
+            f"('{_sq(t)}', NULL::DOUBLE)" for t in sorted(exact)
+        )
+        parts.append(f"SELECT term, b FROM (VALUES {vals}) v(term, b)")
+    if parsed.boosts:
+        vals = ", ".join(
+            f"('{_sq(t)}', {float(b)!r}::DOUBLE)" for t, b in parsed.boosts
+        )
+        parts.append(f"SELECT term, b FROM (VALUES {vals}) v(term, b)")
     for p in parsed.prefixes:
         parts.append(
-            f"SELECT term FROM (SELECT term FROM dict "
+            f"SELECT term, NULL::DOUBLE AS b FROM (SELECT term FROM dict "
             f"WHERE starts_with(term, '{_sq(p)}') "
             f"ORDER BY df DESC, term LIMIT {int(max_expansions)})"
         )
     for t in parsed.fuzzies:
         parts.append(
-            f"SELECT term FROM (SELECT term FROM dict "
+            f"SELECT term, NULL::DOUBLE AS b FROM (SELECT term FROM dict "
             f"WHERE levenshtein(term, '{_sq(t)}') <= 1 "
             f"ORDER BY levenshtein(term, '{_sq(t)}'), df DESC, term "
             f"LIMIT {int(max_expansions)})"
@@ -318,9 +382,9 @@ def query_string_sql(
             "0::DOUBLE AS score WHERE false"
         )
     q_cte = (
-        "q AS (SELECT DISTINCT term, 1::BIGINT AS qtf FROM ("
+        "q AS (SELECT term, coalesce(max(b), 1.0)::DOUBLE AS qtf FROM ("
         + " UNION ALL ".join(parts)
-        + "))"
+        + ") GROUP BY term)"
     )
 
     # -- match predicate ----------------------------------------------

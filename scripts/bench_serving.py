@@ -151,6 +151,38 @@ def main() -> None:
 
         timed("synonyms", lambda: synonym_topk_from_index(
             reader, q, {"merge": ["merge", "compaction"]}, 10))
+
+        # round-4 session-3 additions: regexp, did-you-mean, index
+        # stats, and function_score (exhaustive union scoring ×
+        # metadata decay — the rank-safe serving path, so this times
+        # the full matching-doc score set at 1.2M docs)
+        from pyspark.sql import functions as F
+
+        from engine.funcscore import gauss_factor_col
+        from engine.ranking import _ranked
+
+        timed("regexp", lambda: reader.regexp_topk("st[a-z]*m", 10, 8))
+        timed("did_you_mean", lambda: reader.did_you_mean(
+            "indxe merg partiton"))
+        timed("index_stats", lambda: reader.stats_df())
+
+        fs_meta = corpus.select(
+            "doc_id", F.length("content").cast("long").alias("n_chars")
+        )
+
+        def _function_score():
+            bm = reader.bm25_scores_all(q)
+            out = bm.join(fs_meta, "doc_id").select(
+                "doc_id",
+                F.round(
+                    F.col("score")
+                    * gauss_factor_col(F.col("n_chars"), 300.0, 150.0, 0.5),
+                    6,
+                ).alias("score"),
+            )
+            return _ranked(out, "score", 10)
+
+        timed("function_score", _function_score)
     finally:
         spark.stop()
         shutil.rmtree(idx_dir, ignore_errors=True)

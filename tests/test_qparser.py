@@ -32,6 +32,36 @@ def test_parse_negated_phrase_and_should():
     assert dict(p.filters) == {"lang": "en", "path": "doc/1"}
 
 
+def test_parse_boosts():
+    p = parse_query("+table fast^2 slow^0.5 merge merge^1.5")
+    assert p.must == ("table",)
+    assert set(p.should) == {"fast", "slow", "merge"}
+    assert dict(p.boosts) == {"fast": 2.0, "slow": 0.5, "merge": 1.5}
+    # repeated explicit boosts of one term take the max
+    assert dict(parse_query("scan^2 scan^3").boosts) == {"scan": 3.0}
+
+
+def test_parse_rejects_bad_boosts():
+    for bad in ("pre*^2", "merg~^2", "repo:src1^2", "-dup^2", '"row scan"^2'):
+        with pytest.raises(ValueError):
+            parse_query(bad)
+
+
+def test_boost_scales_partial(spark, sf1_corpus):
+    """score(term^2 alone) == 2 × score(term alone), doc for doc."""
+    base = {
+        r["doc_id"]: r["score"]
+        for r in query_string_topk(spark, sf1_corpus, "value", 10).collect()
+    }
+    twice = {
+        r["doc_id"]: r["score"]
+        for r in query_string_topk(spark, sf1_corpus, "value^2", 10).collect()
+    }
+    assert set(base) == set(twice) and base
+    for d, s in base.items():
+        assert twice[d] == pytest.approx(2.0 * s)
+
+
 def test_parse_stopword_clauses_drop_silently():
     p = parse_query('the a +the "the a"')
     assert p == parse_query("")
@@ -61,6 +91,9 @@ PARITY_QS = [
     "lang:en value scan",                         # lang filter (recompute)
     "+scan +row lang:fr",                         # multi-must + filter
     "zzz*",                                       # empty expansion
+    "+table fast^2 slow^0.5",                     # boost + deboost
+    "merge merge^1.5 scan",                       # bare + boosted (explicit wins)
+    'fast^2 -dup "row scan"',                     # boost beside constraints
 ]
 
 
