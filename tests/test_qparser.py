@@ -258,3 +258,36 @@ def test_indexed_plans_prune_terms_and_push_filters(spark, qidx):
 def test_suggest_dictionary_scan_is_pruned(spark, qidx):
     p = _plan_of(qidx.suggest_terms("se", 10))
     assert "StringStartsWith(term,se)" in p, p
+
+
+# ------------------------------------------------------- boost property
+
+def test_boost_parse_property():
+    """Property: for any mix of bare and ^boosted appearances of terms
+    from a stopword-free alphabet, parse_query's boosts map holds
+    exactly the max explicit boost per term, and bare-only terms carry
+    no entry."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    terms = st.sampled_from(["scanx", "mergey", "fastq", "tablez"])
+    clause = st.tuples(terms, st.one_of(
+        st.none(),
+        st.floats(min_value=0.1, max_value=9.5).map(lambda b: round(b, 2)),
+    ))
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.lists(clause, min_size=1, max_size=8))
+    def check(clauses):
+        qs = " ".join(
+            t if b is None else f"{t}^{b}" for t, b in clauses
+        )
+        p = parse_query(qs)
+        want = {}
+        for t, b in clauses:
+            if b is not None:
+                want[t] = max(want.get(t, b), b)
+        assert dict(p.boosts) == want
+        assert set(p.should) == {t for t, _ in clauses}
+
+    check()
