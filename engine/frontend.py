@@ -40,6 +40,12 @@ changing clients:
                      have); 0 for unknown ids. `/search?pageviews=1`
                      fuses it as the 4th signal.
 
+Round-4 session-3 routes: `/search_function_score` (BM25 × gauss
+decay), `/search_boosting` (negative demotion), `/search_msm`
+(minimum_should_match), `/search_regexp` (anchored dictionary
+expansion), `/did_you_mean` (per-position query correction), `/stats`
+(artifact-derived index statistics).
+
 Serving-layer notes, not engine semantics: results are
 `(doc_id, repo/path)` pairs like the reference's `(doc_id, title)`;
 one Spark job per request (interactive latency on a warm session —
@@ -855,6 +861,35 @@ class SearchService:
             )
         return [[r["query_id"], r["n_hits"]] for r in df.collect()]
 
+    def msearch(self, queries: list[str], k: int = 10) -> list[list]:
+        """[query_id, rank, doc_id, score] for N queries — the ES
+        _msearch analog. Index-backed: ONE Spark job for the whole
+        batch (IndexReader.bm25_topk_batch — one pruned postings scan
+        over the union of all query terms; single-query latency is
+        job-launch bound, so batch throughput scales with queries/job).
+        Recompute fallback: one job per query over a SHARED persisted
+        tokenize (the corpus tokenizes once, not N times)."""
+        qmap = {f"q{i}": q for i, q in enumerate(queries)}
+        if self.reader is not None:
+            df = self.reader.bm25_topk_batch(qmap, k)
+            return [
+                [r["query_id"], r["rank"], r["doc_id"], r["score"]]
+                for r in df.collect()
+            ]
+        from .build import tokens_df
+        from .query import bm25_topk_exhaustive
+
+        body = self.corpus.select("doc_id", "content")
+        toks = tokens_df(body, use_stem=self._use_stem).persist()
+        out: list[list] = []
+        for qid in sorted(qmap):
+            for r in bm25_topk_exhaustive(
+                self.spark, body, qmap[qid], k,
+                use_stem=self._use_stem, tokens=toks,
+            ).collect():
+                out.append([qid, r["rank"], r["doc_id"], r["score"]])
+        return out
+
     def get_pageview(self, doc_ids: list[int]) -> list[int]:
         """Pageview lookups — same isin-filter parquet shape as
         get_pagerank. When no explicit table is bound, serve the
@@ -1068,6 +1103,13 @@ def create_app(service: SearchService):
         return jsonify(
             service.term_vector(int(request.args.get("doc_id", "-1")))
         )
+
+    @app.route("/msearch")
+    def msearch():
+        # ?queries=a|b|c — pipe-separated batch, one Spark job when an
+        # index is bound
+        qs = [q for q in request.args.get("queries", "").split("|") if q]
+        return jsonify(service.msearch(qs))
 
     @app.route("/stats")
     def stats():

@@ -486,3 +486,22 @@ def test_stats_route(client, service):
     assert n_docs == service.corpus.count()
     assert 0 < n_terms <= n_postings <= n_tokens
     assert avgdl == round(n_tokens / n_docs, 6)
+
+
+def test_msearch_route_matches_single(client, service):
+    """Batch results per query == the single-query route, ranked."""
+    batch = client.get(
+        "/msearch", query_string={"queries": f"{QUERY}|merge segment"}
+    ).get_json()
+    assert batch
+    by_q = {}
+    for qid, rank, doc_id, score in batch:
+        by_q.setdefault(qid, []).append((rank, doc_id, score))
+    assert set(by_q) <= {"q0", "q1"}
+    # the bound index serves q0 identically to bm25 top-k on the reader
+    want = service.reader.bm25_topk(QUERY, 10).collect()
+    assert [(r["rank"], r["doc_id"]) for r in want] == [
+        (rk, d) for rk, d, _ in by_q["q0"]
+    ]
+    for rows in by_q.values():
+        assert [r[0] for r in rows] == list(range(1, len(rows) + 1))
