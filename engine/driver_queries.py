@@ -1050,6 +1050,20 @@ def _q_regexp_indexed(spark, sf_dir):
     )
 
 
+def _q_msm_indexed(spark, sf_dir):
+    return _index_reader(spark, sf_dir).msm_topk(
+        FIXED_QUERIES["q_multi"], K, min_should_match=MSM_M,
+        round_scores=ROUND,
+    )
+
+
+def _q_boosting_indexed(spark, sf_dir):
+    return _index_reader(spark, sf_dir).boosting_topk(
+        FIXED_QUERIES["q_table_scan"], "merge slow", K,
+        negative_boost=NEG_BOOST, round_scores=ROUND,
+    )
+
+
 def _q_fuzzy(spark, sf_dir):
     from .build import dictionary_df, tokens_df
     from .fuzzy import fuzzy_terms
@@ -2123,6 +2137,8 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # query-string ^boost syntax (engine/qparser.py round-4 extension)
     out["qstring_boost_topk"] = _q_qstring_boost
     out["qstring_boost_indexed"] = _q_qstring_boost_indexed
+    out["msm_topk_indexed"] = _q_msm_indexed
+    out["boosting_topk_indexed"] = _q_boosting_indexed
     return _driver_order(out)
 
 
@@ -2406,4 +2422,6 @@ FROM d CROSS JOIN t
         QSTRING_BOOST, K, round_scores=ROUND
     )
     out["qstring_boost_indexed"] = out["qstring_boost_topk"]
+    out["msm_topk_indexed"] = out["msm_topk"]
+    out["boosting_topk_indexed"] = out["boosting_topk"]
     return _driver_order(out)

@@ -623,7 +623,16 @@ class SearchService:
         negative_boost: float = 0.5,
     ) -> list[tuple]:
         """Lucene BoostingQuery (engine/funcscore.boosting_topk): docs
-        matching any negative term are demoted, not dropped."""
+        matching any negative term are demoted, not dropped —
+        posting-served when an index is bound (IndexReader.boosting_topk
+        tokenizes with the index's own analysis), else recompute."""
+        if self.reader is not None:
+            return self._with_meta(
+                self.reader.boosting_topk(
+                    query, negative, k, negative_boost=negative_boost
+                ),
+                "score",
+            )
         from .funcscore import boosting_topk
 
         return self._with_meta(
@@ -637,7 +646,16 @@ class SearchService:
     def search_msm(
         self, query: str, k: int = 10, *, min_should_match: int = 2
     ) -> list[tuple]:
-        """minimum_should_match OR search (engine/funcscore.msm_topk)."""
+        """minimum_should_match OR search (engine/funcscore.msm_topk) —
+        posting-served when an index is bound (IndexReader.msm_topk),
+        else recompute."""
+        if self.reader is not None:
+            return self._with_meta(
+                self.reader.msm_topk(
+                    query, k, min_should_match=min_should_match
+                ),
+                "score",
+            )
         from .funcscore import msm_topk
 
         return self._with_meta(

@@ -1118,6 +1118,103 @@ class IndexReader:
             round_scores=round_scores,
         )
 
+    def msm_topk(
+        self, query: str, k: int = 10, *, min_should_match: int = 2,
+        round_scores: int | None = None,
+    ) -> DataFrame:
+        """minimum_should_match OR search served from the index
+        (engine/funcscore.msm_topk semantics, same DuckDB oracle msm_sql):
+        scores from the exhaustive union kernel (bm25_scores_all), the
+        ≥ m distinct-terms gate from the posting doc runs — per shard
+        the decoded per-term runs concatenate and np.unique counts give
+        exact per-doc matched-term counts (a doc's postings live wholly
+        in its shard), so the gate's exchange is survivor-sized, never
+        the queried posting mass."""
+        import pandas as pd
+
+        from .boolean import _decode_term_docs
+
+        terms = sorted(set(tokenize(query, use_stem=self.use_stem)))
+        out_schema = "rank int, doc_id long, score double"
+        m = int(min_should_match)
+        if not terms or m > len(terms):
+            return self.spark.createDataFrame([], out_schema)
+        bm = self.bm25_scores_all(query)
+        if m > 1:
+            blocks = self.postings().where(F.col("term").isin(terms))
+
+            def count_kernel(key, pdf: pd.DataFrame) -> pd.DataFrame:
+                import numpy as np
+
+                runs = [_decode_term_docs(g) for _, g in pdf.groupby("term")]
+                if not runs:
+                    return pd.DataFrame({"doc_id": []}).astype({"doc_id": "int64"})
+                ids, counts = np.unique(np.concatenate(runs), return_counts=True)
+                return pd.DataFrame({"doc_id": ids[counts >= m]})
+
+            keep = blocks.groupBy("shard").applyInPandas(
+                count_kernel, "doc_id long"
+            )
+            bm = bm.join(keep, "doc_id")
+        if round_scores is not None:
+            bm = bm.select(
+                "doc_id", F.round("score", round_scores).alias("score")
+            )
+        topk = bm.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+        w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+        return topk.withColumn("rank", F.row_number().over(w)).select(
+            "rank", "doc_id", "score"
+        )
+
+    def boosting_topk(
+        self, positive: str, negative: str, k: int = 10, *,
+        negative_boost: float = 0.5, round_scores: int | None = None,
+    ) -> DataFrame:
+        """Lucene BoostingQuery served from the index
+        (engine/funcscore.boosting_topk semantics, oracle boosting_sql):
+        positive scores from the exhaustive union kernel — the demotion
+        factor is rank-unsafe after a top-k cut, like function_score —
+        and the negative doc set from the isin-pruned posting doc runs
+        (per-shard concat + unique; negative-posting-mass cost only)."""
+        import pandas as pd
+
+        from .boolean import _decode_term_docs
+
+        out_schema = "rank int, doc_id long, score double"
+        bm = self.bm25_scores_all(positive)
+        nterms = sorted(set(tokenize(negative, use_stem=self.use_stem)))
+        if nterms:
+            blocks = self.postings().where(F.col("term").isin(nterms))
+
+            def neg_kernel(key, pdf: pd.DataFrame) -> pd.DataFrame:
+                import numpy as np
+
+                runs = [_decode_term_docs(g) for _, g in pdf.groupby("term")]
+                if not runs:
+                    return pd.DataFrame({"doc_id": []}).astype({"doc_id": "int64"})
+                return pd.DataFrame({"doc_id": np.unique(np.concatenate(runs))})
+
+            neg = blocks.groupBy("shard").applyInPandas(
+                neg_kernel, "doc_id long"
+            ).withColumn("_neg", F.lit(True))
+            bm = bm.join(neg, "doc_id", "left").select(
+                "doc_id",
+                (
+                    F.col("score")
+                    * F.when(F.col("_neg"), F.lit(float(negative_boost)))
+                    .otherwise(F.lit(1.0))
+                ).alias("score"),
+            )
+        if round_scores is not None:
+            bm = bm.select(
+                "doc_id", F.round("score", round_scores).alias("score")
+            )
+        topk = bm.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+        w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+        return topk.withColumn("rank", F.row_number().over(w)).select(
+            "rank", "doc_id", "score"
+        )
+
     def doc_tokens(self) -> DataFrame:
         """The stage-1 array-form tokens checkpoint (doc_id, terms[],
         tfs[], doc_len, shard, …) — a permanent build artifact (resume +

@@ -183,6 +183,9 @@ def main() -> None:
             return _ranked(out, "score", 10)
 
         timed("function_score", _function_score)
+        timed("msm", lambda: reader.msm_topk(q, 10, min_should_match=2))
+        timed("boosting", lambda: reader.boosting_topk(
+            q, "merge", 10, negative_boost=0.5))
     finally:
         spark.stop()
         shutil.rmtree(idx_dir, ignore_errors=True)

@@ -226,3 +226,33 @@ def test_no_python_eval_in_hot_path(spark, docs, mk):
     p = _plan(mk(spark, docs))
     assert "BatchEvalPython" not in p, p
     assert "BroadcastHashJoin" in p or "BroadcastExchange" in p, p
+
+
+def test_msm_and_boosting_indexed_equal_recompute(
+    spark, docs, tiny_corpus, tmp_path_factory
+):
+    """Posting-served msm/boosting == the recompute twins on rounded
+    keys, across gate values and boost factors."""
+    from engine.index import build_index
+
+    d = str(tmp_path_factory.mktemp("idx_fs"))
+    reader = build_index(
+        spark, tiny_corpus, d, use_stem=False, n_shards=4, n_chunks=1,
+    )
+    body = docs.select("doc_id", "content")
+    for m in (1, 2, 3):
+        rec = msm_topk(spark, body, Q, K, min_should_match=m, round_scores=R)
+        idx = reader.msm_topk(Q, K, min_should_match=m, round_scores=R)
+        assert _vals(rec) == _vals(idx), m
+    for nb in (0.25, 0.5):
+        rec = boosting_topk(
+            spark, body, Q, "merge", K, negative_boost=nb, round_scores=R
+        )
+        idx = reader.boosting_topk(
+            Q, "merge", K, negative_boost=nb, round_scores=R
+        )
+        assert _vals(rec) == _vals(idx), nb
+    # empty negative == plain bm25 on both paths
+    assert _vals(
+        reader.boosting_topk(Q, "", K, round_scores=R)
+    ) == _vals(boosting_topk(spark, body, Q, "", K, round_scores=R))
