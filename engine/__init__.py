@@ -38,8 +38,12 @@ Layout
   :mod:`engine.explain` (score breakdown), :mod:`engine.rescore`
   (two-phase rescoring), :mod:`engine.sortby` (sort-by-field),
   :mod:`engine.phrase` / :mod:`engine.positions` (positional search),
-  :mod:`engine.boolean`, :mod:`engine.fuzzy`, :mod:`engine.wildcard`,
-  :mod:`engine.mlt`, :mod:`engine.facets`.
+  :mod:`engine.boolean`, :mod:`engine.fuzzy` (incl. did_you_mean),
+  :mod:`engine.wildcard` (prefix + regexp), :mod:`engine.mlt`,
+  :mod:`engine.facets`, :mod:`engine.aggs` (ES aggregations),
+  :mod:`engine.funcscore` (function_score / boosting /
+  minimum_should_match), :mod:`engine.synonyms`,
+  :mod:`engine.federated`, :mod:`engine.percolate`.
 - :mod:`engine.frontend`    — reference-API Flask serving facade.
 """
 

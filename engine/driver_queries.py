@@ -599,6 +599,32 @@ FROM agg ORDER BY score DESC, doc_id ASC LIMIT {k}
 """
 
 
+def mlt_text_sql(text: str, k: int = K, m_terms: int = 5) -> str:
+    """DuckDB mirror of engine/mlt.mlt_text — like-text MLT: seeds from
+    the text's term counts × corpus idf (rounded sort key), qtf=1 BM25,
+    no source exclusion."""
+    tf = Counter(tokenize(text, use_stem=False))
+    if not tf:
+        return (
+            "SELECT 0::INTEGER AS rank, 0::BIGINT AS doc_id, "
+            "0::DOUBLE AS score WHERE false"
+        )
+    rows = ", ".join(
+        "('" + t.replace("'", "''") + f"', {c}::BIGINT)"
+        for t, c in sorted(tf.items())
+    )
+    return f"""
+WITH {_base_ctes()},
+qt(term, tf) AS (VALUES {rows}),
+seed AS (SELECT d.term,
+                round((1.0 + log10(least(qt.tf, 65535)::DOUBLE))
+                      * log10(s.n_docs::DOUBLE / d.df::DOUBLE), 6) AS w
+         FROM dict d JOIN qt USING (term) CROSS JOIN stats s
+         ORDER BY w DESC, d.term ASC LIMIT {int(m_terms)}),
+q AS (SELECT term, 1::BIGINT AS qtf FROM seed),
+{_bm25_tail_sql(k)}"""
+
+
 def facet_counts_sql(query: str, facet: str, k: int = 20) -> str:
     """DuckDB mirror of engine/facets.facet_counts — OR-match set
     grouped by a metadata column (NULL facets excluded)."""
@@ -1047,6 +1073,24 @@ def _q_regexp(spark, sf_dir):
 def _q_regexp_indexed(spark, sf_dir):
     return _index_reader(spark, sf_dir).regexp_topk(
         REGEXP_PAT, K, round_scores=ROUND
+    )
+
+
+# like-text MLT fixed input: in-vocabulary terms at varied rarity
+MLT_TEXT = "fast table scan with hash join and a sort merge dup"
+
+
+def _q_mlt_text(spark, sf_dir):
+    from .mlt import mlt_text
+
+    return mlt_text(
+        spark, _docs(spark, sf_dir), MLT_TEXT, K, 5, round_scores=ROUND
+    )
+
+
+def _q_mlt_text_indexed(spark, sf_dir):
+    return _index_reader(spark, sf_dir).mlt_text(
+        MLT_TEXT, K, 5, round_scores=ROUND
     )
 
 
@@ -2139,6 +2183,8 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["qstring_boost_indexed"] = _q_qstring_boost_indexed
     out["msm_topk_indexed"] = _q_msm_indexed
     out["boosting_topk_indexed"] = _q_boosting_indexed
+    out["mlt_text"] = _q_mlt_text
+    out["mlt_text_indexed"] = _q_mlt_text_indexed
     return _driver_order(out)
 
 
@@ -2424,4 +2470,6 @@ FROM d CROSS JOIN t
     out["qstring_boost_indexed"] = out["qstring_boost_topk"]
     out["msm_topk_indexed"] = out["msm_topk"]
     out["boosting_topk_indexed"] = out["boosting_topk"]
+    out["mlt_text"] = mlt_text_sql(MLT_TEXT, K, 5)
+    out["mlt_text_indexed"] = out["mlt_text"]
     return _driver_order(out)

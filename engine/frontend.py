@@ -509,6 +509,24 @@ class SearchService:
         )
         return [[r["term"], r["n_tu"], float(r["pmi"])] for r in df.collect()]
 
+    def mlt(self, text: str, k: int = 10, m_terms: int = 5) -> list[tuple]:
+        """More-like-this over arbitrary LIKE-text (engine/mlt.mlt_text):
+        artifact-served when the bound index is unstemmed (seeds from
+        the isin-pruned dictionary), else the recompute twin."""
+        if self.reader is not None and not self.reader.use_stem:
+            return self._with_meta(
+                self.reader.mlt_text(text, k, m_terms), "score"
+            )
+        from .mlt import mlt_text
+
+        return self._with_meta(
+            mlt_text(
+                self.spark, self.corpus.select("doc_id", "content"),
+                text, k, m_terms,
+            ),
+            "score",
+        )
+
     def facets(self, query: str, facet: str = "lang", k: int = 20) -> list[list]:
         """Facet counts [value, n_docs] over the OR-match set
         (engine/facets.facet_counts); facet column must exist on the
@@ -1121,6 +1139,10 @@ def create_app(service: SearchService):
         return jsonify(
             service.term_vector(int(request.args.get("doc_id", "-1")))
         )
+
+    @app.route("/mlt")
+    def mlt():
+        return jsonify(service.mlt(request.args.get("like", "")))
 
     @app.route("/msearch")
     def msearch():

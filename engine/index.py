@@ -1293,6 +1293,51 @@ class IndexReader:
             exclude_ids=[src_id],
         )
 
+    def mlt_text(
+        self, text: str, k: int = 10, m_terms: int = 5, *,
+        prune: bool = True, round_scores: int | None = None,
+    ) -> DataFrame:
+        """Artifact-only MLT for ARBITRARY text (engine/mlt.mlt_text
+        semantics, oracle mlt_text_sql): the text side is a driver-tiny
+        frame broadcast against the isin-PRUNED dictionary (only the
+        text's terms are read), seeds picked by the shared rounded
+        weight key, scored qtf=1 by the block-max kernel. No source
+        exclusion — the text is not a corpus doc. Unstemmed-guarded
+        like more_like_this."""
+        from collections import Counter
+
+        from . import TF_CAP
+
+        if self.use_stem:
+            raise ValueError("mlt_text serves unstemmed indexes only")
+        tf = Counter(tokenize(text, use_stem=False))
+        if not tf:
+            return self.spark.createDataFrame(
+                [], "rank int, doc_id long, score double"
+            )
+        qdf = self.spark.createDataFrame(
+            sorted((t, int(c)) for t, c in tf.items()), "term string, tf long"
+        )
+        n = self.manifest["stats"]["n_docs"]
+        weight = (
+            1.0 + F.log10(F.least(F.col("tf"), F.lit(TF_CAP)).cast("double"))
+        ) * F.log10(F.lit(float(n)) / F.col("df").cast("double"))
+        seed = (
+            self.dictionary()
+            .where(F.col("term").isin(sorted(tf)))
+            .join(F.broadcast(qdf), "term")
+            .select("term", F.round(weight, 6).alias("w"))
+            .orderBy(F.desc("w"), F.asc("term"))
+            .limit(m_terms)
+            .collect()
+        )
+        return self._qtf_topk(
+            {r["term"]: 1.0 for r in seed},
+            k,
+            prune=prune,
+            round_scores=round_scores,
+        )
+
     def filtered_topk(
         self, query: str, k: int = 10, *, repo: str | None = None,
         path_prefix: str | None = None, round_scores: int | None = None,

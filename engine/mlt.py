@@ -148,3 +148,60 @@ def more_like_this(
     if round_scores is not None:
         agg = agg.select("doc_id", F.round("score", round_scores).alias("score"))
     return _ranked(agg, "score", k)
+
+
+# --------------------------------------------- more-like-this (like-text)
+
+def mlt_text(
+    spark: SparkSession,
+    corpus: DataFrame,
+    text: str,
+    k: int = 10,
+    m_terms: int = 5,
+    *,
+    round_scores: int | None = None,
+) -> DataFrame:
+    """(rank, doc_id, score) — docs most similar to ARBITRARY text (the
+    ES more_like_this ``like``-text form; more_like_this above is the
+    stored-document form). Seed selection is the same pinned rule: per
+    text term, weight = (1 + log10(min(tf, TF_CAP))) ×
+    log10(N / df) with df from the CORPUS dictionary (terms absent
+    from the vocabulary drop — they can't retrieve anything); top
+    ``m_terms`` by (rounded weight DESC, term ASC); seeds score as
+    qtf=1 BM25. No source exclusion — the text is not a corpus doc.
+
+    Scale shape: the text side is a driver-tiny VALUES frame; df/N
+    lookups broadcast-join it against the dictionary; scoring reuses
+    the exhaustive plan. DuckDB mirror: mlt_text_sql."""
+    from collections import Counter
+
+    from .query import bm25_scored_terms
+    from .ranking import _ranked
+    from .tokenizer import tokenize
+
+    tf = Counter(tokenize(text, use_stem=False))
+    if not tf:
+        return spark.createDataFrame([], "rank int, doc_id long, score double")
+    toks = tokens_df(corpus, use_stem=False).persist()
+    dic = dictionary_df(toks)
+    stats = corpus_stats_df(doc_stats_df(corpus, toks)).select("n_docs")
+    qdf = spark.createDataFrame(
+        sorted((t, int(c)) for t, c in tf.items()), "term string, tf long"
+    )
+    weight = (
+        1.0 + F.log10(F.least(F.col("tf"), F.lit(TF_CAP)).cast("double"))
+    ) * F.log10(F.col("n_docs").cast("double") / F.col("df").cast("double"))
+    seed = (
+        dic.select("term", "df")
+        .join(F.broadcast(qdf), "term")
+        .crossJoin(F.broadcast(stats))
+        .select("term", F.round(weight, 6).alias("w"))
+        .orderBy(F.desc("w"), F.asc("term"))
+        .limit(m_terms)
+    )
+    qterms = seed.select("term", F.lit(1).cast("long").alias("qtf"))
+    scored = bm25_scored_terms(corpus, qterms, use_stem=False, tokens=toks)
+    agg = scored.groupBy("doc_id").agg(F.sum("partial_score").alias("score"))
+    if round_scores is not None:
+        agg = agg.select("doc_id", F.round("score", round_scores).alias("score"))
+    return _ranked(agg, "score", k)

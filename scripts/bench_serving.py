@@ -183,6 +183,8 @@ def main() -> None:
             return _ranked(out, "score", 10)
 
         timed("function_score", _function_score)
+        timed("mlt_text", lambda: reader.mlt_text(
+            "index merge partition scan", 10, 5))
         timed("msm", lambda: reader.msm_topk(q, 10, min_should_match=2))
         timed("boosting", lambda: reader.boosting_topk(
             q, "merge", 10, negative_boost=0.5))

@@ -505,3 +505,15 @@ def test_msearch_route_matches_single(client, service):
     ]
     for rows in by_q.values():
         assert [r[0] for r in rows] == list(range(1, len(rows) + 1))
+
+
+def test_mlt_route(client, service):
+    rows = client.get(
+        "/mlt", query_string={"like": "index merge segment build"}
+    ).get_json()
+    assert rows and len(rows) <= 10
+    scores = [r[2] for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    # unknown-vocabulary text -> empty, no throw
+    r = client.get("/mlt", query_string={"like": "zzz qqq"})
+    assert r.status_code == 200 and r.get_json() == []

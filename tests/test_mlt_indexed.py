@@ -42,3 +42,26 @@ def test_mlt_rejects_stemmed_index(spark, tiny_corpus, tmp_path_factory):
     r = build_index(spark, tiny_corpus, d, use_stem=True, n_shards=4, n_chunks=1)
     with pytest.raises(ValueError, match="unstemmed"):
         r.more_like_this(10, 5)
+
+
+def test_mlt_text_indexed_equals_recompute(spark, tiny_corpus, tmp_path_factory):
+    """Like-text MLT: artifact path == recompute on rounded keys; empty
+    and out-of-vocabulary text yield empty frames on both."""
+    from engine.index import build_index
+    from engine.mlt import mlt_text
+
+    d = str(tmp_path_factory.mktemp("mlt_text_idx"))
+    reader = build_index(
+        spark, tiny_corpus, d, use_stem=False, n_shards=4, n_chunks=1
+    )
+    body = tiny_corpus.select("doc_id", "content")
+    for text in (
+        "index merge segment build",
+        "compression varint posting",
+        "index index index merge",  # repeated terms change seed weights
+    ):
+        rec = mlt_text(spark, body, text, 10, 5, round_scores=6).collect()
+        idx = reader.mlt_text(text, 10, 5, round_scores=6).collect()
+        assert [tuple(r) for r in rec] == [tuple(r) for r in idx], text
+    assert reader.mlt_text("", 10).count() == 0
+    assert reader.mlt_text("zzzq qqqz", 10).count() == 0
