@@ -357,6 +357,31 @@ class SearchService:
             df = fuzzy_terms(self.spark, self._dictionary, term, 1, k)
         return [[r["term"], r["dist"], r["df"]] for r in df.collect()]
 
+    def validate_query(self, qs: str) -> dict:
+        """ES _validate/query analog: parse the query string without
+        running it — {valid, clauses} on success, {valid: False,
+        error} on a grammar violation. Pure driver-side parse, no
+        Spark job."""
+        from .qparser import parse_query
+
+        try:
+            p = parse_query(qs)
+        except ValueError as exc:
+            return {"valid": False, "error": str(exc)}
+        return {
+            "valid": True,
+            "must": list(p.must),
+            "should": list(p.should),
+            "must_not": list(p.must_not),
+            "phrases": [
+                {"terms": list(t), "negated": neg} for t, neg in p.phrases
+            ],
+            "prefixes": list(p.prefixes),
+            "fuzzies": list(p.fuzzies),
+            "filters": [{"field": f, "value": v} for f, v in p.filters],
+            "boosts": [{"term": t, "boost": b} for t, b in p.boosts],
+        }
+
     def index_stats(self) -> list:
         """[n_docs, n_terms, n_postings, n_tokens, avgdl] — the ES
         _cat/indices analog, artifact-derived when an index is bound
@@ -1154,6 +1179,10 @@ def create_app(service: SearchService):
     @app.route("/stats")
     def stats():
         return jsonify(service.index_stats())
+
+    @app.route("/validate")
+    def validate():
+        return jsonify(service.validate_query(_query()))
 
     @app.route("/did_you_mean")
     def did_you_mean():

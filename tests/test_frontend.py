@@ -517,3 +517,16 @@ def test_mlt_route(client, service):
     # unknown-vocabulary text -> empty, no throw
     r = client.get("/mlt", query_string={"like": "zzz qqq"})
     assert r.status_code == 200 and r.get_json() == []
+
+
+def test_validate_route(client):
+    ok = client.get(
+        "/validate",
+        query_string={"query": '+table fast^2 s* merg~ -dup "row scan" repo:src1'},
+    ).get_json()
+    assert ok["valid"] is True
+    assert ok["must"] == ["table"]
+    assert ok["boosts"] == [{"term": "fast", "boost": 2.0}]
+    assert ok["filters"] == [{"field": "repo", "value": "src1"}]
+    bad = client.get("/validate", query_string={"query": "pre*^2"}).get_json()
+    assert bad["valid"] is False and "boost" in bad["error"]
