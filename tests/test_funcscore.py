@@ -256,3 +256,23 @@ def test_msm_and_boosting_indexed_equal_recompute(
     assert _vals(
         reader.boosting_topk(Q, "", K, round_scores=R)
     ) == _vals(boosting_topk(spark, body, Q, "", K, round_scores=R))
+
+
+def test_indexed_twin_plans_prune_postings(spark, tiny_corpus, tmp_path_factory):
+    """The posting-served twins must push the queried-term isin into
+    the postings parquet scan (PushedFilters In(term, ...)) — at 100 TB
+    the decode cost must be the queried posting mass, not the index."""
+    from engine.index import build_index
+
+    d = str(tmp_path_factory.mktemp("idx_fs_plans"))
+    reader = build_index(
+        spark, tiny_corpus, d, use_stem=False, n_shards=4, n_chunks=1,
+    )
+    for df in (
+        reader.msm_topk(Q, K, min_should_match=2),
+        reader.boosting_topk(Q, "merge", K),
+        reader.mlt_text("index merge segment", K),
+        reader.regexp_topk("m[a-z]*e", K),
+    ):
+        p = _plan(df)
+        assert "PushedFilters" in p and "In(term" in p, p
