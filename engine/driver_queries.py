@@ -1014,25 +1014,24 @@ def _q_function_score(spark, sf_dir):
 
 
 def _q_function_score_indexed(spark, sf_dir):
-    # decay is rank-unsafe after a top-k cut, so the exact serving path
-    # is the exhaustive union scoring over pruned posting blocks
-    # (bm25_scores_all) × the factor over a NARROW metadata projection
-    from .funcscore import gauss_factor_col
-    from .ranking import _ranked
-
-    bm = _index_reader(spark, sf_dir).bm25_scores_all(
-        FIXED_QUERIES["q_table_scan"]
-    )
+    # TA candidate serving with exhaustive fallback (IndexReader.
+    # function_score_topk): the gauss factor is ≤ f_max from the cached
+    # field range, so pruned-kernel candidates certify exactness; the
+    # fallback is the same bm25_scores_all × factor plan as before.
     meta = _docs_meta(spark, sf_dir).select("doc_id", "n_chars")
-    out = bm.join(meta, "doc_id").select(
-        "doc_id",
-        F.round(
-            F.col("score")
-            * gauss_factor_col(F.col("n_chars"), FS_ORIGIN, FS_SCALE, FS_DECAY),
-            ROUND,
-        ).alias("score"),
+    return _index_reader(spark, sf_dir).function_score_topk(
+        FIXED_QUERIES["q_table_scan"], meta, K, value_col="n_chars",
+        origin=FS_ORIGIN, scale=FS_SCALE, decay=FS_DECAY,
+        round_scores=ROUND,
     )
-    return _ranked(out, "score", K)
+
+
+def _q_fvf_indexed(spark, sf_dir):
+    meta = _docs_meta(spark, sf_dir).select("doc_id", "n_chars")
+    return _index_reader(spark, sf_dir).field_value_factor_topk(
+        FIXED_QUERIES["q_multi"], meta, K, value_col="n_chars",
+        factor=FVF_FACTOR, round_scores=ROUND,
+    )
 
 
 def _q_fvf(spark, sf_dir):
@@ -2170,6 +2169,7 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["function_score_topk"] = _q_function_score
     out["function_score_indexed"] = _q_function_score_indexed
     out["field_value_factor_topk"] = _q_fvf
+    out["field_value_factor_indexed"] = _q_fvf_indexed
     out["boosting_topk"] = _q_boosting
     out["msm_topk"] = _q_msm
     out["regexp_topk"] = _q_regexp
@@ -2443,6 +2443,7 @@ def oracle_sqls() -> dict[str, str]:
     out["field_value_factor_topk"] = field_value_factor_sql(
         FIXED_QUERIES["q_multi"], K, factor=FVF_FACTOR
     )
+    out["field_value_factor_indexed"] = out["field_value_factor_topk"]
     out["boosting_topk"] = boosting_sql(
         FIXED_QUERIES["q_table_scan"], "merge slow", K,
         negative_boost=NEG_BOOST,

@@ -648,8 +648,18 @@ class SearchService:
         origin: float = 300.0, scale: float = 150.0, decay: float = 0.5,
     ) -> list[tuple]:
         """BM25 × gauss decay on content length (ES function_score,
-        engine/funcscore.py); the factor is rank-unsafe after a top-k
-        cut, so this always scores the full match set."""
+        engine/funcscore.py) — posting-served when an index is bound
+        (IndexReader.function_score_topk: rank-safe TA candidates with
+        exhaustive fallback), else recompute over the corpus."""
+        if self.reader is not None:
+            meta = self._agg_corpus().select("doc_id", "n_chars")
+            return self._with_meta(
+                self.reader.function_score_topk(
+                    query, meta, k, value_col="n_chars",
+                    origin=origin, scale=scale, decay=decay,
+                ),
+                "score",
+            )
         from .funcscore import function_score_topk
 
         return self._with_meta(

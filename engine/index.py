@@ -552,6 +552,11 @@ class IndexReader:
         self._title_dfs: dict[str, int] = {}  # term -> title df (TA dispatch)
         self.fusion_ta_served = 0
         self.fusion_ta_fallback = 0
+        # modifier TA serving (see _mod_serve): cached metadata-field
+        # ranges (factor upper bounds) + observability counters
+        self._meta_ranges: dict[str, tuple[float, float]] = {}
+        self.mod_ta_served = 0
+        self.mod_ta_fallback = 0
         ensure_importable(self.spark)
 
     # ---- tombstones (engine/compact.py; Lucene liveDocs semantics) ----
@@ -1139,6 +1144,40 @@ class IndexReader:
         m = int(min_should_match)
         if not terms or m > len(terms):
             return self.spark.createDataFrame([], out_schema)
+
+        # TA serving (see _mod_serve): the msm gate never changes a
+        # score (f_max = 1), so candidates from the pruned kernel +
+        # the candidate-restricted gate certify whenever the k-th
+        # gated score beats the k'-th raw kernel score.
+        from .ranking import _ranked
+
+        def assemble(cand_pdf):
+            import numpy as np
+
+            pdf = cand_pdf
+            if m > 1:
+                cand_sorted = np.unique(
+                    pdf["doc_id"].to_numpy(dtype=np.int64)
+                )
+                gated = self._cand_match_ids(terms, cand_sorted, m)
+                pdf = pdf[np.isin(
+                    pdf["doc_id"].to_numpy(dtype=np.int64), gated
+                )]
+            small = self.spark.createDataFrame(
+                pdf, "doc_id long, score double"
+            )
+            if round_scores is not None:
+                small = small.select(
+                    "doc_id", F.round("score", round_scores).alias("score")
+                )
+            return _ranked(small, "score", k)
+
+        served = self._mod_serve(
+            ("msm", m, int(k)), query, k, 1.0, assemble, round_scores
+        )
+        if served is not None:
+            return served
+
         bm = self.bm25_scores_all(query)
         if m > 1:
             blocks = self.postings().where(F.col("term").isin(terms))
@@ -1181,8 +1220,54 @@ class IndexReader:
         from .boolean import _decode_term_docs
 
         out_schema = "rank int, doc_id long, score double"
-        bm = self.bm25_scores_all(positive)
         nterms = sorted(set(tokenize(negative, use_stem=self.use_stem)))
+
+        # TA serving (see _mod_serve): negative_boost ≤ 1 only demotes,
+        # so f_max = max(1, negative_boost) bounds the modifier and the
+        # negative set is probed for CANDIDATES only (block-skip +
+        # candidate mask — candidate-mass cost, not neg-posting mass).
+        from .ranking import _ranked
+
+        def assemble(cand_pdf):
+            import numpy as np
+
+            pdf = cand_pdf.copy()
+            if nterms:
+                cand_sorted = np.unique(
+                    pdf["doc_id"].to_numpy(dtype=np.int64)
+                )
+                neg = self._cand_match_ids(nterms, cand_sorted, 1)
+                pdf["_neg"] = np.isin(
+                    pdf["doc_id"].to_numpy(dtype=np.int64), neg
+                )
+            else:
+                pdf["_neg"] = False
+            small = self.spark.createDataFrame(
+                pdf, "doc_id long, score double, _neg boolean"
+            )
+            out = small.select(
+                "doc_id",
+                (
+                    F.col("score")
+                    * F.when(F.col("_neg"), F.lit(float(negative_boost)))
+                    .otherwise(F.lit(1.0))
+                ).alias("score"),
+            )
+            if round_scores is not None:
+                out = out.select(
+                    "doc_id", F.round("score", round_scores).alias("score")
+                )
+            return _ranked(out, "score", k)
+
+        served = self._mod_serve(
+            ("boost", tuple(nterms), float(negative_boost), int(k)),
+            positive, k, max(1.0, float(negative_boost)), assemble,
+            round_scores,
+        )
+        if served is not None:
+            return served
+
+        bm = self.bm25_scores_all(positive)
         if nterms:
             blocks = self.postings().where(F.col("term").isin(nterms))
 
@@ -2384,6 +2469,321 @@ class IndexReader:
                 expr = expr + w * F.coalesce(col, F.lit(0.0))
         fused = fused.select("doc_id", F.round(expr, ROUND).alias("score"))
         return _ranked(fused, "score", k).collect()
+
+    # ---- modifier serving: rank-safe TA for doc-value modifiers -------
+    #
+    # function_score (gauss decay), field_value_factor, boosting, and
+    # minimum_should_match all rescore or gate the SAME bm25 score with
+    # a per-doc modifier that is bounded above: the gauss factor by
+    # f_max ≤ 1 (computable from the field's corpus range, cached per
+    # reader), ln1p(fvf) by its value at the field max (the modifier is
+    # monotone), the boosting factor by 1 (negative_boost < 1 only
+    # demotes), and the msm gate leaves scores unchanged. So the
+    # exhaustive union scoring (bm25_scores_all — a corpus-matching-
+    # sized job per query at 100 TB) is NOT the only exact path:
+    #
+    #   1. generate candidates C with the per-shard block-max kernel
+    #      at depth k' (eps=0) — every doc outside C provably has
+    #      body bm25 < θ_b (θ_b = global k'-th kernel score; a cut doc
+    #      scores below its own shard's k'-th, which is ≤ θ_b);
+    #   2. apply the modifier to C only, Spark-side with the exhaustive
+    #      path's own expression tree (values bit-identical), rank,
+    #      collect k rows → Θ = the k-th ROUNDED modified score;
+    #   3. serve iff θ_b · f_max < Θ − 2·10⁻ᴿ: any outside doc's
+    #      modified score is < θ_b·f_max, so its rounded value lands
+    #      strictly below Θ and cannot displace a served row.
+    #
+    # k' escalates once before falling back (a strong modifier flattens
+    # the gap between Θ and the k'-th raw bm25, so fusion's shallow
+    # depth floor certifies too rarely); _FUSION_TA_FAIL_LIMIT
+    # consecutive post-work misses disable the variant on this reader
+    # (the property that defeats the bound — e.g. a decay that crushes
+    # every top doc — is per-index+params, not per-query). Fallback is
+    # the exhaustive plan: never wrong, only slower.
+
+    _MOD_TA_KBODY = (128, 1024)  # candidate depths tried before fallback
+    _MOD_TA_KBODY_MULT = (8, 64)  # per-k multipliers (depth = max(m·k, floor))
+
+    def _mod_miss(self, variant):
+        """Post-work modifier-TA fallback; disable after the same
+        consecutive-miss limit as fusion (shared _fusion_ta_off set,
+        disjoint variant keys)."""
+        self.mod_ta_fallback += 1
+        n = self._fusion_ta_fails.get(variant, 0) + 1
+        self._fusion_ta_fails[variant] = n
+        self._fusion_ta_stats.setdefault(variant, [0, 0])[1] += 1
+        if n >= self._FUSION_TA_FAIL_LIMIT:
+            self._fusion_ta_off.add(variant)
+        return None
+
+    def _mod_hit(self, variant) -> None:
+        self.mod_ta_served += 1
+        self._fusion_ta_stats.setdefault(variant, [0, 0])[0] += 1
+        self._fusion_ta_fails.pop(variant, None)
+
+    def _meta_range(self, key: str, meta: DataFrame, col: str):
+        """Cached (min, max) of a STATIC metadata column — one narrow
+        2-agg scan per reader lifetime, bounds the decay/fvf factor."""
+        hit = self._meta_ranges.get(key)
+        if hit is None:
+            row = meta.agg(
+                F.min(F.col(col).cast("double")).alias("lo"),
+                F.max(F.col(col).cast("double")).alias("hi"),
+            ).collect()[0]
+            if row["lo"] is None:
+                hit = (0.0, 0.0)
+            else:
+                hit = (float(row["lo"]), float(row["hi"]))
+            self._meta_ranges[key] = hit
+        return hit
+
+    def _mod_serve(self, variant, query: str, k: int, f_max: float,
+                   assemble, round_scores: int | None) -> DataFrame | None:
+        """Shared TA loop for the modifier family. ``assemble(cand)``
+        takes the candidate pandas frame (doc_id, score) and returns
+        the ranked top-k DataFrame built with the exhaustive path's
+        Spark expressions. Returns the served DataFrame or None
+        (caller falls back; exactness never depends on serving).
+        Dispatch gates (no miss recorded): small corpus, variant
+        adaptively disabled. Rounded serving certifies with a
+        2·10⁻ᴿ margin (outside docs round strictly below Θ);
+        unrounded serving needs no margin beyond the f_max ulp guard —
+        candidate scores and Θ live in the same float space as the
+        exhaustive path (identical kernel accumulation + Spark
+        expression tree), and outside docs are strictly < θ_b·f_max,
+        so even a score tie at Θ is impossible."""
+        import numpy as np
+
+        from collections import Counter
+
+        spark = self.spark
+        out_schema = "rank int, doc_id long, score double"
+        if self.manifest["stats"]["n_docs"] < self._FUSION_TA_MIN_DOCS:
+            return None  # cost-based dispatch: exhaustive wins when small
+        if variant in self._fusion_ta_off:
+            return None
+        qtf = Counter(tokenize(query, use_stem=self.use_stem))
+        if not qtf:
+            return spark.createDataFrame([], out_schema)
+        qtf_map = {t: float(c) for t, c in qtf.items()}
+        margin = (
+            2.0 * 10.0 ** (-round_scores) if round_scores is not None else 0.0
+        )
+        depths = [
+            max(m * k, floor)
+            for m, floor in zip(self._MOD_TA_KBODY_MULT, self._MOD_TA_KBODY)
+        ]
+        for k_body in depths:
+            cand = self._body_candidate_pdf(qtf_map, k_body, 0.0, None)
+            if not len(cand):
+                self._mod_hit(variant)
+                return spark.createDataFrame([], out_schema)
+            sc = cand["score"].to_numpy()
+            outside_possible = sc.size >= k_body
+            rows = assemble(cand[["doc_id", "score"]]).collect()
+            if not outside_possible:
+                # no shard cut anything → C is every matching doc and
+                # the assembly is exact over the complete match set
+                self._mod_hit(variant)
+                return spark.createDataFrame(rows, out_schema)
+            if len(rows) < k:
+                continue  # gate/demotion starved the page; go deeper
+            theta_b = float(
+                np.partition(sc, sc.size - k_body)[sc.size - k_body]
+            )
+            theta = float(rows[-1]["score"])
+            if theta_b * f_max < theta - margin:
+                self._mod_hit(variant)
+                return spark.createDataFrame(rows, out_schema)
+        return self._mod_miss(variant)
+
+    def _cand_match_ids(self, terms, cand_sorted, m: int):
+        """doc_ids among ``cand_sorted`` (sorted int64 candidates)
+        matching ≥ ``m`` distinct ``terms``, from the isin-pruned
+        posting doc runs: blocks whose doc_id range contains no
+        candidate are skipped UNDECODED, decoded runs are masked to
+        candidates before counting — candidate-mass cost, never the
+        full queried posting mass. One applyInPandas job."""
+        import numpy as np
+        import pandas as pd
+
+        from .codec import delta_decode
+        from .wand import _isin_sorted
+
+        if not terms or cand_sorted.size == 0:
+            return np.empty(0, dtype=np.int64)
+        blocks = self.postings().where(F.col("term").isin(list(terms)))
+
+        def kern(key, pdf: pd.DataFrame) -> pd.DataFrame:
+            runs = []
+            for _t, g in pdf.groupby("term"):
+                parts = []
+                for row in g.itertuples(index=False):
+                    lo = np.searchsorted(
+                        cand_sorted, row.first_doc_id, "left"
+                    )
+                    hi = np.searchsorted(
+                        cand_sorted, row.last_doc_id, "right"
+                    )
+                    if lo >= hi:
+                        continue  # no candidate in this block's range
+                    ids = delta_decode(bytes(row.doc_ids_blob), int(row.n))
+                    ids = ids[_isin_sorted(ids, cand_sorted)]
+                    if ids.size:
+                        parts.append(ids)
+                if parts:
+                    # ≤1 block row per doc per term → concat is the
+                    # term's distinct matched-candidate set
+                    runs.append(np.concatenate(parts))
+            if not runs:
+                return pd.DataFrame({"doc_id": pd.Series([], dtype="int64")})
+            ids, counts = np.unique(np.concatenate(runs), return_counts=True)
+            return pd.DataFrame({"doc_id": ids[counts >= m]})
+
+        out = (
+            blocks.groupBy("shard")
+            .applyInPandas(kern, "doc_id long")
+            .toPandas()
+        )
+        return out["doc_id"].to_numpy(dtype=np.int64)
+
+    def _meta_cut(self, meta: DataFrame, ids) -> DataFrame:
+        """Candidate-sized cut of a corpus metadata frame: isin
+        pushdown (parquet row-group pruning) for small id sets, a
+        broadcast semi-join above the literal-expression comfort zone
+        (one narrow scan, no shuffle) — never a corpus×corpus join."""
+        import pandas as pd
+
+        ids = sorted(set(int(i) for i in ids))
+        if not ids:
+            return meta.where(F.lit(False))
+        if len(ids) <= 4096:
+            return meta.where(F.col("doc_id").isin(ids))
+        ids_sdf = self.spark.createDataFrame(
+            pd.DataFrame({"doc_id": ids}), "doc_id long"
+        )
+        return meta.join(F.broadcast(ids_sdf), "doc_id")
+
+    def function_score_topk(
+        self, query: str, meta: DataFrame, k: int = 10, *,
+        value_col: str = "n_chars", origin: float, scale: float,
+        decay: float = 0.5, round_scores: int | None = None,
+        range_key: str | None = None,
+    ) -> DataFrame:
+        """ES function_score (gauss decay, boost_mode=multiply) served
+        from the index — engine/funcscore.function_score_topk semantics
+        against the SAME DuckDB oracle (function_score_sql). ``meta``
+        is a corpus frame carrying doc_id + ``value_col``. TA serving
+        with exhaustive fallback: the gauss factor is ≤ f_max =
+        decay^(d²/scale²) at the field range's nearest approach d to
+        origin (1.0 when origin lies inside the range), so candidates
+        from the pruned kernel certify by the _mod_serve bound."""
+        import math
+
+        from .funcscore import gauss_factor_col
+        from .ranking import _ranked
+
+        variant = ("fs", value_col, float(origin), float(scale),
+                   float(decay), int(k))
+        factor = gauss_factor_col(
+            F.col("_fs_value"), float(origin), float(scale), float(decay)
+        )
+
+        def assemble(cand_pdf):
+            small = self.spark.createDataFrame(
+                cand_pdf, "doc_id long, score double"
+            )
+            cut = self._meta_cut(meta, cand_pdf["doc_id"]).select(
+                "doc_id", F.col(value_col).alias("_fs_value")
+            )
+            out = small.join(F.broadcast(cut), "doc_id").select(
+                "doc_id", (F.col("score") * factor).alias("score")
+            )
+            if round_scores is not None:
+                out = out.select(
+                    "doc_id", F.round("score", round_scores).alias("score")
+                )
+            return _ranked(out, "score", k)
+
+        lo, hi = self._meta_range(range_key or value_col, meta, value_col)
+        if lo <= origin <= hi:
+            f_max = 1.0
+        else:
+            d = (lo - origin) if lo > origin else (origin - hi)
+            z = d / float(scale)
+            # inflate by an ulp guard: the per-doc factor is JVM libm
+            # exp, the bound is CPython exp
+            f_max = math.exp(math.log(decay) * z * z) * (1.0 + 1e-9)
+        served = self._mod_serve(
+            variant, query, k, f_max, assemble, round_scores
+        )
+        if served is not None:
+            return served
+
+        # exhaustive fallback: union scoring × factor over the narrow
+        # metadata projection (the oracle formula, corpus-match-sized)
+        bm = self.bm25_scores_all(query)
+        out = bm.join(
+            meta.select("doc_id", F.col(value_col).alias("_fs_value")),
+            "doc_id",
+        ).select("doc_id", (F.col("score") * factor).alias("score"))
+        if round_scores is not None:
+            out = out.select(
+                "doc_id", F.round("score", round_scores).alias("score")
+            )
+        return _ranked(out, "score", k)
+
+    def field_value_factor_topk(
+        self, query: str, meta: DataFrame, k: int = 10, *,
+        value_col: str = "n_chars", factor: float = 1.0,
+        round_scores: int | None = None, range_key: str | None = None,
+    ) -> DataFrame:
+        """ES field_value_factor (ln1p modifier) served from the index
+        — engine/funcscore.field_value_factor_topk semantics, oracle
+        field_value_factor_sql. ln(1+factor·max(v,0)) is monotone in v,
+        so f_max is the modifier at the cached field max."""
+        import math
+
+        from .funcscore import ln1p_factor_col
+        from .ranking import _ranked
+
+        variant = ("fvf", value_col, float(factor), int(k))
+        fcol = ln1p_factor_col(F.col("_fs_value"), float(factor))
+
+        def assemble(cand_pdf):
+            small = self.spark.createDataFrame(
+                cand_pdf, "doc_id long, score double"
+            )
+            cut = self._meta_cut(meta, cand_pdf["doc_id"]).select(
+                "doc_id", F.col(value_col).alias("_fs_value")
+            )
+            out = small.join(F.broadcast(cut), "doc_id").select(
+                "doc_id", (F.col("score") * fcol).alias("score")
+            )
+            if round_scores is not None:
+                out = out.select(
+                    "doc_id", F.round("score", round_scores).alias("score")
+                )
+            return _ranked(out, "score", k)
+
+        _lo, hi = self._meta_range(range_key or value_col, meta, value_col)
+        f_max = math.log1p(float(factor) * max(hi, 0.0)) * (1.0 + 1e-9)
+        served = self._mod_serve(
+            variant, query, k, f_max, assemble, round_scores
+        )
+        if served is not None:
+            return served
+
+        bm = self.bm25_scores_all(query)
+        out = bm.join(
+            meta.select("doc_id", F.col(value_col).alias("_fs_value")),
+            "doc_id",
+        ).select("doc_id", (F.col("score") * fcol).alias("score"))
+        if round_scores is not None:
+            out = out.select(
+                "doc_id", F.round("score", round_scores).alias("score")
+            )
+        return _ranked(out, "score", k)
 
     def fusion_topk(self, query: str, k: int = 10) -> DataFrame:
         """Index-backed `/search` (J4): TA candidate serving with
