@@ -1135,6 +1135,79 @@ def _q_did_you_mean_indexed(spark, sf_dir):
     return _index_reader(spark, sf_dir).did_you_mean(DYM_QUERY)
 
 
+# mixed distance-0/distance-1 query: tabel→table, scann→scan are
+# misspellings with in-vocabulary corrections; fast is exact
+FUZZY_MATCH_Q = "tabel scann fast"
+# lead term exact, trailing prefix expands (scan, scans, ...)
+PHRASE_PREFIX_Q = "table sc"
+
+
+def _q_fuzzy_match(spark, sf_dir):
+    from .fuzzy import fuzzy_match_topk
+
+    return fuzzy_match_topk(
+        spark, _docs(spark, sf_dir), FUZZY_MATCH_Q, K, round_scores=ROUND
+    )
+
+
+def _q_fuzzy_match_indexed(spark, sf_dir):
+    return _index_reader(spark, sf_dir).fuzzy_match_topk(
+        FUZZY_MATCH_Q, K, round_scores=ROUND
+    )
+
+
+def fuzzy_match_sql(query: str, k: int = K, max_expansions: int = 50) -> str:
+    """DuckDB mirror of engine/fuzzy.fuzzy_match_topk — brute
+    levenshtein expansion over the derived dictionary (the exact twin
+    of the Spark side's SymSpell candidate cut), per-query-term cap in
+    the pinned fuzzy order, MAX-merged similarity weights, then the
+    shared BM25 tail."""
+    qtf = Counter(tokenize(query, use_stem=False))
+    if not qtf:
+        return (
+            "SELECT 0::INTEGER AS rank, 0::BIGINT AS doc_id, "
+            "0.0::DOUBLE AS score WHERE false"
+        )
+    rows = ", ".join(
+        "('" + t.replace("'", "''") + f"', {float(c)}::DOUBLE)"
+        for t, c in sorted(qtf.items())
+    )
+    return f"""
+WITH {_base_ctes()},
+qin(qterm, qtf) AS (VALUES {rows}),
+cand AS (
+  SELECT qin.qterm, qin.qtf, d.term, d.df,
+         levenshtein(d.term, qin.qterm)::BIGINT AS dist
+  FROM dict d JOIN qin ON levenshtein(d.term, qin.qterm) <= 1
+),
+capped AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY qterm ORDER BY dist ASC, df DESC, term ASC) AS rn
+  FROM cand
+),
+qx AS (
+  SELECT term,
+         max(qtf * (1.0 - dist::DOUBLE / least(length(qterm), length(term)))) AS qtf
+  FROM capped WHERE rn <= {int(max_expansions)} GROUP BY term
+),
+q AS (SELECT term, qtf FROM qx WHERE qtf > 0),
+{_bm25_tail_sql(k)}"""
+
+
+def _q_phrase_prefix(spark, sf_dir):
+    from .phrase import match_phrase_prefix_topk
+
+    return match_phrase_prefix_topk(
+        spark, _docs(spark, sf_dir), PHRASE_PREFIX_Q, 20
+    )
+
+
+def _q_phrase_prefix_indexed(spark, sf_dir):
+    return _index_reader(
+        spark, sf_dir, with_positions=True
+    ).match_phrase_prefix_topk(PHRASE_PREFIX_Q, 20)
+
+
 def _q_index_stats(spark, sf_dir):
     # artifact-derived index statistics vs the text-derived oracle —
     # a cross-engine conservation check of the whole build
@@ -2185,6 +2258,10 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["boosting_topk_indexed"] = _q_boosting_indexed
     out["mlt_text"] = _q_mlt_text
     out["mlt_text_indexed"] = _q_mlt_text_indexed
+    out["fuzzy_match_topk"] = _q_fuzzy_match
+    out["fuzzy_match_indexed"] = _q_fuzzy_match_indexed
+    out["phrase_prefix_topk"] = _q_phrase_prefix
+    out["phrase_prefix_indexed"] = _q_phrase_prefix_indexed
     return _driver_order(out)
 
 
@@ -2473,4 +2550,10 @@ FROM d CROSS JOIN t
     out["boosting_topk_indexed"] = out["boosting_topk"]
     out["mlt_text"] = mlt_text_sql(MLT_TEXT, K, 5)
     out["mlt_text_indexed"] = out["mlt_text"]
+    out["fuzzy_match_topk"] = fuzzy_match_sql(FUZZY_MATCH_Q, K)
+    out["fuzzy_match_indexed"] = out["fuzzy_match_topk"]
+    from .phrase import match_phrase_prefix_sql
+
+    out["phrase_prefix_topk"] = match_phrase_prefix_sql(PHRASE_PREFIX_Q, 20)
+    out["phrase_prefix_indexed"] = out["phrase_prefix_topk"]
     return _driver_order(out)

@@ -736,6 +736,44 @@ class SearchService:
             "score",
         )
 
+    def search_fuzzy_match(self, query: str, k: int = 10) -> list[tuple]:
+        """Typo-tolerant BM25 (ES match + fuzziness analog,
+        engine/fuzzy.fuzzy_match_topk): index-backed when the bound
+        index is unstemmed (the fuzzy family's surface-form pin), else
+        the recompute path — rank-identical, parity-tested."""
+        if self.reader is not None and not self.reader.use_stem:
+            return self._with_meta(
+                self.reader.fuzzy_match_topk(query, k), "score"
+            )
+        from .fuzzy import fuzzy_match_topk
+
+        return self._with_meta(
+            fuzzy_match_topk(
+                self.spark, self.corpus.select("doc_id", "content"), query, k
+            ),
+            "score",
+        )
+
+    def search_phrase_prefix(self, phrase: str, k: int = 20) -> list[tuple]:
+        """match_phrase_prefix (ES analog): index-backed from the
+        positions artifact when present (expansion from the artifact's
+        own surface vocabulary), else the codegen corpus recompute —
+        rank-identical, parity-tested."""
+        if self.reader is not None and (
+            self.reader.manifest["stages"].get("positions") == "done"
+        ):
+            return self._with_meta(
+                self.reader.match_phrase_prefix_topk(phrase, k), "n_occ"
+            )
+        from .phrase import match_phrase_prefix_topk
+
+        return self._with_meta(
+            match_phrase_prefix_topk(
+                self.spark, self.corpus.select("doc_id", "content"), phrase, k
+            ),
+            "n_occ",
+        )
+
     def search_filtered(self, query: str, repo: str, k: int = 10) -> list[tuple]:
         """Repo-filtered search (Lucene filter-query semantics: the
         filter gates emission, BM25 weights stay full-corpus) —
@@ -1019,6 +1057,14 @@ def create_app(service: SearchService):
     @app.route("/search_proximity")
     def search_proximity():
         return jsonify(service.search_proximity(_query()))
+
+    @app.route("/search_fuzzy_match")
+    def search_fuzzy_match():
+        return jsonify(service.search_fuzzy_match(_query()))
+
+    @app.route("/search_phrase_prefix")
+    def search_phrase_prefix():
+        return jsonify(service.search_phrase_prefix(_query()))
 
     @app.route("/search_boolean")
     def search_boolean():

@@ -161,6 +161,116 @@ FROM cand ORDER BY dist ASC, df DESC, term ASC LIMIT {k}
 """
 
 
+# ------------------------------------------- fuzzy match (scored query)
+
+def fuzzy_expansion_weights(
+    dictionary: DataFrame,
+    query: str,
+    max_expansions: int = 50,
+    *,
+    use_stem: bool = False,
+) -> DataFrame:
+    """(term, qtf double) — the fuzzy-match expansion frame: every
+    dictionary term within edit distance ≤ 1 of a query term, weighted
+    by the fuzzy similarity boost.
+
+    Pinned semantics (ES ``match`` + ``fuzziness: 1`` analog, exact
+    weights so the entry is value-hash checkable):
+
+    - per query term the candidate set is capped at ``max_expansions``
+      in the pinned fuzzy order (dist ASC, df DESC, term ASC) — the
+      Lucene ``maxExpansions`` guard, same order as ``fuzzy_terms``;
+    - each surviving expansion m of query term t carries weight
+      ``qtf_t · (1 − dist/least(len(t), len(m)))`` (the classic
+      FuzzyQuery similarity boost; an in-vocabulary query term is its
+      own distance-0 expansion at full weight);
+    - a term reachable from SEVERAL query terms takes its MAX weight,
+      not the sum — max is associative-order-free, so Spark and DuckDB
+      agree bit-for-bit without relying on float-sum order;
+    - zero-weight expansions (dist 1 from a 1-char term) are dropped.
+
+    Scale shape: candidates come from the SymSpell deletion-key join
+    above (codegen explode + isin cut BEFORE any exchange), so the
+    frame's cost is candidate-sized, never vocabulary-sized. The frame
+    then plays the query-terms role of the standard BM25 plan (each
+    expansion scores with its own idf), exactly like wildcard/regexp
+    expansion."""
+    spark = dictionary.sparkSession
+    qtf: dict[str, int] = {}
+    for t in tokenize(query, use_stem=use_stem):
+        qtf[t] = qtf.get(t, 0) + 1
+    if not qtf:
+        return spark.createDataFrame([], "term string, qtf double")
+    q_rows = [
+        (t, float(c), key)
+        for t, c in sorted(qtf.items())
+        for key in deletion_keys_py(t)
+    ]
+    qk = spark.createDataFrame(q_rows, "qterm string, qtf double, key string")
+    all_keys = sorted({r[2] for r in q_rows})
+    cand = (
+        dictionary.select(
+            "term",
+            F.col("df").cast("long").alias("df"),
+            F.explode(_deletion_keys_col(F.col("term"))).alias("key"),
+        )
+        .where(F.col("key").isin(all_keys))
+        .join(F.broadcast(qk), "key")
+        .select("qterm", "qtf", "term", "df")
+        .distinct()
+        .withColumn(
+            "dist",
+            F.levenshtein(F.col("term"), F.col("qterm")).cast("long"),
+        )
+        .where(F.col("dist") <= 1)
+    )
+    w = Window.partitionBy("qterm").orderBy(
+        F.asc("dist"), F.desc("df"), F.asc("term")
+    )
+    weight = F.col("qtf") * (
+        F.lit(1.0)
+        - F.col("dist").cast("double")
+        / F.least(F.length("qterm"), F.length("term"))
+    )
+    return (
+        cand.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= max_expansions)
+        .groupBy("term")
+        .agg(F.max(weight).alias("qtf"))
+        .where(F.col("qtf") > 0)
+    )
+
+
+def fuzzy_match_topk(
+    spark: SparkSession,
+    corpus: DataFrame,
+    query: str,
+    k: int = 10,
+    max_expansions: int = 50,
+    *,
+    round_scores: int | None = None,
+) -> DataFrame:
+    """(rank, doc_id, score) — typo-tolerant BM25 search, recompute
+    path: the fuzzy expansion frame (``fuzzy_expansion_weights``) plays
+    the query-terms frame of the exhaustive BM25 plan, each expansion
+    scoring with its own idf × its fuzzy weight. DuckDB mirror:
+    ``engine.driver_queries.fuzzy_match_sql``. Indexed twin:
+    ``engine.index.IndexReader.fuzzy_match_topk``."""
+    from .build import dictionary_df, tokens_df
+    from .query import bm25_scored_terms
+    from .ranking import _ranked
+
+    toks = tokens_df(corpus, use_stem=False).persist()
+    qterms = fuzzy_expansion_weights(
+        dictionary_df(toks), query, max_expansions
+    )
+    scored = bm25_scored_terms(corpus, qterms, use_stem=False, tokens=toks)
+    agg = scored.groupBy("doc_id").agg(F.sum("partial_score").alias("score"))
+    if round_scores is not None:
+        agg = agg.select("doc_id", F.round("score", round_scores).alias("score"))
+    return _ranked(agg, "score", k)
+
+
 # ------------------------------------------------ did-you-mean (query level)
 
 _DYM_SCHEMA = (

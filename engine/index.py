@@ -689,6 +689,44 @@ class IndexReader:
             tombstones=self.tombstones_df(),
         )
 
+    def match_phrase_prefix_topk(
+        self, phrase: str, k: int = 10, max_expansions: int = 50
+    ) -> DataFrame:
+        """Index-backed match_phrase_prefix (ES analog): the last token
+        expands against the positions artifact's own vocabulary — per
+        term, df = Σ block n_docs (blocks partition a term's docs, so
+        the sum is the exact distinct-doc count; a metadata-column agg,
+        no blob decode) — in the pinned wildcard order (df DESC, term
+        ASC, capped), then the multi-phrase kernel intersects position
+        streams for lead terms ∪ expansions only. Deriving expansions
+        from the positions artifact rather than the dictionary keeps
+        the surface-form pin even on stemmed indexes (positions are
+        always unstemmed). Rank-identical to
+        engine/phrase.match_phrase_prefix_topk; DuckDB mirror
+        match_phrase_prefix_sql is the oracle."""
+        from .positions import match_phrase_prefix_from_positions
+
+        out_schema = "rank int, doc_id long, n_occ long"
+        terms = tokenize(phrase, use_stem=False)
+        if not terms:
+            return self.spark.createDataFrame([], out_schema)
+        pos = self.positions()
+        exp = [
+            r["term"]
+            for r in (
+                pos.where(F.col("term").startswith(terms[-1]))
+                .groupBy("term")
+                .agg(F.sum("n_docs").alias("df"))
+                .orderBy(F.desc("df"), F.asc("term"))
+                .limit(max_expansions)
+                .collect()
+            )
+        ]
+        return match_phrase_prefix_from_positions(
+            self.spark, pos, phrase, exp, k,
+            tombstones=self.tombstones_df(),
+        )
+
     def docstore(self) -> DataFrame:
         p = os.path.join(self.dir, "docstore")
         if self.manifest["stages"].get("docstore") != "done":
@@ -779,6 +817,37 @@ class IndexReader:
         from .fuzzy import fuzzy_terms
 
         return fuzzy_terms(self.spark, self.dictionary(), query_term, 1, k)
+
+    def fuzzy_match_topk(
+        self, query: str, k: int = 10, max_expansions: int = 50, *,
+        prune: bool = True, round_scores: int | None = None,
+    ) -> DataFrame:
+        """Typo-tolerant BM25 search served from the index
+        (engine/fuzzy.fuzzy_match_topk semantics; DuckDB mirror
+        fuzzy_match_sql is the oracle): the fuzzy expansion weights are
+        computed over the dictionary artifact with the same SymSpell
+        deletion-key cut as fuzzy_terms, collected (≤ max_expansions ×
+        |query terms| driver rows — the capped-expansion cut wildcard
+        and regexp already pin), then the standard isin-pushdown
+        block-max kernel serves them: a fuzzy query over 100 TB touches
+        only the expanded terms' posting blocks. Same unstemmed pin as
+        fuzzy_terms."""
+        if self.use_stem:
+            raise ValueError(
+                "fuzzy_match_topk is pinned to unstemmed vocabularies; "
+                "this index was built with use_stem=True"
+            )
+        from .fuzzy import fuzzy_expansion_weights
+
+        rows = fuzzy_expansion_weights(
+            self.dictionary(), query, max_expansions
+        ).collect()
+        return self._qtf_topk(
+            {r["term"]: float(r["qtf"]) for r in rows},
+            k,
+            prune=prune,
+            round_scores=round_scores,
+        )
 
     def did_you_mean(self, query: str) -> DataFrame:
         """Best correction per query position from the index dictionary

@@ -108,6 +108,76 @@ def phrase_topk(
     return _ranked(occ, "n_occ", k)
 
 
+# ------------------------------------- phrase-prefix (match_phrase_prefix)
+
+def phrase_prefix_occurrences_col(content, lead_terms: list[str], last_terms: list[str]):
+    """Column: occurrences where ``lead_terms`` match consecutively and
+    the NEXT token is any member of ``last_terms`` (the expanded prefix
+    set). Same codegen shape and one-tokenize-pass binding discipline
+    as phrase_occurrences_col; the last probe is an isin over the
+    capped literal expansion list."""
+    m = len(lead_terms) + 1
+
+    def _count_in(arr):
+        starts = F.sequence(F.lit(1), F.size(arr) - F.lit(m - 1))
+
+        def _match(i):
+            cond = None
+            for j, t in enumerate(lead_terms):
+                c = F.element_at(arr, i + F.lit(j)) == F.lit(t)
+                cond = c if cond is None else cond & c
+            last = F.element_at(arr, i + F.lit(m - 1)).isin(last_terms)
+            return last if cond is None else cond & last
+
+        occ = F.size(F.filter(starts, _match))
+        return F.when(F.size(arr) >= m, occ).otherwise(F.lit(0))
+
+    wrapped = F.transform(F.array(tokens_filtered_col(content)), _count_in)
+    return F.element_at(wrapped, 1).cast("long")
+
+
+def match_phrase_prefix_topk(
+    spark: SparkSession,
+    corpus: DataFrame,
+    phrase: str,
+    k: int = 10,
+    max_expansions: int = 50,
+) -> DataFrame:
+    """(rank, doc_id, n_occ) — ES ``match_phrase_prefix`` analog: the
+    phrase's last token is a PREFIX, expanded against the unstemmed
+    dictionary in the repo's pinned wildcard order (df DESC, term ASC,
+    capped at ``max_expansions`` — engine/wildcard.prefix_expansions),
+    then matched as a multi-phrase: lead terms exact and consecutive,
+    the final slot any expansion. Ranked like phrase_topk (n_occ DESC,
+    doc_id ASC). The expansion list is a ≤ max_expansions driver
+    collect — the same deliberate capped cut the indexed wildcard path
+    pins. DuckDB mirror: match_phrase_prefix_sql. Indexed twin:
+    engine.index.IndexReader.match_phrase_prefix_topk."""
+    from .build import dictionary_df, tokens_df
+    from .ranking import _ranked
+    from .wildcard import prefix_expansions
+
+    out_schema = "rank int, doc_id long, n_occ long"
+    terms = tokenize(phrase, use_stem=False)
+    if not terms:
+        return spark.createDataFrame([], out_schema)
+    lead, pfx = terms[:-1], terms[-1]
+    exp = [
+        r["term"]
+        for r in prefix_expansions(
+            dictionary_df(tokens_df(corpus, use_stem=False)), pfx,
+            max_expansions,
+        ).select("term").collect()
+    ]
+    if not exp:
+        return spark.createDataFrame([], out_schema)
+    occ = corpus.select(
+        "doc_id",
+        phrase_prefix_occurrences_col(F.col("content"), lead, exp).alias("n_occ"),
+    ).where(F.col("n_occ") > 0)
+    return _ranked(occ, "n_occ", k)
+
+
 # ----------------------------------------------- proximity (min-span)
 
 def proximity_topk(
@@ -370,6 +440,61 @@ agg AS (
 SELECT row_number() OVER (ORDER BY min_span ASC, doc_id ASC)::INTEGER AS rank,
        doc_id, min_span
 FROM agg ORDER BY min_span ASC, doc_id ASC LIMIT {k}
+"""
+
+
+def match_phrase_prefix_sql(
+    phrase: str, k: int = 10, max_expansions: int = 50
+) -> str:
+    """DuckDB mirror of match_phrase_prefix_topk — positional
+    self-joins over the unnested token stream (one join per lead term,
+    the last slot an IN over the capped expansion CTE). The dict CTE's
+    df (count distinct docs) matches engine/build.dictionary_df and the
+    positions artifact's summed block n_docs, so all three twins expand
+    in the same pinned order."""
+    terms = tokenize(phrase, use_stem=False)
+    empty = (
+        "SELECT 0::INTEGER AS rank, 0::BIGINT AS doc_id, 0::BIGINT AS n_occ "
+        "WHERE false"
+    )
+    if not terms:
+        return empty
+    lead = [t.replace("'", "''") for t in terms[:-1]]
+    pfx = terms[-1].replace("'", "''")
+    joins = "\n  ".join(
+        f"JOIN pstream s{j} ON s{j}.doc_id = s0.doc_id "
+        f"AND s{j}.p = s0.p + {j} AND s{j}.term = '{t}'"
+        for j, t in enumerate(lead[1:], start=1)
+    )
+    L = len(lead)
+    if L == 0:
+        starts = (
+            "SELECT doc_id, p FROM pstream "
+            "WHERE term IN (SELECT term FROM exp)"
+        )
+    else:
+        starts = f"""SELECT s0.doc_id, s0.p
+  FROM pstream s0
+  {joins}
+  JOIN pstream sx ON sx.doc_id = s0.doc_id AND sx.p = s0.p + {L}
+       AND sx.term IN (SELECT term FROM exp)
+  WHERE s0.term = '{lead[0]}'"""
+    return f"""
+WITH {_tokd_cte()},
+pstream AS (
+  SELECT doc_id, unnest(toks) AS term,
+         (generate_subscripts(toks, 1) - 1)::BIGINT AS p
+  FROM tokd
+),
+dict AS (SELECT term, count(DISTINCT doc_id)::BIGINT AS df
+         FROM pstream GROUP BY term),
+exp AS (SELECT term FROM dict WHERE starts_with(term, '{pfx}')
+        ORDER BY df DESC, term ASC LIMIT {int(max_expansions)}),
+starts AS ({starts}),
+occ AS (SELECT doc_id, count(*)::BIGINT AS n_occ FROM starts GROUP BY doc_id)
+SELECT row_number() OVER (ORDER BY n_occ DESC, doc_id ASC)::INTEGER AS rank,
+       doc_id, n_occ
+FROM occ WHERE n_occ > 0 ORDER BY n_occ DESC, doc_id ASC LIMIT {int(k)}
 """
 
 

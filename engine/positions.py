@@ -181,6 +181,85 @@ def _phrase_kernel(terms: list[str]):
     return kernel
 
 
+def _phrase_prefix_kernel(lead_terms: list[str], expansions: list[str]):
+    """_phrase_kernel generalized for match_phrase_prefix: the final
+    slot matches ANY expansion term. The expansion streams concatenate
+    into one pseudo-term stream — (doc, pos) stays unique across them
+    because a position holds exactly one token, so the sorted-key
+    intersection walk is unchanged."""
+    m = len(lead_terms) + 1
+    empty = pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                          "n_occ": pd.Series(dtype="int64")})
+
+    def kernel(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        per: dict[str, tuple[np.ndarray, np.ndarray]] = {}
+        for term, grp in pdf.groupby("term"):
+            per[str(term)] = _decode_blocks(grp)
+        if any(t not in per for t in lead_terms):
+            return empty
+        got = [per[t] for t in expansions if t in per]
+        if not got:
+            return empty
+        dl = np.concatenate([g[0] for g in got])
+        pl = np.concatenate([g[1] for g in got])
+        if m == 1:
+            # prefix-only phrase: occurrences = expansion tokens per doc
+            udocs, cnt = np.unique(dl, return_counts=True)
+            return pd.DataFrame(
+                {"doc_id": udocs, "n_occ": cnt.astype(np.int64)}
+            )
+        d0, p0 = per[lead_terms[0]]
+        udocs = np.unique(d0)
+        keys = np.sort((np.searchsorted(udocs, d0) << np.int64(32)) | p0)
+        for j in range(1, m):
+            dj, pj = (dl, pl) if j == m - 1 else per[lead_terms[j]]
+            sel = np.isin(dj, udocs) & (pj >= j)
+            dj, pj = dj[sel], pj[sel]
+            kj = (np.searchsorted(udocs, dj) << np.int64(32)) | (pj - j)
+            keys = np.intersect1d(np.sort(kj), keys, assume_unique=True)
+            if keys.size == 0:
+                return empty
+        occ = np.bincount((keys >> np.int64(32)).astype(np.int64),
+                          minlength=udocs.size)
+        nz = occ > 0
+        return pd.DataFrame({"doc_id": udocs[nz], "n_occ": occ[nz]})
+
+    return kernel
+
+
+def match_phrase_prefix_from_positions(
+    spark: SparkSession,
+    positions: DataFrame,
+    phrase: str,
+    expansions: list[str],
+    k: int = 10,
+    *,
+    tombstones: DataFrame | None = None,
+) -> DataFrame:
+    """(rank, doc_id, n_occ) — match_phrase_prefix served from the
+    positions artifact; rank-identical to
+    engine/phrase.match_phrase_prefix_topk given the same expansion
+    list (its DuckDB mirror match_phrase_prefix_sql is the oracle).
+    The isin covers lead terms ∪ expansions, so the artifact read
+    stays pruned to ≤ m−1+max_expansions terms' blocks."""
+    from .ranking import _ranked
+
+    out_schema = "rank int, doc_id long, n_occ long"
+    terms = tokenize(phrase, use_stem=False)
+    if not terms or not expansions:
+        return spark.createDataFrame([], out_schema)
+    lead = terms[:-1]
+    exp = sorted(set(expansions))
+    need = sorted(set(lead) | set(exp))
+    blocks = positions.where(F.col("term").isin(need))
+    occ = blocks.groupBy("shard").applyInPandas(
+        _phrase_prefix_kernel(lead, exp), "doc_id long, n_occ long"
+    )
+    if tombstones is not None:
+        occ = occ.join(F.broadcast(tombstones), "doc_id", "left_anti")
+    return _ranked(occ, "n_occ", k)
+
+
 def _proximity_kernel(terms: list[str]):
     """Per-shard min-span sweep over decoded position streams.
 

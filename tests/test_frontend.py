@@ -530,3 +530,44 @@ def test_validate_route(client):
     assert ok["filters"] == [{"field": "repo", "value": "src1"}]
     bad = client.get("/validate", query_string={"query": "pre*^2"}).get_json()
     assert bad["valid"] is False and "boost" in bad["error"]
+
+
+def test_search_fuzzy_match_route(client, service, spark, tiny_corpus):
+    """/search_fuzzy_match — the service fixture's index is stemmed, so
+    the route serves the recompute fallback (the fuzzy family's
+    surface-form pin); doc order must match the module function."""
+    from engine.fuzzy import fuzzy_match_topk
+
+    r = client.get("/search_fuzzy_match", query_string={"query": "invrted index"})
+    assert r.status_code == 200
+    got = [row[0] for row in r.get_json()]
+    want = [
+        row["doc_id"]
+        for row in fuzzy_match_topk(
+            spark, tiny_corpus, "invrted index", 10
+        ).collect()
+    ]
+    assert got == want and got
+    r = client.get("/search_fuzzy_match", query_string={"query": "zzzqqq"})
+    assert r.status_code == 200 and r.get_json() == []
+
+
+def test_search_phrase_prefix_route(client, service, spark, tiny_corpus):
+    """/search_phrase_prefix — parity with the recompute module function
+    on whichever path the bound index currently serves (the positions
+    artifact may have been added in place by an earlier route test)."""
+    from engine.phrase import match_phrase_prefix_topk
+
+    for q in ("def ret", "ind"):  # lead+prefix, and prefix-only (m=1)
+        r = client.get("/search_phrase_prefix", query_string={"query": q})
+        assert r.status_code == 200
+        got = [row[0] for row in r.get_json()]
+        want = [
+            row["doc_id"]
+            for row in match_phrase_prefix_topk(
+                spark, tiny_corpus, q, 20
+            ).collect()
+        ]
+        assert got == want and got, q
+    r = client.get("/search_phrase_prefix", query_string={"query": "the of"})
+    assert r.status_code == 200 and r.get_json() == []

@@ -1,0 +1,210 @@
+"""Round-4c query family: fuzzy match (typo-tolerant BM25) and
+match_phrase_prefix.
+
+Semantics pinned here:
+
+- fuzzy_expansion_weights: an in-vocabulary query term is its own
+  distance-0 expansion at full weight; distance-1 expansions carry the
+  similarity boost 1 − 1/least(len); a term reachable from several
+  query terms takes the MAX weight (associative-order-free, the
+  cross-engine float pin); zero-weight expansions are dropped; the
+  per-query-term cap follows the pinned fuzzy order.
+- fuzzy_match_topk recompute == DuckDB fuzzy_match_sql == indexed
+  (_qtf_topk kernel) on the rounded columns, including edge queries.
+- match_phrase_prefix_topk recompute (codegen multi-phrase counter)
+  == DuckDB match_phrase_prefix_sql (positional self-joins) == indexed
+  (positions-artifact kernel with the expansion union as the last
+  pseudo-term stream), including the prefix-only (m=1) form.
+"""
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from engine.build import dictionary_df, tokens_df
+from engine.driver_queries import fuzzy_match_sql
+from engine.fuzzy import fuzzy_expansion_weights, fuzzy_match_topk
+from engine.index import build_index
+from engine.phrase import match_phrase_prefix_sql, match_phrase_prefix_topk
+
+pytestmark = pytest.mark.slow
+
+SF = "/root/testdata/sf0.001"
+R = 6
+
+
+@pytest.fixture(scope="module")
+def sf_docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", F.col("text").alias("content")
+    ).cache()
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{SF}/documents.parquet'"
+    )
+    return con
+
+
+@pytest.fixture(scope="module")
+def idx4c_dir(spark, tiny_corpus, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("idx4c"))
+    build_index(
+        spark, tiny_corpus, d, use_stem=False, n_shards=4, n_chunks=2,
+        with_positions=True,
+    )
+    return d
+
+
+# ------------------------------------------------------- fuzzy match
+
+FUZZY_QUERIES = [
+    "tabel scann fast",   # two dist-1 corrections + one exact term
+    "table scan",         # all in-vocabulary (degenerates toward BM25-with-neighbors)
+    "zzznope qqqq",       # nothing within distance 1 → empty
+    "the a of",           # stopword-only → empty
+    "",                   # empty → empty
+]
+
+
+def test_fuzzy_match_recompute_matches_duckdb(spark, sf_docs, duck):
+    for q in FUZZY_QUERIES:
+        got = [
+            tuple(r)
+            for r in fuzzy_match_topk(
+                spark, sf_docs, q, 10, round_scores=R
+            ).collect()
+        ]
+        want = [tuple(r) for r in duck.execute(fuzzy_match_sql(q, 10)).fetchall()]
+        assert got == want, q
+
+
+def test_fuzzy_match_indexed_identical(spark, tiny_corpus, idx4c_dir):
+    from engine.index import IndexReader
+
+    r = IndexReader(spark, idx4c_dir)
+    for q in ["tabel scann fast", "merg slow", "zzznope"]:
+        got = [
+            tuple(x)
+            for x in r.fuzzy_match_topk(q, 10, round_scores=R).collect()
+        ]
+        want = [
+            tuple(x)
+            for x in fuzzy_match_topk(
+                spark, tiny_corpus, q, 10, round_scores=R
+            ).collect()
+        ]
+        assert got == want, q
+
+
+def test_fuzzy_match_stemmed_index_refuses(spark, tiny_corpus, tmp_path_factory):
+    from engine.index import IndexReader
+
+    d = str(tmp_path_factory.mktemp("idx4c_stem"))
+    build_index(spark, tiny_corpus, d, use_stem=True, n_shards=2, n_chunks=1)
+    with pytest.raises(ValueError, match="unstemmed"):
+        IndexReader(spark, d).fuzzy_match_topk("tabel", 10)
+
+
+def test_fuzzy_expansion_weight_semantics(spark):
+    dic = spark.createDataFrame(
+        [("table", 40), ("cable", 30), ("tble", 5), ("stable", 2)],
+        "term string, df long",
+    )
+    w = {
+        r["term"]: r["qtf"]
+        for r in fuzzy_expansion_weights(dic, "table table").collect()
+    }
+    # in-vocab term: distance-0 self at full qtf (2 occurrences)
+    assert w["table"] == 2.0
+    # dist-1 neighbors carry qtf * (1 - 1/least(len))
+    assert w["cable"] == pytest.approx(2.0 * (1.0 - 1.0 / 5.0))
+    assert w["tble"] == pytest.approx(2.0 * (1.0 - 1.0 / 4.0))
+    assert w["stable"] == pytest.approx(2.0 * (1.0 - 1.0 / 5.0))
+    # the tokenizer's 3-char floor means least(len) ≥ 3 in practice,
+    # so every dist-1 expansion keeps weight ≥ qtf/3 (the qtf>0 drop
+    # is a safety net, exercised structurally not by data)
+    assert all(v > 0 for v in w.values())
+
+
+def test_fuzzy_expansion_max_merge(spark):
+    # 'cab' is within distance 1 of BOTH query terms; weight is the MAX
+    # of the two candidate weights, not the sum
+    dic = spark.createDataFrame(
+        [("cat", 10), ("car", 10), ("cab", 3)], "term string, df long"
+    )
+    w = {
+        r["term"]: r["qtf"]
+        for r in fuzzy_expansion_weights(dic, "cat car car").collect()
+    }
+    # from 'car' (qtf 2): 2*(1-1/3); from 'cat' (qtf 1): 1*(1-1/3)
+    assert w["cab"] == pytest.approx(2.0 * (1.0 - 1.0 / 3.0))
+
+
+def test_fuzzy_expansion_cap(spark):
+    # 35 dist-1 neighbors of 'aaa': cap keeps the pinned-order head
+    terms = [("aaa", 100)] + [
+        (f"aa{c}", 99 - i)
+        for i, c in enumerate("bcdefghijklmnopqrstuvwxyz0123456789")
+    ]
+    dic = spark.createDataFrame(terms, "term string, df long")
+    w = fuzzy_expansion_weights(dic, "aaa", max_expansions=5).collect()
+    got = sorted(r["term"] for r in w)
+    # dist 0 first, then df DESC: aab(99) aac(98) aad(97) aae(96)
+    assert got == ["aaa", "aab", "aac", "aad", "aae"]
+
+
+# ---------------------------------------------------- phrase prefix
+
+PP_QUERIES = ["table sc", "fast table sc", "sc", "merge sl", "the of", "zzzq"]
+
+
+def test_phrase_prefix_recompute_matches_duckdb(spark, sf_docs, duck):
+    for q in PP_QUERIES:
+        got = [
+            tuple(r)
+            for r in match_phrase_prefix_topk(spark, sf_docs, q, 20).collect()
+        ]
+        want = [
+            tuple(r)
+            for r in duck.execute(match_phrase_prefix_sql(q, 20)).fetchall()
+        ]
+        assert got == want, q
+
+
+def test_phrase_prefix_indexed_identical(spark, tiny_corpus, idx4c_dir):
+    from engine.index import IndexReader
+
+    r = IndexReader(spark, idx4c_dir)
+    for q in PP_QUERIES:
+        got = [
+            tuple(x) for x in r.match_phrase_prefix_topk(q, 20).collect()
+        ]
+        want = [
+            tuple(x)
+            for x in match_phrase_prefix_topk(spark, tiny_corpus, q, 20).collect()
+        ]
+        assert got == want, q
+
+
+def test_phrase_prefix_subsumes_exact_phrase(spark, sf_docs):
+    """A prefix equal to a full vocabulary term must count at least the
+    exact phrase's occurrences for every doc the exact phrase matches."""
+    from engine.phrase import phrase_topk
+
+    exact = {
+        r["doc_id"]: r["n_occ"]
+        for r in phrase_topk(spark, sf_docs, "table scan", 100).collect()
+    }
+    pfx = {
+        r["doc_id"]: r["n_occ"]
+        for r in match_phrase_prefix_topk(
+            spark, sf_docs, "table scan", 100
+        ).collect()
+    }
+    assert exact  # fixture sanity: the phrase occurs
+    for d, n in exact.items():
+        assert pfx.get(d, 0) >= n
