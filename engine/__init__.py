@@ -27,6 +27,9 @@ Layout
   sign-LSH single/multi-probe, IVF) + near-dup pairs.
 - :mod:`engine.merge`       — distributed segment merge (incremental
   ingestion; byte-identical to a full rebuild).
+- :mod:`engine.reindex`     — rebuild from the index's own docstore
+  (analyzer switch / reshard / tombstone compaction, no source access;
+  byte-identical to a fresh build over the live corpus).
 - :mod:`engine.ranking`     — tf-idf cosine, title/anchor match,
   weighted fusion (± PageRank), fixed-iteration PageRank.
 - :mod:`engine.metrics`     — precision@k / MAP@40 retrieval evaluation.

@@ -1398,6 +1398,21 @@ def _q_bm25_compacted_indexed(spark, sf_dir):
     )
 
 
+def _q_bm25_reindexed_indexed(spark, sf_dir):
+    """ES _reindex analog (engine/reindex.py): rebuild the cached
+    UNSTEMMED index (upgraded in place with a docstore) into a STEMMED
+    index from its own docstore+doc_stats artifacts — no source corpus
+    access — then serve BM25. The oracle is the stemmed SQL twin, so
+    the whole analyzer-switch round trip is value-hash-attested."""
+    from .reindex import reindex
+
+    src = _index_reader(spark, sf_dir, with_docstore=True)
+    key = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    out_dir = os.path.join(_DRIVER_CACHE, f"index_reindexed_{key}")
+    r = reindex(spark, src, out_dir, use_stem=True)
+    return r.bm25_topk(FIXED_QUERIES["q_multi"], K, prune=True, round_scores=ROUND)
+
+
 def _streamed_reader(spark: SparkSession, sf_dir: str):
     """Driver-proven STREAMING INGESTION (engine/streaming.py): the
     corpus lands as 3 parquet drops, a Structured Streaming file source
@@ -2262,6 +2277,7 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["fuzzy_match_indexed"] = _q_fuzzy_match_indexed
     out["phrase_prefix_topk"] = _q_phrase_prefix
     out["phrase_prefix_indexed"] = _q_phrase_prefix_indexed
+    out["bm25_reindexed_indexed"] = _q_bm25_reindexed_indexed
     return _driver_order(out)
 
 
@@ -2556,4 +2572,7 @@ FROM d CROSS JOIN t
 
     out["phrase_prefix_topk"] = match_phrase_prefix_sql(PHRASE_PREFIX_Q, 20)
     out["phrase_prefix_indexed"] = out["phrase_prefix_topk"]
+    out["bm25_reindexed_indexed"] = _bm25_sql(
+        FIXED_QUERIES["q_multi"], stemmed=True
+    )
     return _driver_order(out)

@@ -1328,10 +1328,32 @@ class IndexReader:
                 )
             return _ranked(out, "score", k)
 
-        served = self._mod_serve(
-            ("boost", tuple(nterms), float(negative_boost), int(k)),
-            positive, k, max(1.0, float(negative_boost)), assemble,
-            round_scores,
+        variant = ("boost", tuple(nterms), float(negative_boost), int(k))
+        try_ta = self._mod_ta_enabled(variant)
+        if (
+            try_ta and nterms
+            and float(negative_boost) < self._MOD_TA_FACTOR_FLOOR
+        ):
+            # deep demotion: attempt TA only when the negative terms are
+            # rare enough that top candidates are likely undemoted —
+            # one isin-pruned dictionary lookup (vocabulary-sized scan,
+            # no posting access), spent only on enabled variants
+            n = float(self.manifest["stats"]["n_docs"])
+            dfs = (
+                self.dictionary()
+                .where(F.col("term").isin(nterms))
+                .agg(F.sum("df").alias("s"))
+                .collect()[0]["s"]
+            )
+            h = min(1.0, float(dfs or 0) / n) if n else 1.0
+            try_ta = h < self._MOD_TA_NEG_RARE
+        served = (
+            self._mod_serve(
+                variant, positive, k, max(1.0, float(negative_boost)),
+                assemble, round_scores,
+            )
+            if try_ta
+            else None
         )
         if served is not None:
             return served
@@ -2572,6 +2594,29 @@ class IndexReader:
 
     _MOD_TA_KBODY = (128, 1024)  # candidate depths tried before fallback
     _MOD_TA_KBODY_MULT = (8, 64)  # per-k multipliers (depth = max(m·k, floor))
+    # Cost-based dispatch (1.2M-doc A/B, BENCH/BASELINE.md): a TA miss
+    # pays the candidate passes AND the exhaustive fallback (~2.5× the
+    # exhaustive plan), so attempts are gated on the factor ENVELOPE —
+    # the ratio of the modifier's floor to its ceiling over the cached
+    # field range. Near-flat modifiers (ratio ≥ floor) certify at kernel
+    # cost (~3× win); wild spreads (a crushing gauss decay, a hot
+    # boosting negative) essentially never certify and go straight to
+    # the exhaustive plan with no miss recorded. Dispatch only —
+    # exactness never depends on it.
+    _MOD_TA_FACTOR_FLOOR = 0.7
+    # boosting demotes only docs containing a negative term: when the
+    # negatives' df fraction is below this, top candidates are likely
+    # undemoted and TA is attempted even with a deep negative_boost
+    _MOD_TA_NEG_RARE = 0.05
+
+    def _mod_ta_enabled(self, variant) -> bool:
+        """The no-job dispatch gates shared by every modifier surface
+        (mirrored inside _mod_serve; exposed so surfaces can avoid
+        spending lookup jobs on a disabled variant)."""
+        return (
+            self.manifest["stats"]["n_docs"] >= self._FUSION_TA_MIN_DOCS
+            and variant not in self._fusion_ta_off
+        )
 
     def _mod_miss(self, variant):
         """Post-work modifier-TA fallback; disable after the same
@@ -2783,8 +2828,14 @@ class IndexReader:
             # inflate by an ulp guard: the per-doc factor is JVM libm
             # exp, the bound is CPython exp
             f_max = math.exp(math.log(decay) * z * z) * (1.0 + 1e-9)
-        served = self._mod_serve(
-            variant, query, k, f_max, assemble, round_scores
+        # factor envelope at the range's FARTHEST approach to origin —
+        # the dispatch gate (class docstring at _MOD_TA_FACTOR_FLOOR)
+        z_far = max(abs(lo - origin), abs(hi - origin)) / float(scale)
+        f_lo = math.exp(math.log(decay) * z_far * z_far)
+        served = (
+            self._mod_serve(variant, query, k, f_max, assemble, round_scores)
+            if f_lo >= self._MOD_TA_FACTOR_FLOOR * f_max
+            else None
         )
         if served is not None:
             return served
@@ -2835,10 +2886,15 @@ class IndexReader:
                 )
             return _ranked(out, "score", k)
 
-        _lo, hi = self._meta_range(range_key or value_col, meta, value_col)
+        lo, hi = self._meta_range(range_key or value_col, meta, value_col)
         f_max = math.log1p(float(factor) * max(hi, 0.0)) * (1.0 + 1e-9)
-        served = self._mod_serve(
-            variant, query, k, f_max, assemble, round_scores
+        # ln1p is monotone: envelope floor sits at the field minimum —
+        # the dispatch gate (class docstring at _MOD_TA_FACTOR_FLOOR)
+        f_lo = math.log1p(float(factor) * max(lo, 0.0))
+        served = (
+            self._mod_serve(variant, query, k, f_max, assemble, round_scores)
+            if f_max > 0.0 and f_lo >= self._MOD_TA_FACTOR_FLOOR * f_max
+            else None
         )
         if served is not None:
             return served

@@ -42,6 +42,10 @@ def _rows(df):
 def _ta_reader(spark, d):
     r = IndexReader(spark, d)
     r._FUSION_TA_MIN_DOCS = 0  # force TA dispatch on the 200-doc fixture
+    # open the factor-envelope dispatch gate: these tests exercise the
+    # TA bound itself, including regimes the cost-based dispatch would
+    # route straight to exhaustive
+    r._MOD_TA_FACTOR_FLOOR = 0.0
     return r
 
 
@@ -201,6 +205,51 @@ def test_mod_ta_adaptive_disable(spark, mod_index_dir, docs_meta, queries):
         assert len(r._fusion_ta_off) == 1
         assert r.mod_ta_fallback == r._FUSION_TA_FAIL_LIMIT
     assert x.mod_ta_served == 0
+
+
+def test_mod_ta_dispatch_gate_default(spark, mod_index_dir, docs_meta, queries):
+    """Default factor-envelope floor (0.7): a crushing decay routes
+    straight to exhaustive — no candidate pass, no miss recorded — and
+    the answer is still exactly the recompute formula's (the 1.2M-doc
+    A/B behind this gate is in BENCH/BASELINE.md)."""
+    from engine.funcscore import function_score_topk
+
+    r = IndexReader(spark, mod_index_dir)
+    r._FUSION_TA_MIN_DOCS = 0  # floor stays at the 0.7 default
+    meta = docs_meta.select("doc_id", "n_chars")
+    q = queries[0]["text"]
+    got = _rows(r.function_score_topk(
+        q, meta, 5, value_col="n_chars",
+        origin=300.0, scale=1e-3, decay=0.5, round_scores=ROUND,
+    ))
+    want = _rows(function_score_topk(
+        spark, docs_meta, q, 5, field="n_chars",
+        origin=300.0, scale=1e-3, decay=0.5, round_scores=ROUND,
+    ))
+    assert got == want
+    assert r.mod_ta_served == 0 and r.mod_ta_fallback == 0
+
+
+def test_boosting_dispatch_gate_hot_negative(
+    spark, mod_index_dir, tiny_corpus, queries
+):
+    """negative_boost below the envelope floor + a hot negative term:
+    the df gate routes straight to exhaustive (no TA attempt), exactly
+    the recompute answer."""
+    from engine.funcscore import boosting_topk
+
+    r = IndexReader(spark, mod_index_dir)
+    r._FUSION_TA_MIN_DOCS = 0
+    q = queries[0]["text"]
+    got = _rows(r.boosting_topk(
+        q, "merge slow", 3, negative_boost=0.5, round_scores=ROUND,
+    ))
+    want = _rows(boosting_topk(
+        spark, tiny_corpus, q, "merge slow", 3,
+        negative_boost=0.5, round_scores=ROUND,
+    ))
+    assert got == want
+    assert r.mod_ta_served == 0 and r.mod_ta_fallback == 0
 
 
 def test_mod_ta_edge_queries(spark, mod_index_dir, docs_meta):

@@ -208,3 +208,84 @@ def test_phrase_prefix_subsumes_exact_phrase(spark, sf_docs):
     assert exact  # fixture sanity: the phrase occurs
     for d, n in exact.items():
         assert pfx.get(d, 0) >= n
+
+
+# --------------------------------------------------------- reindex
+
+def _blocks_set(r):
+    return {
+        (row["shard"], row["term"], row["block_id"], row["n"],
+         bytes(row["doc_ids_blob"]), bytes(row["tfs_blob"]),
+         bytes(row["doc_lens_blob"]))
+        for row in r.postings().collect()
+    }
+
+
+def test_reindex_byte_identity_analyzer_switch(
+    spark, tiny_corpus, tmp_path_factory
+):
+    """reindex(unstemmed src → stemmed out) from the docstore writes
+    posting blocks byte-identical to build_index(corpus, stemmed) —
+    the merge/compact rebuild-identity discipline extended to the
+    analyzer-switch round trip."""
+    from engine.index import IndexReader, build_index
+    from engine.reindex import reindex
+
+    src_d = str(tmp_path_factory.mktemp("ri_src"))
+    build_index(
+        spark, tiny_corpus, src_d, use_stem=False, n_shards=4, n_chunks=2,
+        with_docstore=True,
+    )
+    out_d = str(tmp_path_factory.mktemp("ri_out"))
+    out = reindex(spark, IndexReader(spark, src_d), out_d, use_stem=True)
+    ref_d = str(tmp_path_factory.mktemp("ri_ref"))
+    build_index(spark, tiny_corpus, ref_d, use_stem=True, n_shards=4, n_chunks=2)
+    ref = IndexReader(spark, ref_d)
+    assert out.use_stem is True
+    assert _blocks_set(out) == _blocks_set(ref)
+    od = {r["term"]: (r["df"], r["cf"]) for r in out.dictionary().collect()}
+    rd = {r["term"]: (r["df"], r["cf"]) for r in ref.dictionary().collect()}
+    assert od == rd
+    assert out.manifest["stats"] == ref.manifest["stats"]
+
+
+def test_reindex_compacts_tombstones(spark, tiny_corpus, tmp_path_factory):
+    """Tombstoned docs are dropped by the reconstruction: the reindexed
+    index equals a fresh build over the live corpus, with FRESH
+    statistics (unlike delete, like compact)."""
+    from pyspark.sql import functions as F
+
+    from engine.compact import delete_documents
+    from engine.index import IndexReader, build_index
+    from engine.reindex import reindex
+
+    src_d = str(tmp_path_factory.mktemp("ri_src_del"))
+    build_index(
+        spark, tiny_corpus, src_d, use_stem=False, n_shards=4, n_chunks=2,
+        with_docstore=True,
+    )
+    victims = tiny_corpus.select("doc_id").orderBy("doc_id").limit(20)
+    delete_documents(spark, src_d, victims)
+    out_d = str(tmp_path_factory.mktemp("ri_out_del"))
+    out = reindex(spark, IndexReader(spark, src_d), out_d)
+    vids = {r["doc_id"] for r in victims.collect()}
+    live = tiny_corpus.where(~F.col("doc_id").isin(list(vids)))
+    ref_d = str(tmp_path_factory.mktemp("ri_ref_del"))
+    build_index(spark, live, ref_d, use_stem=False, n_shards=4, n_chunks=2)
+    ref = IndexReader(spark, ref_d)
+    assert _blocks_set(out) == _blocks_set(ref)
+    assert out.manifest["stats"] == ref.manifest["stats"]
+    assert out.tombstones_df() is None
+
+
+def test_reindex_requires_docstore(spark, tiny_corpus, tmp_path_factory):
+    from engine.index import IndexReader, build_index
+    from engine.reindex import reindex
+
+    d = str(tmp_path_factory.mktemp("ri_nodoc"))
+    build_index(spark, tiny_corpus, d, use_stem=False, n_shards=2, n_chunks=1)
+    with pytest.raises(FileNotFoundError, match="docstore"):
+        reindex(
+            spark, IndexReader(spark, d),
+            str(tmp_path_factory.mktemp("ri_nodoc_out")),
+        )
