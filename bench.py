@@ -121,6 +121,12 @@ def main() -> None:
         t = time.perf_counter()
         reader.proximity_topk("table scan fast", 20).collect()
         timings["proximity_indexed"] = time.perf_counter() - t
+        # trailing-prefix phrase from the same positions artifact (the
+        # expansion derives from the artifact's unstemmed vocabulary,
+        # so the stemmed reader serves it too)
+        t = time.perf_counter()
+        reader.match_phrase_prefix_topk("table sc", 20).collect()
+        timings["phrase_prefix_indexed"] = time.perf_counter() - t
         # (no boolean_indexed row here: this reader is stemmed and
         # boolean semantics are pinned unstemmed — boolean_topk below
         # times the recompute path; the indexed twin is driver-checked)
@@ -206,6 +212,8 @@ def main() -> None:
             "msm_topk",
             "regexp_topk",
             "did_you_mean",
+            "fuzzy_match_topk",
+            "phrase_prefix_topk",
             "date_histogram_events",
             "sessionize_events",
             "stream_window_counts",
