@@ -284,18 +284,34 @@ FROM agg ORDER BY score DESC, doc_id ASC LIMIT {k}
 def function_score_sql(
     query_text: str, k: int = K, *,
     origin: float = 300.0, scale: float = 150.0, decay: float = 0.5,
+    decay_fn: str = "gauss",
 ) -> str:
     """DuckDB mirror of engine/funcscore.function_score_topk — BM25 ×
-    gauss decay on documents.n_chars. The z² is written as z*z (not
-    pow) so both engines run the identical IEEE expression."""
-    ln_d = repr(math.log(decay))
-    z = f"((d.n_chars::DOUBLE - {float(origin)!r}) / {float(scale)!r})"
+    gauss/exp/linear decay on documents.n_chars. Every derived constant
+    (ln(decay), ln(decay)/scale, scale/(1−decay)) is computed ONCE in
+    CPython and inlined via repr, and z² is written z*z (not pow), so
+    both engines run the identical IEEE expression."""
+    if decay_fn == "gauss":
+        ln_d = repr(math.log(decay))
+        z = f"((d.n_chars::DOUBLE - {float(origin)!r}) / {float(scale)!r})"
+        factor = f"exp({ln_d} * {z} * {z})"
+    elif decay_fn == "exp":
+        c = repr(math.log(decay) / float(scale))
+        factor = f"exp({c} * abs(d.n_chars::DOUBLE - {float(origin)!r}))"
+    elif decay_fn == "linear":
+        s = repr(float(scale) / (1.0 - float(decay)))
+        factor = (
+            f"greatest(0.0, ({s} - abs(d.n_chars::DOUBLE - "
+            f"{float(origin)!r})) / {s})"
+        )
+    else:
+        raise ValueError(f"unknown decay function {decay_fn!r}")
     return f"""
 WITH {_base_ctes()},
 {_qcte(query_text)},
 {_bm25_raw_cte()},
 agg AS (SELECT b.doc_id,
-               round(b.bm25 * exp({ln_d} * {z} * {z}), {ROUND}) AS score
+               round(b.bm25 * {factor}, {ROUND}) AS score
         FROM bm b JOIN documents d USING (doc_id))
 {_RANK_TAIL.format(k=k)}"""
 
@@ -1013,6 +1029,31 @@ def _q_function_score(spark, sf_dir):
     )
 
 
+def _mk_fs_decay(decay_fn: str, *, indexed: bool):
+    """Entry factory for the exp/linear decay variants (gauss is the
+    original function_score pair) — recompute and TA-served twins
+    against the same function_score_sql(decay_fn=...) oracle."""
+
+    def run_recompute(spark, sf_dir):
+        from .funcscore import function_score_topk
+
+        return function_score_topk(
+            spark, _docs_meta(spark, sf_dir), FIXED_QUERIES["q_table_scan"],
+            K, field="n_chars", origin=FS_ORIGIN, scale=FS_SCALE,
+            decay=FS_DECAY, decay_fn=decay_fn, round_scores=ROUND,
+        )
+
+    def run_indexed(spark, sf_dir):
+        meta = _docs_meta(spark, sf_dir).select("doc_id", "n_chars")
+        return _index_reader(spark, sf_dir).function_score_topk(
+            FIXED_QUERIES["q_table_scan"], meta, K, value_col="n_chars",
+            origin=FS_ORIGIN, scale=FS_SCALE, decay=FS_DECAY,
+            decay_fn=decay_fn, round_scores=ROUND,
+        )
+
+    return run_indexed if indexed else run_recompute
+
+
 def _q_function_score_indexed(spark, sf_dir):
     # TA candidate serving with exhaustive fallback (IndexReader.
     # function_score_topk): the gauss factor is ≤ f_max from the cached
@@ -1395,6 +1436,24 @@ def _q_bm25_compacted_indexed(spark, sf_dir):
     _, comp = _lifecycle_readers(spark, sf_dir)
     return comp.bm25_topk(
         FIXED_QUERIES["q_multi"], K, prune=True, round_scores=ROUND
+    )
+
+
+SPAN_NEAR_Q = "fast table scan"
+SPAN_NEAR_SLOP = 3
+
+
+def _q_span_near(spark, sf_dir):
+    from .phrase import span_near_topk
+
+    return span_near_topk(
+        spark, _docs(spark, sf_dir), SPAN_NEAR_Q, 20, SPAN_NEAR_SLOP
+    )
+
+
+def _q_span_near_indexed(spark, sf_dir):
+    return _index_reader(spark, sf_dir, with_positions=True).span_near_topk(
+        SPAN_NEAR_Q, 20, SPAN_NEAR_SLOP
     )
 
 
@@ -2278,6 +2337,12 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["phrase_prefix_topk"] = _q_phrase_prefix
     out["phrase_prefix_indexed"] = _q_phrase_prefix_indexed
     out["bm25_reindexed_indexed"] = _q_bm25_reindexed_indexed
+    out["span_near_topk"] = _q_span_near
+    out["span_near_indexed"] = _q_span_near_indexed
+    out["function_score_exp"] = _mk_fs_decay("exp", indexed=False)
+    out["function_score_exp_indexed"] = _mk_fs_decay("exp", indexed=True)
+    out["function_score_linear"] = _mk_fs_decay("linear", indexed=False)
+    out["function_score_linear_indexed"] = _mk_fs_decay("linear", indexed=True)
     return _driver_order(out)
 
 
@@ -2575,4 +2640,14 @@ FROM d CROSS JOIN t
     out["bm25_reindexed_indexed"] = _bm25_sql(
         FIXED_QUERIES["q_multi"], stemmed=True
     )
+    from .phrase import span_near_sql
+
+    out["span_near_topk"] = span_near_sql(SPAN_NEAR_Q, 20, SPAN_NEAR_SLOP)
+    out["span_near_indexed"] = out["span_near_topk"]
+    for fn in ("exp", "linear"):
+        out[f"function_score_{fn}"] = function_score_sql(
+            FIXED_QUERIES["q_table_scan"], K,
+            origin=FS_ORIGIN, scale=FS_SCALE, decay=FS_DECAY, decay_fn=fn,
+        )
+        out[f"function_score_{fn}_indexed"] = out[f"function_score_{fn}"]
     return _driver_order(out)

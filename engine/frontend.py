@@ -646,17 +646,20 @@ class SearchService:
     def search_function_score(
         self, query: str, k: int = 10, *,
         origin: float = 300.0, scale: float = 150.0, decay: float = 0.5,
+        decay_fn: str = "gauss",
     ) -> list[tuple]:
-        """BM25 × gauss decay on content length (ES function_score,
-        engine/funcscore.py) — posting-served when an index is bound
-        (IndexReader.function_score_topk: rank-safe TA candidates with
-        exhaustive fallback), else recompute over the corpus."""
+        """BM25 × gauss/exp/linear decay on content length (ES
+        function_score, engine/funcscore.py) — posting-served when an
+        index is bound (IndexReader.function_score_topk: rank-safe TA
+        candidates with exhaustive fallback), else recompute over the
+        corpus."""
         if self.reader is not None:
             meta = self._agg_corpus().select("doc_id", "n_chars")
             return self._with_meta(
                 self.reader.function_score_topk(
                     query, meta, k, value_col="n_chars",
                     origin=origin, scale=scale, decay=decay,
+                    decay_fn=decay_fn,
                 ),
                 "score",
             )
@@ -666,7 +669,7 @@ class SearchService:
             function_score_topk(
                 self.spark, self._agg_corpus(), query, k,
                 field="n_chars", origin=origin, scale=scale, decay=decay,
-                use_stem=self._use_stem,
+                decay_fn=decay_fn, use_stem=self._use_stem,
             ),
             "score",
         )
@@ -734,6 +737,28 @@ class SearchService:
                 self.spark, self.corpus.select("doc_id", "content"), pattern, k
             ),
             "score",
+        )
+
+    def search_span_near(
+        self, query: str, k: int = 20, slop: int = 2
+    ) -> list[tuple]:
+        """Ordered span search (Lucene SpanNearQuery in_order=true):
+        index-backed from the positions artifact when present, else the
+        relational recompute — rank-identical, parity-tested."""
+        if self.reader is not None and (
+            self.reader.manifest["stages"].get("positions") == "done"
+        ):
+            return self._with_meta(
+                self.reader.span_near_topk(query, k, slop), "min_span"
+            )
+        from .phrase import span_near_topk
+
+        return self._with_meta(
+            span_near_topk(
+                self.spark, self.corpus.select("doc_id", "content"),
+                query, k, slop,
+            ),
+            "min_span",
         )
 
     def search_fuzzy_match(self, query: str, k: int = 10) -> list[tuple]:
@@ -1062,6 +1087,14 @@ def create_app(service: SearchService):
     def search_fuzzy_match():
         return jsonify(service.search_fuzzy_match(_query()))
 
+    @app.route("/search_span_near")
+    def search_span_near():
+        return jsonify(
+            service.search_span_near(
+                _query(), slop=int(request.args.get("slop", 2))
+            )
+        )
+
     @app.route("/search_phrase_prefix")
     def search_phrase_prefix():
         return jsonify(service.search_phrase_prefix(_query()))
@@ -1252,6 +1285,7 @@ def create_app(service: SearchService):
                 origin=float(request.args.get("origin", "300")),
                 scale=float(request.args.get("scale", "150")),
                 decay=float(request.args.get("decay", "0.5")),
+                decay_fn=request.args.get("fn", "gauss"),
             )
         )
 

@@ -66,6 +66,50 @@ def gauss_factor_col(value_col, origin: float, scale: float, decay: float):
     return F.exp(F.lit(math.log(decay)) * z * z)
 
 
+def exp_factor_col(value_col, origin: float, scale: float, decay: float):
+    """decay ** (|v − origin| / scale) — ES exp decay with offset=0.
+    The constant ln(decay)/scale is computed ONCE in CPython and
+    inlined, so both engines run the identical IEEE expression."""
+    d = F.abs(value_col.cast("double") - F.lit(float(origin)))
+    return F.exp(F.lit(math.log(decay) / float(scale)) * d)
+
+
+def linear_factor_col(value_col, origin: float, scale: float, decay: float):
+    """max(0, (s − |v − origin|)/s), s = scale/(1 − decay) — ES linear
+    decay with offset=0 (a hard zero beyond the support)."""
+    s = float(scale) / (1.0 - float(decay))
+    d = F.abs(value_col.cast("double") - F.lit(float(origin)))
+    return F.greatest(F.lit(0.0), (F.lit(s) - d) / F.lit(s))
+
+
+def decay_factor_col(
+    decay_fn: str, value_col, origin: float, scale: float, decay: float
+):
+    """Dispatch on the ES decay-function name: gauss | exp | linear."""
+    if decay_fn == "gauss":
+        return gauss_factor_col(value_col, origin, scale, decay)
+    if decay_fn == "exp":
+        return exp_factor_col(value_col, origin, scale, decay)
+    if decay_fn == "linear":
+        return linear_factor_col(value_col, origin, scale, decay)
+    raise ValueError(f"unknown decay function {decay_fn!r}")
+
+
+def decay_factor_at(decay_fn: str, d: float, scale: float, decay: float) -> float:
+    """CPython twin of decay_factor_col at distance ``d`` ≥ 0 — the
+    bound side of IndexReader's TA dispatch (inflated by an ulp guard
+    there; the per-doc factor is JVM libm, this is CPython libm)."""
+    if decay_fn == "gauss":
+        z = d / float(scale)
+        return math.exp(math.log(decay) * z * z)
+    if decay_fn == "exp":
+        return math.exp(math.log(decay) / float(scale) * d)
+    if decay_fn == "linear":
+        s = float(scale) / (1.0 - float(decay))
+        return max(0.0, (s - d) / s)
+    raise ValueError(f"unknown decay function {decay_fn!r}")
+
+
 def ln1p_factor_col(value_col, factor: float):
     """ln(1 + factor·max(v, 0)) — ES field_value_factor, ln1p modifier."""
     v = F.greatest(value_col.cast("double"), F.lit(0.0))
@@ -111,14 +155,16 @@ def function_score_topk(
     origin: float,
     scale: float,
     decay: float = 0.5,
+    decay_fn: str = "gauss",
     use_stem: bool = False,
     round_scores: int | None = None,
 ) -> DataFrame:
-    """(rank, doc_id, score) — BM25 × gauss decay on ``field``.
+    """(rank, doc_id, score) — BM25 × ``decay_fn`` decay (gauss | exp |
+    linear) on ``field``.
     DuckDB mirror: engine.driver_queries.function_score_sql."""
     return _modified_topk(
         spark, docs, query, k,
-        gauss_factor_col(F.col("_fs_value"), origin, scale, decay),
+        decay_factor_col(decay_fn, F.col("_fs_value"), origin, scale, decay),
         field, use_stem=use_stem, round_scores=round_scores,
     )
 

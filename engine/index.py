@@ -689,6 +689,20 @@ class IndexReader:
             tombstones=self.tombstones_df(),
         )
 
+    def span_near_topk(
+        self, query: str, k: int = 10, slop: int = 2
+    ) -> DataFrame:
+        """Ordered span search (Lucene SpanNearQuery, in_order=true)
+        served from the positions artifact — the level-walk kernel of
+        engine/positions.span_near_from_positions; rank-identical to
+        engine/phrase.span_near_topk (DuckDB mirror span_near_sql)."""
+        from .positions import span_near_from_positions
+
+        return span_near_from_positions(
+            self.spark, self.positions(), query, k, slop,
+            tombstones=self.tombstones_df(),
+        )
+
     def match_phrase_prefix_topk(
         self, phrase: str, k: int = 10, max_expansions: int = 50
     ) -> DataFrame:
@@ -2781,26 +2795,26 @@ class IndexReader:
     def function_score_topk(
         self, query: str, meta: DataFrame, k: int = 10, *,
         value_col: str = "n_chars", origin: float, scale: float,
-        decay: float = 0.5, round_scores: int | None = None,
+        decay: float = 0.5, decay_fn: str = "gauss",
+        round_scores: int | None = None,
         range_key: str | None = None,
     ) -> DataFrame:
-        """ES function_score (gauss decay, boost_mode=multiply) served
-        from the index — engine/funcscore.function_score_topk semantics
-        against the SAME DuckDB oracle (function_score_sql). ``meta``
-        is a corpus frame carrying doc_id + ``value_col``. TA serving
-        with exhaustive fallback: the gauss factor is ≤ f_max =
-        decay^(d²/scale²) at the field range's nearest approach d to
-        origin (1.0 when origin lies inside the range), so candidates
-        from the pruned kernel certify by the _mod_serve bound."""
-        import math
-
-        from .funcscore import gauss_factor_col
+        """ES function_score (gauss/exp/linear decay,
+        boost_mode=multiply) served from the index —
+        engine/funcscore.function_score_topk semantics against the SAME
+        DuckDB oracle (function_score_sql). ``meta`` is a corpus frame
+        carrying doc_id + ``value_col``. TA serving with exhaustive
+        fallback: every decay is monotone in |v − origin|, so f_max is
+        the factor at the field range's NEAREST approach to origin and
+        the dispatch envelope f_lo the factor at the FARTHEST."""
+        from .funcscore import decay_factor_at, decay_factor_col
         from .ranking import _ranked
 
-        variant = ("fs", value_col, float(origin), float(scale),
+        variant = ("fs", decay_fn, value_col, float(origin), float(scale),
                    float(decay), int(k))
-        factor = gauss_factor_col(
-            F.col("_fs_value"), float(origin), float(scale), float(decay)
+        factor = decay_factor_col(
+            decay_fn, F.col("_fs_value"), float(origin), float(scale),
+            float(decay),
         )
 
         def assemble(cand_pdf):
@@ -2820,21 +2834,20 @@ class IndexReader:
             return _ranked(out, "score", k)
 
         lo, hi = self._meta_range(range_key or value_col, meta, value_col)
-        if lo <= origin <= hi:
-            f_max = 1.0
-        else:
-            d = (lo - origin) if lo > origin else (origin - hi)
-            z = d / float(scale)
-            # inflate by an ulp guard: the per-doc factor is JVM libm
-            # exp, the bound is CPython exp
-            f_max = math.exp(math.log(decay) * z * z) * (1.0 + 1e-9)
+        d_near = (
+            0.0 if lo <= origin <= hi
+            else ((lo - origin) if lo > origin else (origin - hi))
+        )
+        d_far = max(abs(lo - origin), abs(hi - origin))
+        # inflate by an ulp guard: the per-doc factor is JVM libm, the
+        # bound is CPython libm
+        f_max = decay_factor_at(decay_fn, d_near, scale, decay) * (1.0 + 1e-9)
         # factor envelope at the range's FARTHEST approach to origin —
         # the dispatch gate (class docstring at _MOD_TA_FACTOR_FLOOR)
-        z_far = max(abs(lo - origin), abs(hi - origin)) / float(scale)
-        f_lo = math.exp(math.log(decay) * z_far * z_far)
+        f_lo = decay_factor_at(decay_fn, d_far, scale, decay)
         served = (
             self._mod_serve(variant, query, k, f_max, assemble, round_scores)
-            if f_lo >= self._MOD_TA_FACTOR_FLOOR * f_max
+            if f_max > 0.0 and f_lo >= self._MOD_TA_FACTOR_FLOOR * f_max
             else None
         )
         if served is not None:

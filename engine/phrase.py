@@ -178,6 +178,112 @@ def match_phrase_prefix_topk(
     return _ranked(occ, "n_occ", k)
 
 
+# -------------------------------------- span_near (ordered, slop-bounded)
+
+def span_near_topk(
+    spark: SparkSession,
+    corpus: DataFrame,
+    query: str,
+    k: int = 10,
+    slop: int = 2,
+) -> DataFrame:
+    """(rank, doc_id, min_span) — Lucene ``SpanNearQuery(in_order=true)``
+    analog: docs where the query's terms appear IN ORDER within a token
+    window of ≤ ``len(terms) + slop``; ranked by the smallest such
+    ordered window (asc, ties doc_id asc). slop=0 degenerates to the
+    exact phrase; the unordered variant is proximity_topk. Terms keep
+    their query order and duplicates (``"merge merge fast"`` needs two
+    ordered merges) — unlike proximity's distinct-set semantics.
+
+    Plan: the positional stream is isin-pruned to the query's terms
+    BEFORE the only exchange, then the ordered chain is an (m−1)-way
+    self-join on (doc_id, pos strictly increasing) with the window
+    bound pushed into the top join — per doc the joined relation is
+    query-term-events-sized (a handful), so the shuffle carries events,
+    never the corpus. The indexed twin
+    (engine/positions.span_near_from_positions) replaces the join tower
+    with a level-walk over decoded position streams. DuckDB mirror:
+    span_near_sql (the identical join shape)."""
+    from .ranking import _ranked_asc
+
+    out_schema = "rank int, doc_id long, min_span long"
+    terms = tokenize(query, use_stem=False)
+    if not terms:
+        return spark.createDataFrame([], out_schema)
+    m = len(terms)
+    w = m + int(slop)
+    ev = term_positions(corpus).where(
+        F.col("term").isin(sorted(set(terms)))
+    )
+    j = ev.where(F.col("term") == terms[0]).select(
+        F.col("doc_id"), F.col("pos").alias("p0")
+    )
+    for i, t in enumerate(terms[1:], start=1):
+        # unique aliases per level: the tower self-joins one lineage
+        la, lb = f"l{i}a", f"l{i}b"
+        ei = ev.where(F.col("term") == t).select(
+            F.col("doc_id"), F.col("pos").alias(f"p{i}")
+        )
+        j, ei = j.alias(la), ei.alias(lb)
+        cond = (
+            F.col(f"{la}.doc_id") == F.col(f"{lb}.doc_id")
+        ) & (F.col(f"{lb}.p{i}") > F.col(f"{la}.p{i - 1}"))
+        if i == m - 1:
+            cond = cond & (
+                F.col(f"{lb}.p{i}") - F.col(f"{la}.p0") + 1 <= w
+            )
+        j = j.join(ei, cond).select(f"{la}.*", f"{lb}.p{i}")
+    spans = j.select(
+        "doc_id",
+        (F.col(f"p{m - 1}") - F.col("p0") + F.lit(1)).cast("long").alias("span")
+    ) if m > 1 else j.select("doc_id", F.lit(1).cast("long").alias("span"))
+    agg = spans.groupBy("doc_id").agg(
+        F.min("span").cast("long").alias("min_span")
+    )
+    return _ranked_asc(agg, "min_span", k)
+
+
+def span_near_sql(query: str, k: int = 10, slop: int = 2) -> str:
+    """DuckDB mirror of span_near_topk — the same ordered-chain
+    inequality joins over the unnested positional stream."""
+    terms = tokenize(query, use_stem=False)
+    if not terms:
+        return (
+            "SELECT 0::INTEGER AS rank, 0::BIGINT AS doc_id, "
+            "0::BIGINT AS min_span WHERE false"
+        )
+    m = len(terms)
+    w = m + int(slop)
+    quoted = [t.replace("'", "''") for t in terms]
+    in_list = ", ".join(f"'{t}'" for t in sorted(set(quoted)))
+    joins = "\n  ".join(
+        f"JOIN ev e{i} ON e{i}.doc_id = e0.doc_id AND e{i}.term = '{t}' "
+        f"AND e{i}.pos > e{i - 1}.pos"
+        for i, t in enumerate(quoted[1:], start=1)
+    )
+    span = f"(e{m - 1}.pos - e0.pos + 1)" if m > 1 else "1"
+    return f"""
+WITH {_tokd_cte()},
+ev AS (
+  SELECT doc_id, term, pos FROM (
+    SELECT doc_id, unnest(toks) AS term,
+           (generate_subscripts(toks, 1) - 1)::BIGINT AS pos
+    FROM tokd
+  ) WHERE term IN ({in_list})
+),
+spans AS (
+  SELECT e0.doc_id, {span}::BIGINT AS span
+  FROM ev e0
+  {joins}
+  WHERE e0.term = '{quoted[0]}' AND {span} <= {w}
+),
+agg AS (SELECT doc_id, min(span)::BIGINT AS min_span FROM spans GROUP BY doc_id)
+SELECT row_number() OVER (ORDER BY min_span ASC, doc_id ASC)::INTEGER AS rank,
+       doc_id, min_span
+FROM agg ORDER BY min_span ASC, doc_id ASC LIMIT {int(k)}
+"""
+
+
 # ----------------------------------------------- proximity (min-span)
 
 def proximity_topk(

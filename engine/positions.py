@@ -260,6 +260,116 @@ def match_phrase_prefix_from_positions(
     return _ranked(occ, "n_occ", k)
 
 
+def _span_near_kernel(terms: list[str], w: int):
+    """Ordered min-span (span_near) over decoded position streams: an
+    (m−1)-level walk replacing the recompute path's join tower. Level j
+    keeps, per event, the BEST (largest) chain start of an ordered
+    t₀..tⱼ match ending at that event: one searchsorted against the
+    previous level's sorted ``(doc_idx<<32)|pos`` keys finds the latest
+    earlier event, and a doc-guarded ``maximum.accumulate`` over packed
+    ``(doc_idx<<32)|(chain+1)`` values turns it into a prefix max
+    (invalid events pack chain 0; earlier docs can never bleed forward
+    because the doc index owns the high bits). O(E log E) per shard."""
+    m = len(terms)
+    empty = pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                          "min_span": pd.Series(dtype="int64")})
+
+    def kernel(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        per: dict[str, tuple[np.ndarray, np.ndarray]] = {}
+        for term, grp in pdf.groupby("term"):
+            per[str(term)] = _decode_blocks(grp)
+        if any(t not in per for t in set(terms)):
+            return empty
+        common = np.unique(per[terms[0]][0])
+        for t in terms[1:]:
+            common = np.intersect1d(common, np.unique(per[t][0]),
+                                    assume_unique=True)
+            if common.size == 0:
+                return empty
+
+        def level(t):
+            d, p = per[t]
+            sel = np.isin(d, common)
+            d, p = d[sel], p[sel]
+            didx = np.searchsorted(common, d)
+            keys = (didx << np.int64(32)) | p
+            order = np.argsort(keys)
+            return didx[order], p[order], keys[order]
+
+        didx0, p0, keys0 = level(terms[0])
+        if m == 1:
+            return pd.DataFrame({
+                "doc_id": common,
+                "min_span": np.ones(common.size, dtype=np.int64),
+            })
+        # level 0: every occurrence starts its own chain
+        runmax = np.maximum.accumulate(
+            (didx0 << np.int64(32)) | (p0 + 1)
+        )
+        prev_keys = keys0
+        for j in range(1, m):
+            didx, pj, keys = level(terms[j])
+            idx = np.searchsorted(prev_keys, keys, side="left") - 1
+            got = runmax[np.maximum(idx, 0)]
+            valid = (idx >= 0) & ((got >> np.int64(32)) == didx) & (
+                (got & np.int64(0xFFFFFFFF)) > 0
+            )
+            chain = (got & np.int64(0xFFFFFFFF)) - 1
+            if j == m - 1:
+                span = np.where(valid, pj - chain + 1, np.int64(2**40))
+                span = np.where(span <= w, span, np.int64(2**40))
+                starts = np.searchsorted(didx, np.arange(common.size))
+                # docs whose events all fall before the next doc's
+                # start keep their own slice; empty slices (no event
+                # of the last term in that doc — impossible here since
+                # common intersects all terms) would reuse neighbors,
+                # guarded by the sentinel filter below anyway
+                mins = np.minimum.reduceat(span, starts)
+                keep = mins <= w
+                return pd.DataFrame({
+                    "doc_id": common[keep],
+                    "min_span": mins[keep].astype(np.int64),
+                })
+            packed = np.where(
+                valid,
+                (didx << np.int64(32)) | (chain + 1),
+                (didx << np.int64(32)),
+            )
+            runmax = np.maximum.accumulate(packed)
+            prev_keys = keys
+
+    return kernel
+
+
+def span_near_from_positions(
+    spark: SparkSession,
+    positions: DataFrame,
+    query: str,
+    k: int = 10,
+    slop: int = 2,
+    *,
+    tombstones: DataFrame | None = None,
+) -> DataFrame:
+    """(rank, doc_id, min_span) — span_near served from the positions
+    artifact; rank-identical to engine/phrase.span_near_topk (DuckDB
+    mirror span_near_sql is the oracle). The isin prunes the artifact
+    read to the query's terms."""
+    from .ranking import _ranked_asc
+
+    out_schema = "rank int, doc_id long, min_span long"
+    terms = tokenize(query, use_stem=False)
+    if not terms:
+        return spark.createDataFrame([], out_schema)
+    w = len(terms) + int(slop)
+    blocks = positions.where(F.col("term").isin(sorted(set(terms))))
+    spans = blocks.groupBy("shard").applyInPandas(
+        _span_near_kernel(terms, w), "doc_id long, min_span long"
+    )
+    if tombstones is not None:
+        spans = spans.join(F.broadcast(tombstones), "doc_id", "left_anti")
+    return _ranked_asc(spans, "min_span", k)
+
+
 def _proximity_kernel(terms: list[str]):
     """Per-shard min-span sweep over decoded position streams.
 

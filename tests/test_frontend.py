@@ -571,3 +571,22 @@ def test_search_phrase_prefix_route(client, service, spark, tiny_corpus):
         assert got == want and got, q
     r = client.get("/search_phrase_prefix", query_string={"query": "the of"})
     assert r.status_code == 200 and r.get_json() == []
+
+
+def test_search_span_near_route(client, service, spark, tiny_corpus):
+    """/search_span_near — parity with the recompute module function on
+    whichever path the bound index serves; slop rides the query string."""
+    from engine.phrase import span_near_topk
+
+    r = client.get(
+        "/search_span_near", query_string={"query": "def return", "slop": "3"}
+    )
+    assert r.status_code == 200
+    got = [row[0] for row in r.get_json()]
+    want = [
+        row["doc_id"]
+        for row in span_near_topk(spark, tiny_corpus, "def return", 20, 3).collect()
+    ]
+    assert got == want and got
+    r = client.get("/search_span_near", query_string={"query": "the of"})
+    assert r.status_code == 200 and r.get_json() == []

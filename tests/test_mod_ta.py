@@ -264,3 +264,27 @@ def test_mod_ta_edge_queries(spark, mod_index_dir, docs_meta):
         "zzzqqqxxx nonexistenttokenxyz", meta, 5, value_col="n_chars",
         origin=ORIGIN, scale=SCALE, decay=DECAY, round_scores=ROUND,
     ).count() == 0
+
+
+@pytest.mark.parametrize("fn", ["exp", "linear"])
+def test_function_score_decay_fn_ta(spark, mod_index_dir, docs_meta, queries, fn):
+    """exp/linear decay through the TA path (forced kernel cut): the
+    monotone-in-distance f_max/f_lo bounds generalize and both sides of
+    the fallback seam stay value-identical to the recompute formula.
+    linear's hard zero beyond the support exercises f_max=0 docs."""
+    from engine.funcscore import function_score_topk
+
+    r = _cut_reader(spark, mod_index_dir)
+    meta = docs_meta.select("doc_id", "n_chars")
+    for q in queries[:3]:
+        got = _rows(r.function_score_topk(
+            q["text"], meta, 3, value_col="n_chars",
+            origin=ORIGIN, scale=SCALE, decay=DECAY, decay_fn=fn,
+            round_scores=ROUND,
+        ))
+        want = _rows(function_score_topk(
+            spark, docs_meta, q["text"], 3, field="n_chars",
+            origin=ORIGIN, scale=SCALE, decay=DECAY, decay_fn=fn,
+            round_scores=ROUND,
+        ))
+        assert got == want, (fn, q["text"])

@@ -289,3 +289,103 @@ def test_reindex_requires_docstore(spark, tiny_corpus, tmp_path_factory):
             spark, IndexReader(spark, d),
             str(tmp_path_factory.mktemp("ri_nodoc_out")),
         )
+
+
+# -------------------------------------------------------- span_near
+
+SN_QUERIES = [
+    ("table scan", 0),       # slop 0 == exact-phrase adjacency
+    ("fast table scan", 3),
+    ("table fast", 4),       # order matters: reverse of a common bigram
+    ("scan merge", 10),
+    ("def", 2),              # single term: every containing doc, span 1
+    ("the of", 2),           # stopword-only → empty
+]
+
+
+def test_span_near_recompute_matches_duckdb(spark, sf_docs, duck):
+    from engine.phrase import span_near_sql, span_near_topk
+
+    for q, slop in SN_QUERIES:
+        got = [
+            tuple(r)
+            for r in span_near_topk(spark, sf_docs, q, 20, slop).collect()
+        ]
+        want = [
+            tuple(r)
+            for r in duck.execute(span_near_sql(q, 20, slop)).fetchall()
+        ]
+        assert got == want, (q, slop)
+
+
+def test_span_near_indexed_identical(spark, tiny_corpus, idx4c_dir):
+    from engine.index import IndexReader
+    from engine.phrase import span_near_topk
+
+    r = IndexReader(spark, idx4c_dir)
+    for q, slop in [("def return", 2), ("import def class", 4), ("def", 0)]:
+        got = [tuple(x) for x in r.span_near_topk(q, 20, slop).collect()]
+        want = [
+            tuple(x)
+            for x in span_near_topk(spark, tiny_corpus, q, 20, slop).collect()
+        ]
+        assert got == want, (q, slop)
+
+
+def test_span_near_semantics(spark, sf_docs):
+    """Pinned deltas vs the siblings: slop=0 matches exactly the
+    phrase-adjacent docs (span == m); the ordered constraint is strictly
+    tighter than unordered proximity at the same window."""
+    from engine.phrase import phrase_topk, proximity_topk, span_near_topk
+
+    phrase_docs = {
+        r["doc_id"] for r in phrase_topk(spark, sf_docs, "table scan", 500).collect()
+    }
+    sn0 = {
+        r["doc_id"]: r["min_span"]
+        for r in span_near_topk(spark, sf_docs, "table scan", 500, 0).collect()
+    }
+    assert set(sn0) == phrase_docs
+    assert all(v == 2 for v in sn0.values())
+    # ordered ⊆ unordered at the same min_span per doc
+    prox = {
+        r["doc_id"]: r["min_span"]
+        for r in proximity_topk(spark, sf_docs, "table scan", 500).collect()
+    }
+    sn = {
+        r["doc_id"]: r["min_span"]
+        for r in span_near_topk(spark, sf_docs, "table scan", 500, 50).collect()
+    }
+    for d, v in sn.items():
+        assert prox.get(d, 10**9) <= v
+
+
+# ----------------------------------- function_score decay variants
+
+def test_function_score_decay_variants_match_duckdb(spark, duck):
+    from engine.driver_queries import _docs_meta, function_score_sql
+    from engine.funcscore import function_score_topk
+
+    docs = _docs_meta(spark, SF)
+    q = "table scan fast"
+    for fn in ("exp", "linear"):
+        got = [
+            tuple(r)
+            for r in function_score_topk(
+                spark, docs, q, 10, field="n_chars",
+                origin=300.0, scale=150.0, decay=0.5, decay_fn=fn,
+                round_scores=R,
+            ).collect()
+        ]
+        want = [
+            tuple(r)
+            for r in duck.execute(function_score_sql(
+                q, 10, origin=300.0, scale=150.0, decay=0.5, decay_fn=fn,
+            )).fetchall()
+        ]
+        assert got == want, fn
+    with pytest.raises(ValueError, match="decay"):
+        function_score_topk(
+            spark, docs, q, 10, field="n_chars",
+            origin=300.0, scale=150.0, decay=0.5, decay_fn="nope",
+        )
