@@ -144,6 +144,173 @@ FROM b GROUP BY bucket_lo ORDER BY bucket_lo
 """
 
 
+def histogram_agg(
+    corpus: DataFrame, query: str, value_col: str, interval: int
+) -> DataFrame:
+    """ES ``histogram`` agg: fixed-``interval`` buckets over
+    ``value_col`` for the match set — bucket_lo = (v DIV interval) ·
+    interval (integer division in BOTH engines; float floor-division
+    loses exactness past 2^53 — the engine/sampling.py token_pack
+    lesson). Only non-empty buckets appear. DuckDB mirror:
+    histogram_sql."""
+    terms = _qterms(query)
+    spark = corpus.sparkSession
+    schema = "bucket_lo long, n_docs long"
+    if not terms:
+        return spark.createDataFrame([], schema)
+    m = _match(corpus, terms).select(F.col(value_col).cast("long").alias("v"))
+    return (
+        m.select(
+            (F.expr(f"v DIV {int(interval)}") * int(interval))
+            .cast("long").alias("bucket_lo")
+        )
+        .groupBy("bucket_lo")
+        .agg(F.count("*").alias("n_docs"))
+        .orderBy("bucket_lo")
+    )
+
+
+def histogram_sql(query: str, value_col: str, interval: int) -> str:
+    """DuckDB mirror of histogram_agg over the driver `documents`."""
+    from .phrase import _phrase_list_sql, _tokd_cte
+
+    terms = _qterms(query)
+    if not terms:
+        return (
+            "SELECT 0::BIGINT AS bucket_lo, 0::BIGINT AS n_docs WHERE false"
+        )
+    return f"""
+WITH {_tokd_cte()},
+m AS (SELECT d.{value_col}::BIGINT AS v
+      FROM tokd t JOIN documents d USING (doc_id)
+      WHERE list_has_any(t.toks, {_phrase_list_sql(terms)}))
+SELECT ((v // {int(interval)}) * {int(interval)})::BIGINT AS bucket_lo,
+       count(*)::BIGINT AS n_docs
+FROM m GROUP BY bucket_lo ORDER BY bucket_lo
+"""
+
+
+def extended_stats_agg(
+    corpus: DataFrame, query: str, value_col: str, round_scores: int = ROUND
+) -> DataFrame:
+    """ES ``extended_stats``: count/min/max/sum/avg/variance/std over
+    the match set. Variance is the POPULATION variance computed from
+    EXACT integer sums with the identical expression in both engines —
+    sum_sq/n − (sum/n)² — rather than each engine's streaming var_pop
+    (different accumulation orders would put the last ulp in play).
+    DuckDB mirror: extended_stats_sql."""
+    terms = _qterms(query)
+    spark = corpus.sparkSession
+    schema = (
+        "n_docs long, min_v long, max_v long, sum_v long, "
+        "avg_v double, var_v double, std_v double"
+    )
+    if not terms:
+        return spark.createDataFrame([], schema)
+    m = _match(corpus, terms).select(F.col(value_col).cast("long").alias("v"))
+    agg = m.agg(
+        F.count("*").alias("n_docs"),
+        F.min("v").alias("min_v"),
+        F.max("v").alias("max_v"),
+        F.sum("v").alias("sum_v"),
+        F.sum(F.col("v") * F.col("v")).alias("ss"),
+    )
+    n = F.col("n_docs").cast("double")
+    mean = F.col("sum_v").cast("double") / n
+    var = F.col("ss").cast("double") / n - mean * mean
+    return agg.select(
+        "n_docs", "min_v", "max_v", "sum_v",
+        F.round(mean, round_scores).alias("avg_v"),
+        F.round(var, round_scores).alias("var_v"),
+        F.round(F.sqrt(var), round_scores).alias("std_v"),
+    )
+
+
+def extended_stats_sql(
+    query: str, value_col: str, round_scores: int = ROUND
+) -> str:
+    """DuckDB mirror of extended_stats_agg (same explicit-sums
+    variance expression)."""
+    from .phrase import _phrase_list_sql, _tokd_cte
+
+    terms = _qterms(query)
+    if not terms:
+        return (
+            "SELECT 0::BIGINT AS n_docs, 0::BIGINT AS min_v, "
+            "0::BIGINT AS max_v, 0::BIGINT AS sum_v, 0::DOUBLE AS avg_v, "
+            "0::DOUBLE AS var_v, 0::DOUBLE AS std_v WHERE false"
+        )
+    r = int(round_scores)
+    return f"""
+WITH {_tokd_cte()},
+m AS (SELECT d.{value_col}::BIGINT AS v
+      FROM tokd t JOIN documents d USING (doc_id)
+      WHERE list_has_any(t.toks, {_phrase_list_sql(terms)})),
+a AS (SELECT count(*)::BIGINT AS n_docs, min(v)::BIGINT AS min_v,
+             max(v)::BIGINT AS max_v, sum(v)::BIGINT AS sum_v,
+             sum(v * v)::BIGINT AS ss
+      FROM m)
+SELECT n_docs, min_v, max_v, sum_v,
+       round(sum_v::DOUBLE / n_docs::DOUBLE, {r})::DOUBLE AS avg_v,
+       round(ss::DOUBLE / n_docs::DOUBLE
+             - (sum_v::DOUBLE / n_docs::DOUBLE)
+               * (sum_v::DOUBLE / n_docs::DOUBLE), {r})::DOUBLE AS var_v,
+       round(sqrt(ss::DOUBLE / n_docs::DOUBLE
+             - (sum_v::DOUBLE / n_docs::DOUBLE)
+               * (sum_v::DOUBLE / n_docs::DOUBLE)), {r})::DOUBLE AS std_v
+FROM a
+"""
+
+
+def filters_agg(corpus: DataFrame, named: dict[str, str]) -> DataFrame:
+    """ES ``filters`` agg: one named bucket per query, counting its
+    match set (a doc may land in several buckets; all-stopword queries
+    produce a 0 bucket, mirroring ES's empty filter). ONE corpus pass:
+    every bucket is a conditional count inside a single aggregate, then
+    a stack() unpivot — the exchange carries one row. DuckDB mirror:
+    filters_sql."""
+    names = sorted(named)
+    aggs = []
+    for i, name in enumerate(names):
+        terms = _qterms(named[name])
+        cond = (
+            F.lit(False) if not terms
+            else F.arrays_overlap(
+                tokens_filtered_col(F.col("content")),
+                F.array(*[F.lit(t) for t in terms]),
+            )
+        )
+        aggs.append(
+            F.sum(F.when(cond, 1).otherwise(0)).cast("long").alias(f"n{i}")
+        )
+    row = corpus.agg(*aggs)
+    stack = ", ".join(
+        "'" + n.replace("'", "") + f"', n{i}" for i, n in enumerate(names)
+    )
+    return row.selectExpr(
+        f"stack({len(names)}, {stack}) as (bucket, n_docs)"
+    ).orderBy("bucket")
+
+
+def filters_sql(named: dict[str, str]) -> str:
+    """DuckDB mirror of filters_agg (per-name counts unioned)."""
+    from .phrase import _phrase_list_sql, _tokd_cte
+
+    parts = []
+    for name in sorted(named):
+        terms = _qterms(named[name])
+        nm = name.replace("'", "")
+        if not terms:
+            parts.append(f"SELECT '{nm}' AS bucket, 0::BIGINT AS n_docs")
+        else:
+            parts.append(
+                f"SELECT '{nm}' AS bucket, count(*)::BIGINT AS n_docs "
+                f"FROM tokd WHERE list_has_any(toks, {_phrase_list_sql(terms)})"
+            )
+    union = " UNION ALL ".join(parts)
+    return f"WITH {_tokd_cte()} SELECT * FROM ({union}) ORDER BY bucket"
+
+
 # ---------------------------------------------------------- date histogram
 
 def date_histogram(

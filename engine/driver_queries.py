@@ -970,6 +970,35 @@ def _q_range_agg(spark, sf_dir):
                            RANGE_BOUNDS)
 
 
+HIST_INTERVAL = 200
+FILTERS_NAMED = {
+    "scans": "table scan",
+    "joins": "query join window",
+    "stop_only": "the of a",
+    "misses": "zzznotaterm",
+}
+
+
+def _q_histogram(spark, sf_dir):
+    from .aggs import histogram_agg
+
+    return histogram_agg(
+        _docs_meta(spark, sf_dir), AGG_QUERY, "n_chars", HIST_INTERVAL
+    )
+
+
+def _q_extended_stats(spark, sf_dir):
+    from .aggs import extended_stats_agg
+
+    return extended_stats_agg(_docs_meta(spark, sf_dir), AGG_QUERY, "n_chars")
+
+
+def _q_filters_agg(spark, sf_dir):
+    from .aggs import filters_agg
+
+    return filters_agg(_docs(spark, sf_dir), FILTERS_NAMED)
+
+
 def _q_date_histogram(spark, sf_dir):
     from .aggs import date_histogram
 
@@ -2343,6 +2372,9 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["function_score_exp_indexed"] = _mk_fs_decay("exp", indexed=True)
     out["function_score_linear"] = _mk_fs_decay("linear", indexed=False)
     out["function_score_linear_indexed"] = _mk_fs_decay("linear", indexed=True)
+    out["histogram_chars"] = _q_histogram
+    out["extended_stats_chars"] = _q_extended_stats
+    out["filters_agg_counts"] = _q_filters_agg
     return _driver_order(out)
 
 
@@ -2650,4 +2682,9 @@ FROM d CROSS JOIN t
             origin=FS_ORIGIN, scale=FS_SCALE, decay=FS_DECAY, decay_fn=fn,
         )
         out[f"function_score_{fn}_indexed"] = out[f"function_score_{fn}"]
+    from .aggs import extended_stats_sql, filters_sql, histogram_sql
+
+    out["histogram_chars"] = histogram_sql(AGG_QUERY, "n_chars", HIST_INTERVAL)
+    out["extended_stats_chars"] = extended_stats_sql(AGG_QUERY, "n_chars")
+    out["filters_agg_counts"] = filters_sql(FILTERS_NAMED)
     return _driver_order(out)

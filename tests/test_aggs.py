@@ -15,6 +15,9 @@ sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
 
 SF = "/root/testdata/sf0.001"
 NEW = [
+    "histogram_chars",
+    "extended_stats_chars",
+    "filters_agg_counts",
     "range_agg_chars",
     "date_histogram_events",
     "cardinality_source",
@@ -70,7 +73,11 @@ def test_empty_query_guards(spark):
     from engine.bm25f import dismax_topk
 
     c = _meta(spark)
+    from engine.aggs import extended_stats_agg, histogram_agg
+
     for df in [
+        histogram_agg(c, "the a of", "n_chars", 200),
+        extended_stats_agg(c, "", "n_chars"),
         range_stats_agg(c, "the a of", "n_chars", [0, 100]),
         cardinality_agg(c, "", "source"),
         percentiles_agg(c, "", "n_chars", [0.5]),
