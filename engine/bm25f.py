@@ -136,6 +136,7 @@ def dismax_topk(
     k: int = 10,
     *,
     tie_breaker: float = 0.3,
+    most_fields: bool = False,
     round_scores: int | None = None,
 ) -> DataFrame:
     """Lucene DisjunctionMaxQuery over the (title, body) fields: per
@@ -189,6 +190,12 @@ def dismax_topk(
         F.col("tf").cast("double")
         / _bnorm(F.col("doc_len").cast("double"), F.col("avgdl"))
     )
+    combined = (
+        s_title + s_body
+        if most_fields
+        else F.greatest(s_title, s_body)
+        + F.lit(float(tie_breaker)) * F.least(s_title, s_body)
+    )
     scored = (
         hits.join(ttf, ["doc_id", "term"], "left")
         .join(tlen, "doc_id")
@@ -197,19 +204,35 @@ def dismax_topk(
         .crossJoin(F.broadcast(t_stats))
         .select(
             "doc_id",
-            (
-                F.col("qtf").cast("double")
-                * (
-                    F.greatest(s_title, s_body)
-                    + F.lit(float(tie_breaker)) * F.least(s_title, s_body)
-                )
-            ).alias("partial"),
+            (F.col("qtf").cast("double") * combined).alias("partial"),
         )
     )
     agg = scored.groupBy("doc_id").agg(F.sum("partial").alias("score"))
     if round_scores is not None:
         agg = agg.select("doc_id", F.round("score", round_scores).alias("score"))
     return _ranked(agg, "score", k)
+
+
+def most_fields_topk(
+    spark: SparkSession,
+    corpus: DataFrame,
+    query: str,
+    k: int = 10,
+    *,
+    round_scores: int | None = None,
+) -> DataFrame:
+    """ES ``multi_match type: most_fields`` over (title, body): the
+    per-field BM25 scores SUM instead of dis_max's best-plus-tiebreak —
+    the multi-field type that rewards matching in MANY fields. Same
+    fields/saturation/idf and plan shape as dismax_topk (this is
+    dismax with the combine swapped); completes the multi_match trio:
+    best_fields = dismax_topk, cross_fields = bm25f_topk (tfs merged
+    BEFORE saturation), most_fields = this. DuckDB mirror:
+    most_fields_sql."""
+    return dismax_topk(
+        spark, corpus, query, k, most_fields=True,
+        round_scores=round_scores,
+    )
 
 
 def _bnorm(len_col, avg_col):
@@ -292,9 +315,11 @@ def dismax_topk_sql(
     k: int = 10,
     *,
     tie_breaker: float = 0.3,
+    most_fields: bool = False,
     round_scores: int = 6,
 ) -> str:
-    """DuckDB mirror of dismax_topk over the driver `documents` view."""
+    """DuckDB mirror of dismax_topk (and, with ``most_fields=True``,
+    of most_fields_topk) over the driver `documents` view."""
     from .phrase import _tokd_cte
 
     qtf = Counter(tokenize(query, use_stem=False))
@@ -318,6 +343,10 @@ def dismax_topk_sql(
     tfw_b = f"(tfv.tf::DOUBLE / ((1.0 - {b}) + {b} * dl.doc_len / s.avgdl))"
     st = f"(idf * {sat.format(tfw=tfw_t)})"
     sb = f"(idf * {sat.format(tfw=tfw_b)})"
+    combined = (
+        f"({st} + {sb})" if most_fields
+        else f"(greatest({st}, {sb}) + {tie} * least({st}, {sb}))"
+    )
     return f"""
 WITH {_tokd_cte()},
 q(term, qtf) AS (VALUES {rows}),
@@ -335,7 +364,7 @@ ttf AS (SELECT doc_id, term, count(*)::BIGINT AS tf_title
         WHERE term IN (SELECT term FROM q) GROUP BY doc_id, term),
 scored AS (
   SELECT tfv.doc_id,
-         q.qtf * (greatest({st}, {sb}) + {tie} * least({st}, {sb})) AS partial
+         q.qtf * {combined} AS partial
   FROM (SELECT tfv.*, ln(1.0 + (s.n_docs - dfq.df + 0.5) / (dfq.df + 0.5)) AS idf
         FROM tfv JOIN dfq USING (term) CROSS JOIN stats s) tfv
   JOIN q USING (term)
@@ -350,3 +379,10 @@ SELECT row_number() OVER (ORDER BY score DESC, doc_id ASC)::INTEGER AS rank,
        doc_id, score
 FROM agg ORDER BY score DESC, doc_id ASC LIMIT {int(k)}
 """
+
+
+def most_fields_sql(query: str, k: int = 10, *, round_scores: int = 6) -> str:
+    """DuckDB mirror of most_fields_topk."""
+    return dismax_topk_sql(
+        query, k, most_fields=True, round_scores=round_scores
+    )

@@ -1039,6 +1039,15 @@ def _q_dismax(spark, sf_dir):
     )
 
 
+def _q_most_fields(spark, sf_dir):
+    from .bm25f import most_fields_topk
+
+    return most_fields_topk(
+        spark, _docs(spark, sf_dir), FIXED_QUERIES["q_table_scan"], K,
+        round_scores=ROUND,
+    )
+
+
 # funcscore family pinned parameters (see engine/funcscore.py; the
 # gauss origin/scale bracket the driver documents' n_chars range)
 FS_ORIGIN, FS_SCALE, FS_DECAY = 300.0, 150.0, 0.5
@@ -2375,6 +2384,7 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["histogram_chars"] = _q_histogram
     out["extended_stats_chars"] = _q_extended_stats
     out["filters_agg_counts"] = _q_filters_agg
+    out["most_fields_topk"] = _q_most_fields
     return _driver_order(out)
 
 
@@ -2687,4 +2697,9 @@ FROM d CROSS JOIN t
     out["histogram_chars"] = histogram_sql(AGG_QUERY, "n_chars", HIST_INTERVAL)
     out["extended_stats_chars"] = extended_stats_sql(AGG_QUERY, "n_chars")
     out["filters_agg_counts"] = filters_sql(FILTERS_NAMED)
+    from .bm25f import most_fields_sql
+
+    out["most_fields_topk"] = most_fields_sql(
+        FIXED_QUERIES["q_table_scan"], K
+    )
     return _driver_order(out)

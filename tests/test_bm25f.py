@@ -74,3 +74,27 @@ def test_bm25f_title_weight_lifts_title_hits(spark, tiny_corpus):
 def test_bm25f_empty_and_unknown(spark, sf1_corpus):
     assert bm25f_topk(spark, sf1_corpus, "the a", 5).count() == 0
     assert bm25f_topk(spark, sf1_corpus, "zzzunknown", 5).count() == 0
+
+
+def test_most_fields_matches_duckdb_and_tie1_identity(spark, sf1_corpus, sf1_duck):
+    """most_fields == DuckDB mirror; and dismax with tie_breaker=1.0 is
+    EXACTLY most_fields (max+min == sum, IEEE-commutative), pinning the
+    combine-swap refactor."""
+    from engine.bm25f import dismax_topk, most_fields_sql, most_fields_topk
+
+    q = "table scan fast"
+    got = [
+        tuple(r) for r in most_fields_topk(spark, sf1_corpus, q, 10,
+                                           round_scores=6).collect()
+    ]
+    want = [
+        tuple(r)
+        for r in sf1_duck.execute(most_fields_sql(q, 10)).fetchall()
+    ]
+    assert got == want and got
+    tie1 = [
+        tuple(r)
+        for r in dismax_topk(spark, sf1_corpus, q, 10, tie_breaker=1.0,
+                             round_scores=6).collect()
+    ]
+    assert tie1 == got
