@@ -127,6 +127,9 @@ def main() -> None:
         t = time.perf_counter()
         reader.match_phrase_prefix_topk("table sc", 20).collect()
         timings["phrase_prefix_indexed"] = time.perf_counter() - t
+        t = time.perf_counter()
+        reader.span_near_topk("fast table scan", 20, 3).collect()
+        timings["span_near_indexed"] = time.perf_counter() - t
         # (no boolean_indexed row here: this reader is stemmed and
         # boolean semantics are pinned unstemmed — boolean_topk below
         # times the recompute path; the indexed twin is driver-checked)
@@ -214,6 +217,11 @@ def main() -> None:
             "did_you_mean",
             "fuzzy_match_topk",
             "phrase_prefix_topk",
+            "span_near_topk",
+            "most_fields_topk",
+            "histogram_chars",
+            "extended_stats_chars",
+            "filters_agg_counts",
             "date_histogram_events",
             "sessionize_events",
             "stream_window_counts",

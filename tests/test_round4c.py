@@ -389,3 +389,37 @@ def test_function_score_decay_variants_match_duckdb(spark, duck):
             spark, docs, q, 10, field="n_chars",
             origin=300.0, scale=150.0, decay=0.5, decay_fn="nope",
         )
+
+
+# ------------------------------------------------------- plan audits
+
+def _plan_of(df) -> str:
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_round4c_indexed_plans_prune_terms(spark, idx4c_dir):
+    """The new indexed surfaces must push their term cuts into the
+    parquet scans: fuzzy_match (postings isin of the capped expansion),
+    match_phrase_prefix and span_near (positions isin of lead ∪
+    expansion / query terms), and the phrase-prefix expansion read
+    itself (StartsWith on the positions term column)."""
+    from engine.index import IndexReader
+    from pyspark.sql import functions as F
+
+    r = IndexReader(spark, idx4c_dir)
+    p = _plan_of(r.fuzzy_match_topk("indx merg", 10))
+    assert "PushedFilters" in p and "In(term" in p, p
+    p = _plan_of(r.match_phrase_prefix_topk("def ret", 20))
+    assert "In(term" in p, p
+    p = _plan_of(r.span_near_topk("def return class", 20, 3))
+    assert "In(term" in p, p
+    p = _plan_of(
+        r.positions().where(F.col("term").startswith("sc"))
+    )
+    assert "StartsWith(term" in p, p
