@@ -1666,6 +1666,12 @@ def _q_quality(spark, sf_dir):
     return quality_score(_docs(spark, sf_dir))
 
 
+def _q_gopher(spark, sf_dir):
+    from .textops import gopher_repetition
+
+    return gopher_repetition(_docs(spark, sf_dir))
+
+
 def _q_fingerprint(spark, sf_dir):
     from .textops import doc_fingerprint
 
@@ -2385,6 +2391,7 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["extended_stats_chars"] = _q_extended_stats
     out["filters_agg_counts"] = _q_filters_agg
     out["most_fields_topk"] = _q_most_fields
+    out["gopher_repetition"] = _q_gopher
     return _driver_order(out)
 
 
@@ -2702,4 +2709,7 @@ FROM d CROSS JOIN t
     out["most_fields_topk"] = most_fields_sql(
         FIXED_QUERIES["q_table_scan"], K
     )
+    from .textops import gopher_repetition_sql
+
+    out["gopher_repetition"] = gopher_repetition_sql()
     return _driver_order(out)

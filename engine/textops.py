@@ -129,6 +129,84 @@ def quality_score(corpus: DataFrame) -> DataFrame:
     )
 
 
+DUP_LINE_MAX = 0.3      # Gopher: drop when >30% of lines are repeats
+TOP_2GRAM_MAX = 0.2     # Gopher: drop when the top 2-gram covers >20%
+
+
+def gopher_repetition(corpus: DataFrame) -> DataFrame:
+    """(doc_id, n_lines, dup_line_frac, top_2gram_frac, gopher_pass) —
+    the Gopher/MassiveText repetition quality rules, pinned as:
+
+    - dup_line_frac: fraction of non-empty lines (whitespace-trimmed
+      before comparison) that repeat an earlier line —
+      (n_lines − n_distinct)/n_lines, 0 for line-less docs;
+    - top_2gram_frac: tokens covered by the MOST FREQUENT token 2-gram
+      — 2·max_count/n_tokens over the unfiltered token stream, 0 when
+      n_tokens < 2;
+    - gopher_pass: both fractions (ROUNDED, so the boundary compare is
+      cross-engine-stable) within the published Gopher thresholds
+      (0.3 / 0.2).
+
+    Scale shape: line metrics are a pure projection (split + distinct
+    inside the row); the 2-gram mode is explode → map-side-combined
+    count per (doc, gram) → per-doc max — the same one-shuffle-class
+    gram-level exchange as tokenize→tf, linear in corpus tokens (the
+    per-row O(G²) array-mode alternative dies on 10k-token docs).
+    DuckDB mirror: gopher_repetition_sql."""
+    toks = tokens_all_col(F.col("content"))
+    # single-arg lambda, NOT bare F.trim: transform() feeds (element,
+    # index) to two-parameter callables, silently binding trim's
+    # trimStr overload to the index
+    lines = F.filter(
+        F.transform(F.split(F.col("content"), "\n"), lambda s: F.trim(s)),
+        lambda s: F.length(s) > 0,
+    )
+    base = corpus.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.size(lines).cast("long").alias("n_lines"),
+        F.size(F.array_distinct(lines)).cast("long").alias("n_distinct"),
+        F.when(
+            F.size(toks) >= 2,
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - 1),
+                lambda i: F.concat(
+                    F.element_at(toks, i), F.lit(" "),
+                    F.element_at(toks, i + F.lit(1)),
+                ),
+            ),
+        ).otherwise(F.array().cast("array<string>")).alias("grams"),
+    )
+    top = (
+        base.select("doc_id", F.explode("grams").alias("g"))
+        .groupBy("doc_id", "g")
+        .count()
+        .groupBy("doc_id")
+        .agg(F.max("count").alias("maxc"))
+    )
+    dup = F.when(
+        F.col("n_lines") > 0,
+        (F.col("n_lines") - F.col("n_distinct"))
+        / F.col("n_lines").cast("double"),
+    ).otherwise(F.lit(0.0))
+    tg = F.when(
+        F.col("n_tokens") >= 2,
+        F.coalesce(F.col("maxc"), F.lit(0)).cast("double") * 2.0
+        / F.col("n_tokens").cast("double"),
+    ).otherwise(F.lit(0.0))
+    out = base.join(top, "doc_id", "left").select(
+        "doc_id",
+        "n_lines",
+        F.round(dup, ROUND).alias("dup_line_frac"),
+        F.round(tg, ROUND).alias("top_2gram_frac"),
+    )
+    return out.withColumn(
+        "gopher_pass",
+        (F.col("dup_line_frac") <= DUP_LINE_MAX)
+        & (F.col("top_2gram_frac") <= TOP_2GRAM_MAX),
+    )
+
+
 def doc_fingerprint(corpus: DataFrame) -> DataFrame:
     """(doc_id, fingerprint) — rolling polynomial hash over the ordered
     token sequence: fold(acc*31 + md5hash(term) % p) % p, p=2^31-1.
@@ -209,6 +287,51 @@ SELECT doc_id, n_tokens,
              * (1.0 - abs(CASE WHEN n_tokens > 0 THEN n_stop / n_tokens::DOUBLE ELSE 0.0 END - 0.4)),
              {ROUND}) AS quality
 FROM st
+"""
+
+
+def gopher_repetition_sql() -> str:
+    """DuckDB mirror of gopher_repetition over the driver `documents`
+    view — same rounded-fraction flags (lead() window for the 2-grams,
+    list ops for the trimmed-line distinct)."""
+    pat = TOKEN_PATTERN.replace("'", "''")
+    return f"""
+WITH tk AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '{pat}') AS toks,
+         list_filter(list_transform(string_split(text, chr(10)),
+                                    l -> trim(l)),
+                     s -> len(s) > 0) AS lines
+  FROM documents
+),
+tokp AS (SELECT doc_id, unnest(toks) AS term,
+                generate_subscripts(toks, 1) AS pos
+         FROM tk),
+g AS (SELECT doc_id,
+             term || ' ' || lead(term) OVER (PARTITION BY doc_id
+                                             ORDER BY pos) AS gram
+      FROM tokp QUALIFY gram IS NOT NULL),
+gc AS (SELECT doc_id, gram, count(*)::BIGINT AS c FROM g GROUP BY doc_id, gram),
+topg AS (SELECT doc_id, max(c)::BIGINT AS maxc FROM gc GROUP BY doc_id),
+base AS (
+  SELECT tk.doc_id, len(tk.toks)::BIGINT AS n_tokens,
+         len(tk.lines)::BIGINT AS n_lines,
+         len(list_distinct(tk.lines))::BIGINT AS n_distinct, t.maxc
+  FROM tk LEFT JOIN topg t USING (doc_id)
+),
+r AS (
+  SELECT doc_id, n_lines,
+         round(CASE WHEN n_lines > 0
+               THEN (n_lines - n_distinct) / n_lines::DOUBLE
+               ELSE 0.0 END, {ROUND}) AS dup_line_frac,
+         round(CASE WHEN n_tokens >= 2
+               THEN coalesce(maxc, 0) * 2.0 / n_tokens::DOUBLE
+               ELSE 0.0 END, {ROUND}) AS top_2gram_frac
+  FROM base
+)
+SELECT doc_id, n_lines, dup_line_frac, top_2gram_frac,
+       (dup_line_frac <= {DUP_LINE_MAX} AND top_2gram_frac <= {TOP_2GRAM_MAX})
+         AS gopher_pass
+FROM r
 """
 
 

@@ -155,3 +155,28 @@ def test_multimodal_resize_and_frames(spark):
     a = sorted(map(tuple, resize_images(media, 4, 4).limit(3).collect()))
     b = sorted(map(tuple, resize_images(media, 4, 4).limit(3).collect()))
     assert [r[0] for r in a] == [r[0] for r in b]
+
+
+def test_gopher_repetition_flags(spark):
+    """Gopher repetition rules on constructed docs: trimmed-dup lines
+    and a dominant 2-gram both trip their thresholds; empty docs pass
+    with zero fractions."""
+    from engine.textops import gopher_repetition
+
+    clean = " ".join(f"tok{i:02d}word" for i in range(40))
+    rows = [
+        (1, clean[:len(clean) // 2] + "\n" + clean[len(clean) // 2:]),
+        (2, "same line here\nsame line here\nsame line here\n  same line here "),
+        (3, "spark engine spark engine spark engine spark engine"),
+        (4, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, content string")
+    out = {r["doc_id"]: r for r in gopher_repetition(df).collect()}
+    # 40 distinct tokens → top 2-gram covers 2/40 = 0.05 ≤ 0.2
+    assert out[1]["gopher_pass"]
+    # 4 trimmed-identical lines → (4-1)/4 duplicates
+    assert out[2]["dup_line_frac"] == 0.75 and not out[2]["gopher_pass"]
+    # "spark engine" covers all 8 tokens: 2*4/8
+    assert out[3]["top_2gram_frac"] == 1.0 and not out[3]["gopher_pass"]
+    assert (out[4]["dup_line_frac"], out[4]["top_2gram_frac"]) == (0.0, 0.0)
+    assert out[4]["gopher_pass"]
