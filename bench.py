@@ -219,6 +219,8 @@ def main() -> None:
             "phrase_prefix_topk",
             "span_near_topk",
             "most_fields_topk",
+            "gopher_repetition",
+            "line_dedup_stats",
             "histogram_chars",
             "extended_stats_chars",
             "filters_agg_counts",

@@ -63,6 +63,90 @@ def exact_dedup_sql() -> str:
     )
 
 
+LINE_DEDUP_MIN_DOCS = 3  # RefinedWeb-style: a line in ≥3 docs is boilerplate
+
+
+def line_dedup_stats(
+    corpus: DataFrame, min_docs: int = LINE_DEDUP_MIN_DOCS
+) -> DataFrame:
+    """(doc_id, n_lines, n_dropped, clean_sha256) — CROSS-DOCUMENT line
+    dedup, the C4/RefinedWeb boilerplate-removal pass: a non-empty
+    (whitespace-trimmed key) line occurring in ≥ ``min_docs`` DISTINCT
+    docs is dropped from every doc; blank lines are structural and
+    always kept. ``clean_sha256`` hashes the kept RAW lines rejoined
+    with newline — the cleaned corpus round trips bit-exactly across
+    engines, so the whole rewrite is value-hash-attestable without
+    shipping the text.
+
+    Scale shape: posexplode lines (corpus-sized, ~rows = lines), one
+    map-side-combined countDistinct per trimmed key (the heavy key
+    space is line-cardinality, like tokenize→tf), a key-partitioned
+    join marking common lines, and one per-doc re-aggregation whose
+    ordered rebuild is sort_array over (pos, line) structs — every
+    exchange linear in corpus lines, nothing quadratic. DuckDB mirror:
+    line_dedup_sql."""
+    ex = corpus.select(
+        "doc_id",
+        F.posexplode(F.split(F.col("content"), "\n")).alias("pos", "line"),
+    ).withColumn("key", F.trim("line"))
+    common = (
+        ex.where(F.length("key") > 0)
+        .groupBy("key")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .where(F.col("nd") >= int(min_docs))
+        .select("key", F.lit(True).alias("is_common"))
+    )
+    marked = ex.join(common, "key", "left").select(
+        "doc_id", "pos", "line",
+        (F.col("is_common").isNotNull() & (F.length("key") > 0)).alias("dropped"),
+    )
+    kept_struct = F.when(
+        ~F.col("dropped"), F.struct(F.col("pos"), F.col("line"))
+    )
+    agg = marked.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_lines"),
+        F.sum(F.col("dropped").cast("long")).cast("long").alias("n_dropped"),
+        F.array_sort(
+            F.collect_list(kept_struct)
+        ).alias("kept"),
+    )
+    clean = F.array_join(
+        F.transform(F.col("kept"), lambda s: s["line"]), "\n"
+    )
+    return agg.select(
+        "doc_id", "n_lines", "n_dropped",
+        F.sha2(clean, 256).alias("clean_sha256"),
+    )
+
+
+def line_dedup_sql(min_docs: int = LINE_DEDUP_MIN_DOCS) -> str:
+    """DuckDB mirror of line_dedup_stats over the driver `documents`."""
+    return f"""
+WITH ex AS (
+  SELECT doc_id,
+         generate_subscripts(string_split(text, chr(10)), 1)::BIGINT AS pos,
+         unnest(string_split(text, chr(10))) AS line
+  FROM documents
+),
+keyed AS (SELECT doc_id, pos, line, trim(line) AS key FROM ex),
+common AS (
+  SELECT key FROM keyed WHERE len(key) > 0
+  GROUP BY key HAVING count(DISTINCT doc_id) >= {int(min_docs)}
+),
+marked AS (
+  SELECT k.doc_id, k.pos, k.line,
+         (c.key IS NOT NULL AND len(k.key) > 0) AS dropped
+  FROM keyed k LEFT JOIN common c USING (key)
+)
+SELECT doc_id, count(*)::BIGINT AS n_lines,
+       sum(CASE WHEN dropped THEN 1 ELSE 0 END)::BIGINT AS n_dropped,
+       sha256(coalesce(
+         string_agg(CASE WHEN NOT dropped THEN line END, chr(10)
+                    ORDER BY pos), '')) AS clean_sha256
+FROM marked GROUP BY doc_id
+"""
+
+
 # ------------------------------------------------------------- shingles
 
 def shingles_df(corpus: DataFrame, n: int = 3, *, distinct: bool = True) -> DataFrame:

@@ -1666,6 +1666,12 @@ def _q_quality(spark, sf_dir):
     return quality_score(_docs(spark, sf_dir))
 
 
+def _q_line_dedup(spark, sf_dir):
+    from .dedup import line_dedup_stats
+
+    return line_dedup_stats(_docs(spark, sf_dir))
+
+
 def _q_gopher(spark, sf_dir):
     from .textops import gopher_repetition
 
@@ -2392,6 +2398,7 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["filters_agg_counts"] = _q_filters_agg
     out["most_fields_topk"] = _q_most_fields
     out["gopher_repetition"] = _q_gopher
+    out["line_dedup_stats"] = _q_line_dedup
     return _driver_order(out)
 
 
@@ -2712,4 +2719,7 @@ FROM d CROSS JOIN t
     from .textops import gopher_repetition_sql
 
     out["gopher_repetition"] = gopher_repetition_sql()
+    from .dedup import line_dedup_sql
+
+    out["line_dedup_stats"] = line_dedup_sql()
     return _driver_order(out)

@@ -180,3 +180,64 @@ def test_gopher_repetition_flags(spark):
     assert out[3]["top_2gram_frac"] == 1.0 and not out[3]["gopher_pass"]
     assert (out[4]["dup_line_frac"], out[4]["top_2gram_frac"]) == (0.0, 0.0)
     assert out[4]["gopher_pass"]
+
+
+def test_line_dedup_drop_path(spark):
+    """Cross-doc line dedup on constructed docs: a line in >= min_docs
+    distinct docs drops everywhere (whitespace-trimmed comparison),
+    blanks are kept, the cleaned sha round-trips, and the DuckDB mirror
+    agrees value-for-value (the driver testdata has no repeated lines,
+    so the drop path is pinned here)."""
+    import hashlib
+
+    import duckdb
+    import pandas as pd
+
+    from engine.dedup import line_dedup_sql, line_dedup_stats
+
+    boiler = "subscribe to our newsletter"
+    docs = {
+        1: f"alpha content one\n{boiler}\n\nunique tail one",
+        2: f"  {boiler}  \nbeta content two",
+        3: f"{boiler}\ngamma content three\ngamma content three",
+        4: "delta content four",
+    }
+    sdf = spark.createDataFrame(
+        sorted(docs.items()), "doc_id long, content string"
+    )
+    got = {
+        r["doc_id"]: r
+        for r in line_dedup_stats(sdf, min_docs=3).collect()
+    }
+    # the boilerplate line (trim-equal in 3 docs) drops everywhere,
+    # including the whitespace variant; within-doc repeats of a line
+    # seen in only 1 doc are kept
+    def clean(text):
+        kept = [
+            l for l in text.split("\n")
+            if l.strip() != boiler or not l.strip()
+        ]
+        return "\n".join(kept)
+
+    for d, text in docs.items():
+        want_sha = hashlib.sha256(clean(text).encode()).hexdigest()
+        assert got[d]["clean_sha256"] == want_sha, d
+    assert got[1]["n_dropped"] == 1 and got[1]["n_lines"] == 4
+    assert got[2]["n_dropped"] == 1
+    assert got[3]["n_dropped"] == 1  # the two gamma repeats stay (1 doc)
+    assert got[4]["n_dropped"] == 0
+
+    con = duckdb.connect()
+    pdf = pd.DataFrame(
+        {"doc_id": list(docs), "text": [docs[d] for d in docs]}
+    )
+    con.register("documents", pdf)
+    want = {
+        int(r[0]): r
+        for r in con.execute(line_dedup_sql(min_docs=3)).fetchall()
+    }
+    for d in docs:
+        g = got[d]
+        assert (g["n_lines"], g["n_dropped"], g["clean_sha256"]) == (
+            want[d][1], want[d][2], want[d][3],
+        ), d
