@@ -39,8 +39,14 @@ def ann_recall(args) -> None:
         lsh_topk_multiprobe,
     )
 
+    from engine.sim import pq_encode, pq_topk, train_pq_codebooks
+
     spark = get_spark("ann_recall", cores=args.cores)
     emb = load_embeddings(spark, args.sf_dir).cache()
+    pq_books = train_pq_codebooks(emb)
+    pq_enc = pq_encode(emb, pq_books).cache()
+    pq_books32 = train_pq_codebooks(emb, 32, 16)
+    pq_enc32 = pq_encode(emb, pq_books32).cache()
     qrows = (
         emb.orderBy("vec_id").limit(args.n_queries)
         .select("vec_id", "embedding").collect()
@@ -54,6 +60,10 @@ def ann_recall(args) -> None:
         "ivf n_probe=1": lambda e, qv: ivf_topk(e, qv, args.k, IVF_K, 1),
         "ivf n_probe=2": lambda e, qv: ivf_topk(e, qv, args.k, IVF_K, 2),
         "ivf n_probe=4": lambda e, qv: ivf_topk(e, qv, args.k, IVF_K, 4),
+        "pq m=16 ks=16 (64-bit ADC)": lambda e, qv: pq_topk(
+            e, qv, args.k, codebooks=pq_books, encoded=pq_enc),
+        "pq m=32 ks=16 (128-bit ADC)": lambda e, qv: pq_topk(
+            e, qv, args.k, codebooks=pq_books32, encoded=pq_enc32),
     }
     recalls: dict[str, list[float]] = {v: [] for v in variants}
     for row in qrows:
