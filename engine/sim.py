@@ -582,7 +582,7 @@ def pq_encode(emb: DataFrame, codebooks) -> DataFrame:
 
 
 def pq_topk(
-    emb: DataFrame, qvec: list[float], k: int = 20, *,
+    emb: DataFrame | None, qvec: list[float], k: int = 20, *,
     codebooks=None, encoded: DataFrame | None = None,
 ) -> DataFrame:
     """(rank, vec_id, cos) — asymmetric-distance (ADC) approximate
@@ -608,6 +608,7 @@ def pq_topk(
         codebooks = train_pq_codebooks(emb)
     m, ks, ds = codebooks.shape
     enc = pq_encode(emb, codebooks) if encoded is None else encoded
+    spark = enc.sparkSession
     q = np.asarray(qvec, dtype=np.float64)
     qn = float(math.sqrt((q * q).sum())) or 1.0
     dot_t = np.empty((m, ks), dtype=np.float64)
@@ -615,7 +616,6 @@ def pq_topk(
     for j in range(m):
         dot_t[j] = codebooks[j] @ q[j * ds:(j + 1) * ds]
         norm_t[j] = (codebooks[j] ** 2).sum(1)
-    spark = emb.sparkSession
     dot_b = spark.sparkContext.broadcast(dot_t)
     norm_b = spark.sparkContext.broadcast(norm_t)
 
@@ -639,6 +639,70 @@ def pq_topk(
     w = Window.orderBy(F.desc("cos"), F.asc("vec_id"))
     return topk.withColumn("rank", F.row_number().over(w)).select(
         "rank", "vec_id", "cos"
+    )
+
+
+def build_ivf_pq(
+    emb: DataFrame,
+    out_dir: str,
+    k_cents: int = IVF_K,
+    m: int = PQ_M,
+    ks: int = PQ_KS,
+) -> None:
+    """The classic IVF-PQ index: one (vec_id, codes) row per vector,
+    hive-partitioned by the pinned IVF cell, with the PQ codebooks in a
+    ``manifest.json`` beside the parquet. The 100 TB ANN artifact: a
+    query reads n_probe/K of the table via PARTITION PRUNING and each
+    pruned row is m·log2(ks) BITS, not dim floats — the two memory
+    levers composed. One pass, zero shuffle (cell + codes are computed
+    inline)."""
+    import json
+    import os
+
+    books = train_pq_codebooks(emb, m, ks)
+    enc = pq_encode(emb, books)
+    cells = emb.select("vec_id", _ivf_cell_col(k_cents).alias("cell"))
+    (
+        enc.join(cells, "vec_id")
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(out_dir)
+    )
+    with open(os.path.join(out_dir, "manifest.json"), "w") as f:
+        json.dump(
+            {"k_cents": k_cents, "m": m, "ks": ks,
+             "codebooks": books.tolist()},
+            f,
+        )
+
+
+def ivf_pq_topk(
+    spark: SparkSession,
+    ivfpq_dir: str,
+    qvec: list[float],
+    k: int = 20,
+    n_probe: int = IVF_PROBE,
+) -> DataFrame:
+    """(rank, vec_id, cos) — ADC over a build_ivf_pq() table: probe
+    cells picked driver-side (pinned md5 codebook, like
+    ivf_topk_indexed), the `cell` filter prunes parquet partitions, and
+    the PQ lookup-table scoring of pq_topk runs over only the probed
+    cells' codes. Recall is the product of the two approximations —
+    measured beside the single-lever variants by
+    ``run_queries.py --ann-recall``."""
+    import json
+    import os
+
+    import numpy as np
+
+    with open(os.path.join(ivfpq_dir, "manifest.json")) as f:
+        man = json.load(f)
+    books = np.asarray(man["codebooks"], dtype=np.float64)
+    probe = probe_cells(qvec, int(man["k_cents"]), n_probe)
+    enc = spark.read.parquet(ivfpq_dir).where(F.col("cell").isin(probe))
+    return pq_topk(
+        None, qvec, k, codebooks=books,
+        encoded=enc.select("vec_id", "codes"),
     )
 
 

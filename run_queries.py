@@ -47,6 +47,12 @@ def ann_recall(args) -> None:
     pq_enc = pq_encode(emb, pq_books).cache()
     pq_books32 = train_pq_codebooks(emb, 32, 16)
     pq_enc32 = pq_encode(emb, pq_books32).cache()
+    import tempfile
+
+    from engine.sim import build_ivf_pq, ivf_pq_topk
+
+    ivfpq_dir = tempfile.mkdtemp(prefix="ann_ivfpq_")
+    build_ivf_pq(emb, ivfpq_dir)
     qrows = (
         emb.orderBy("vec_id").limit(args.n_queries)
         .select("vec_id", "embedding").collect()
@@ -64,6 +70,8 @@ def ann_recall(args) -> None:
             e, qv, args.k, codebooks=pq_books, encoded=pq_enc),
         "pq m=32 ks=16 (128-bit ADC)": lambda e, qv: pq_topk(
             e, qv, args.k, codebooks=pq_books32, encoded=pq_enc32),
+        "ivf-pq n_probe=4 (64-bit, pruned)": lambda e, qv: ivf_pq_topk(
+            e.sparkSession, ivfpq_dir, qv, args.k, n_probe=4),
     }
     recalls: dict[str, list[float]] = {v: [] for v in variants}
     for row in qrows:

@@ -499,3 +499,36 @@ def test_pq_exact_on_codebook_points(spark):
     scores = {r["vec_id"]: r["cos"] for r in out}
     assert scores[1000] == 1.0
     assert out[0]["cos"] == 1.0
+
+
+def test_ivf_pq_artifact_prunes_and_recalls(spark, tmp_path):
+    """build_ivf_pq → ivf_pq_topk: the cell filter is a parquet
+    PARTITION filter, results are deterministic across rebuilds, and
+    probing every cell reduces IVF-PQ to plain PQ (same codebooks)."""
+    from engine.sim import (
+        IVF_K, build_ivf_pq, ivf_pq_topk, load_embeddings, pq_topk,
+        query_vector, train_pq_codebooks,
+    )
+
+    emb = load_embeddings(spark, SF).cache()
+    d = str(tmp_path / "ivfpq")
+    build_ivf_pq(emb, d)
+    qv = query_vector(spark, SF)
+    out = ivf_pq_topk(spark, d, qv, 10, n_probe=2)
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain("formatted")
+    assert "cell" in buf.getvalue()
+    a = [tuple(r) for r in out.collect()]
+    d2 = str(tmp_path / "ivfpq2")
+    build_ivf_pq(emb, d2)
+    b = [tuple(r) for r in ivf_pq_topk(spark, d2, qv, 10, n_probe=2).collect()]
+    assert a == b and len(a) == 10
+    # probe all K cells → exactly the full-scan PQ result
+    full = [tuple(r) for r in ivf_pq_topk(spark, d, qv, 10, n_probe=IVF_K).collect()]
+    books = train_pq_codebooks(emb)
+    want = [tuple(r) for r in pq_topk(emb, qv, 10, codebooks=books).collect()]
+    assert full == want
