@@ -106,12 +106,52 @@ _DRIVER_PRIORITY = [
 ]
 
 
+def _attested_entries() -> set:
+    """Registry entries green (rows+schema+hash) in at least one recorded
+    driver round (CORRECTNESS_r*.json next to the repo root). Read at
+    import time so each round's window automatically prioritizes whatever
+    previous rounds left unattested — no hand-maintained list to rotate."""
+    import json
+    from pathlib import Path
+
+    green: set = set()
+    root = Path(__file__).resolve().parent.parent
+    try:
+        files = sorted(root.glob("CORRECTNESS_r*.json"))
+    except OSError:
+        return green
+    for f in files:
+        try:
+            rows = json.loads(f.read_text())
+        except (OSError, ValueError):
+            continue
+        if not isinstance(rows, dict):
+            continue
+        for name, r in rows.items():
+            if not isinstance(r, dict):
+                continue
+            if (r.get("rows_match") and r.get("schema_match")
+                    and r.get("hash_match") and r.get("err") is None):
+                green.add(name)
+    return green
+
+
 def _driver_order(d: dict) -> dict:
-    """Reorder a registry dict: _DRIVER_PRIORITY entries first (in that
-    order), everything else after in original registration order."""
-    pri = [k for k in _DRIVER_PRIORITY if k in d]
-    seen = set(pri)
-    return {k: d[k] for k in pri + [k for k in d if k not in seen]}
+    """Reorder a registry dict for the driver's ~50-entry CORRECTNESS
+    window: entries never yet attested green in any CORRECTNESS_r*.json
+    come FIRST (in _DRIVER_PRIORITY order where listed, registration
+    order otherwise), already-green entries fill the remainder. Over
+    successive rounds every registered entry is then driver-green at
+    least once, with no manual list rotation between rounds."""
+    green = _attested_entries()
+    pri_rank = {k: i for i, k in enumerate(_DRIVER_PRIORITY)}
+    reg_rank = {k: i for i, k in enumerate(d)}
+    virgin = sorted(
+        (k for k in d if k not in green),
+        key=lambda k: (pri_rank.get(k, len(pri_rank)), reg_rank[k]),
+    )
+    seen = set(virgin)
+    return {k: d[k] for k in virgin + [k for k in d if k not in seen]}
 
 
 # Fixed free-text queries over the driver `documents` vocabulary.
