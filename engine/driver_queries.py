@@ -1718,6 +1718,12 @@ def _q_gopher(spark, sf_dir):
     return gopher_repetition(_docs(spark, sf_dir))
 
 
+def _q_decontaminate(spark, sf_dir):
+    from .decontam import decontaminate
+
+    return decontaminate(_docs(spark, sf_dir))
+
+
 def _q_fingerprint(spark, sf_dir):
     from .textops import doc_fingerprint
 
@@ -2439,6 +2445,7 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["most_fields_topk"] = _q_most_fields
     out["gopher_repetition"] = _q_gopher
     out["line_dedup_stats"] = _q_line_dedup
+    out["decontaminate"] = _q_decontaminate
     return _driver_order(out)
 
 
@@ -2762,4 +2769,7 @@ FROM d CROSS JOIN t
     from .dedup import line_dedup_sql
 
     out["line_dedup_stats"] = line_dedup_sql()
+    from .decontam import decontaminate_sql
+
+    out["decontaminate"] = decontaminate_sql()
     return _driver_order(out)

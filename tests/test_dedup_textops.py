@@ -241,3 +241,78 @@ def test_line_dedup_drop_path(spark):
         assert (g["n_lines"], g["n_dropped"], g["clean_sha256"]) == (
             want[d][1], want[d][2], want[d][3],
         ), d
+
+
+def test_decontaminate_flags_and_parity(spark):
+    """Benchmark decontamination on constructed docs: a training doc
+    sharing >= 1 exact n-gram with an eval doc is contaminated, partial
+    n-1 overlaps are NOT, short docs report (0, 0, false), and the
+    DuckDB mirror agrees value-for-value. doc_ids are picked so the mix
+    split puts doc 100 in the eval set and the rest in training
+    (mix(100) % 100 = 87 < pct=90 is avoided by using pct=50:
+    membership is asserted, not assumed)."""
+    import duckdb
+    import pandas as pd
+
+    from engine.decontam import decontaminate, decontaminate_sql, eval_split
+    from engine.sampling import MIX_MOD, MIX_MUL, MIX_PRE
+
+    mix = lambda d: ((d % MIX_PRE) * MIX_MUL + d % 97) % MIX_MOD  # noqa: E731
+    pct = 50
+    # find one eval id and three train ids deterministically
+    ids = list(range(1, 40))
+    ev_ids = [d for d in ids if mix(d) % 100 < pct]
+    tr_ids = [d for d in ids if mix(d) % 100 >= pct]
+    assert ev_ids and len(tr_ids) >= 3
+    e0, (t0, t1, t2) = ev_ids[0], tr_ids[:3]
+    gram = "alpha beta gamma delta"  # n=4 gram copied verbatim
+    docs = {
+        e0: f"{gram} epsilon zeta eta theta",           # eval doc
+        t0: f"intro words {gram} trailing words",       # contaminated
+        t1: "alpha beta gamma OTHER delta epsilon zeta",  # only 3-of-4 runs
+        t2: "too short",                                 # < n tokens
+    }
+    sdf = spark.createDataFrame(
+        sorted(docs.items()), "doc_id long, content string"
+    )
+    assert [r["doc_id"] for r in eval_split(sdf, pct).select("doc_id").collect()] == [e0]
+    got = {
+        r["doc_id"]: r
+        for r in decontaminate(sdf, n=4, pct=pct).collect()
+    }
+    assert set(got) == {t0, t1, t2}  # eval doc excluded from output
+    assert got[t0]["contaminated"] and got[t0]["n_overlap"] == 1
+    assert not got[t1]["contaminated"] and got[t1]["n_overlap"] == 0
+    assert got[t2] ["n_ngrams"] == 0 and not got[t2]["contaminated"]
+
+    con = duckdb.connect()
+    con.register(
+        "documents",
+        pd.DataFrame({"doc_id": list(docs), "text": list(docs.values())}),
+    )
+    want = {
+        int(r[0]): r
+        for r in con.execute(decontaminate_sql(n=4, pct=pct)).fetchall()
+    }
+    assert set(want) == set(got)
+    for d in got:
+        g = got[d]
+        assert (g["n_ngrams"], g["n_overlap"], g["contaminated"]) == (
+            want[d][1], want[d][2], bool(want[d][3]),
+        ), d
+
+
+def test_decontaminate_plan_is_broadcast(spark):
+    """The eval gram set must come in as a broadcast build side and the
+    per-doc count must combine map-side — the only corpus-sized exchange
+    allowed is the post-combine groupBy(doc_id)."""
+    from engine.decontam import decontaminate
+
+    sdf = spark.createDataFrame(
+        [(i, f"token{i} alpha beta gamma delta epsilon") for i in range(1, 30)],
+        "doc_id long, content string",
+    )
+    plan = decontaminate(sdf, n=3)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "partial_sum" in plan
