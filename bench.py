@@ -221,6 +221,8 @@ def main() -> None:
             "most_fields_topk",
             "gopher_repetition",
             "line_dedup_stats",
+            "decontaminate",
+            "lm_score",
             "histogram_chars",
             "extended_stats_chars",
             "filters_agg_counts",

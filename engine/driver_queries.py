@@ -1724,6 +1724,12 @@ def _q_decontaminate(spark, sf_dir):
     return decontaminate(_docs(spark, sf_dir))
 
 
+def _q_lm_score(spark, sf_dir):
+    from .lm import lm_score
+
+    return lm_score(_docs(spark, sf_dir))
+
+
 def _q_fingerprint(spark, sf_dir):
     from .textops import doc_fingerprint
 
@@ -2446,6 +2452,7 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["gopher_repetition"] = _q_gopher
     out["line_dedup_stats"] = _q_line_dedup
     out["decontaminate"] = _q_decontaminate
+    out["lm_score"] = _q_lm_score
     return _driver_order(out)
 
 
@@ -2772,4 +2779,7 @@ FROM d CROSS JOIN t
     from .decontam import decontaminate_sql
 
     out["decontaminate"] = decontaminate_sql()
+    from .lm import lm_score_sql
+
+    out["lm_score"] = lm_score_sql()
     return _driver_order(out)

@@ -316,3 +316,62 @@ def test_decontaminate_plan_is_broadcast(spark):
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
     assert "partial_sum" in plan
+
+
+def test_lm_score_semantics_and_parity(spark):
+    """Bigram LM on a constructed corpus: a doc written in the reference
+    split's own phrasing outscores a doc of unseen bigrams; short docs
+    report (0, NULL); pair counts are exact; and the DuckDB mirror
+    agrees value-for-value (ref membership asserted via mix, like the
+    decontaminate test)."""
+    import duckdb
+    import pandas as pd
+
+    from engine.lm import lm_score, lm_score_sql
+    from engine.sampling import MIX_MOD, MIX_MUL, MIX_PRE
+
+    mix = lambda d: ((d % MIX_PRE) * MIX_MUL + d % 97) % MIX_MOD  # noqa: E731
+    pct = 50
+    ids = list(range(1, 40))
+    ref_ids = [d for d in ids if mix(d) % 100 < pct]
+    other = [d for d in ids if mix(d) % 100 >= pct]
+    assert len(ref_ids) >= 2 and len(other) >= 3
+    r0, r1 = ref_ids[:2]
+    o_fluent, o_alien, o_short = other[:3]
+    docs = {
+        r0: "alpha beta gamma alpha beta",
+        r1: "beta gamma alpha beta gamma",
+        o_fluent: "alpha beta gamma alpha",   # all bigrams seen in ref
+        o_alien: "zeta eta theta iota",        # no bigram (or unigram) seen
+        o_short: "solo",                       # < 2 tokens
+    }
+    sdf = spark.createDataFrame(
+        sorted(docs.items()), "doc_id long, content string"
+    )
+    got = {r["doc_id"]: r for r in lm_score(sdf, pct=pct).collect()}
+    assert set(got) == set(docs)  # every doc scored, ref docs included
+    assert got[o_short]["n_pairs"] == 0 and got[o_short]["avg_logprob"] is None
+    for d, text in docs.items():
+        if d != o_short:
+            assert got[d]["n_pairs"] == len(text.split()) - 1, d
+    # fluent doc must outscore the alien one under the ref LM
+    assert got[o_fluent]["avg_logprob"] > got[o_alien]["avg_logprob"]
+    # alien doc: every pair is unseen-bigram over unseen-unigram ->
+    # lp = ln(1 / V) with V = 3 distinct ref unigrams
+    import math
+
+    assert got[o_alien]["avg_logprob"] == pytest.approx(math.log(1 / 3), abs=1e-6)
+
+    con = duckdb.connect()
+    con.register(
+        "documents",
+        pd.DataFrame({"doc_id": list(docs), "text": list(docs.values())}),
+    )
+    want = {int(r[0]): r for r in con.execute(lm_score_sql(pct=pct)).fetchall()}
+    assert set(want) == set(got)
+    for d in got:
+        g, w = got[d], want[d]
+        assert g["n_pairs"] == w[1], d
+        assert (g["avg_logprob"] is None) == (w[2] is None), d
+        if g["avg_logprob"] is not None:
+            assert g["avg_logprob"] == w[2], d
