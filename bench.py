@@ -223,6 +223,9 @@ def main() -> None:
             "line_dedup_stats",
             "decontaminate",
             "lm_score",
+            "dup_ngram_stats",
+            "chunk_plan",
+            "source_mix_weights",
             "histogram_chars",
             "extended_stats_chars",
             "filters_agg_counts",

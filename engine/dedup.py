@@ -507,3 +507,104 @@ cand AS (
 SELECT doc_a, doc_b, bit_count(xor(ha, hb))::INTEGER AS hamming
 FROM cand WHERE bit_count(xor(ha, hb)) <= {max_hamming}
 """
+
+
+# ------------------------------------------------------- cross-doc n-grams
+
+DUP_NGRAM_N = 13  # same n as engine/decontam.py (the GPT-3 choice)
+
+
+def dup_ngram_stats(corpus: DataFrame, n: int = DUP_NGRAM_N) -> DataFrame:
+    """ExactSubstr-lite (Lee et al. 2022, "Deduplicating Training Data
+    Makes Language Models Better"): per doc, how much of it is made of
+    n-grams that ALSO occur in other documents. Where line_dedup_stats
+    catches shared boilerplate LINES, this catches shared runs at token
+    granularity — the signal the suffix-array ExactSubstr pass uses,
+    approximated with fixed-n grams so it stays one relational pipeline.
+
+    Output per doc: n_ngrams (distinct n-grams), n_dup_ngrams (those
+    whose gram also appears in >= 1 OTHER doc), dup_ngram_frac
+    (rounded; NULL when the doc is shorter than n tokens).
+
+    Scale shape: grams are per-doc DISTINCT (engine/decontam.py's
+    ngram_set_col) and hashed to 60 bits, so the stream is corpus-
+    token-sized, never quadratic. Cross-doc visibility = one window
+    count over the gram hash — a single gram-keyed exchange (rows with
+    the same gram land together; no self-join, no second shuffle of
+    the stream) — then a map-side-combined groupBy(doc_id)."""
+    from pyspark.sql import Window
+
+    from .decontam import ngram_set_col
+    from .textops import ROUND, term_hash_col
+
+    ex = corpus.select(
+        "doc_id", ngram_set_col(F.col("content"), n).alias("grams")
+    ).select(
+        "doc_id",
+        F.size("grams").cast("long").alias("n_ngrams"),
+        F.explode_outer("grams").alias("gram"),
+    ).select(
+        "doc_id", "n_ngrams", term_hash_col(F.col("gram")).alias("gh")
+    )
+    # grams are distinct per doc, so count(*) per gh == doc frequency
+    w = Window.partitionBy("gh")
+    dup = (F.count("*").over(w) > 1) & F.col("gh").isNotNull()
+    return (
+        ex.withColumn("is_dup", dup.cast("long"))
+        .groupBy("doc_id", "n_ngrams")
+        .agg(
+            F.sum(F.when(F.col("gh").isNotNull(), F.col("is_dup"))).cast("long")
+        .alias("n_dup_ngrams_raw"))
+        .select(
+            "doc_id",
+            "n_ngrams",
+            F.coalesce(F.col("n_dup_ngrams_raw"), F.lit(0)).alias("n_dup_ngrams"),
+            F.when(
+                F.col("n_ngrams") > 0,
+                F.round(
+                    F.coalesce(F.col("n_dup_ngrams_raw"), F.lit(0))
+                    / F.col("n_ngrams"),
+                    ROUND,
+                ),
+            ).alias("dup_ngram_frac"),
+        )
+    )
+
+
+def dup_ngram_stats_sql(n: int = DUP_NGRAM_N) -> str:
+    """Exact DuckDB twin over the `documents` view (text column)."""
+    from .textops import ROUND, term_hash_sql
+    from .tokenizer import TOKEN_PATTERN
+
+    pat = TOKEN_PATTERN.replace("'", "''")
+    gh = term_hash_sql("g")
+    return f"""
+WITH tok AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '{pat}') AS l FROM documents
+),
+grams AS (
+  SELECT doc_id,
+         list_distinct(CASE WHEN len(l) >= {n}
+           THEN [array_to_string(l[i:i+{n - 1}], ' ') for i in range(1, len(l) - {n - 2})]
+           ELSE []::VARCHAR[] END) AS gs
+  FROM tok
+),
+ex AS (
+  SELECT doc_id, {gh} AS gh
+  FROM (SELECT doc_id, unnest(gs) AS g FROM grams)
+),
+marked AS (
+  SELECT doc_id, (count(*) OVER (PARTITION BY gh) > 1)::BIGINT AS is_dup FROM ex
+),
+agg AS (
+  SELECT doc_id, count(*)::BIGINT AS n_dup_base, sum(is_dup)::BIGINT AS n_dup
+  FROM marked GROUP BY doc_id
+)
+SELECT g.doc_id,
+       len(g.gs)::BIGINT AS n_ngrams,
+       coalesce(a.n_dup, 0)::BIGINT AS n_dup_ngrams,
+       CASE WHEN len(g.gs) > 0
+            THEN round(coalesce(a.n_dup, 0) / len(g.gs)::DOUBLE, {ROUND})
+       END AS dup_ngram_frac
+FROM grams g LEFT JOIN agg a USING (doc_id)
+"""

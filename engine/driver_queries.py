@@ -1730,6 +1730,31 @@ def _q_lm_score(spark, sf_dir):
     return lm_score(_docs(spark, sf_dir))
 
 
+def _q_dup_ngram(spark, sf_dir):
+    from .dedup import dup_ngram_stats
+
+    return dup_ngram_stats(_docs(spark, sf_dir))
+
+
+# chunk/stride sized to the fixture corpus (~30-70 tokens/doc) so the
+# driver check exercises multi-chunk docs AND the tail-chunk clamp
+_CHUNK, _STRIDE = 32, 24
+
+
+def _q_chunk_plan(spark, sf_dir):
+    from .sampling import chunk_plan
+
+    return chunk_plan(_docs(spark, sf_dir), _CHUNK, stride=_STRIDE)
+
+
+def _q_source_mix(spark, sf_dir):
+    from .sampling import source_mix_weights
+
+    return source_mix_weights(
+        _docs_meta(spark, sf_dir).select("doc_id", "content", "source")
+    )
+
+
 def _q_fingerprint(spark, sf_dir):
     from .textops import doc_fingerprint
 
@@ -2453,6 +2478,9 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["line_dedup_stats"] = _q_line_dedup
     out["decontaminate"] = _q_decontaminate
     out["lm_score"] = _q_lm_score
+    out["dup_ngram_stats"] = _q_dup_ngram
+    out["chunk_plan"] = _q_chunk_plan
+    out["source_mix_weights"] = _q_source_mix
     return _driver_order(out)
 
 
@@ -2782,4 +2810,10 @@ FROM d CROSS JOIN t
     from .lm import lm_score_sql
 
     out["lm_score"] = lm_score_sql()
+    from .dedup import dup_ngram_stats_sql
+    from .sampling import chunk_plan_sql, source_mix_weights_sql
+
+    out["dup_ngram_stats"] = dup_ngram_stats_sql()
+    out["chunk_plan"] = chunk_plan_sql(_CHUNK, stride=_STRIDE)
+    out["source_mix_weights"] = source_mix_weights_sql()
     return _driver_order(out)

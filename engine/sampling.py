@@ -148,3 +148,144 @@ WITH ranked AS (
 SELECT {by}, doc_id, sample_rank::INTEGER AS sample_rank
 FROM ranked WHERE sample_rank <= {n_per}
 """
+
+
+CHUNK_TOKENS = 128
+
+
+def chunk_plan(
+    corpus: DataFrame, chunk: int = CHUNK_TOKENS, *, stride: int | None = None
+) -> DataFrame:
+    """Fixed-token training-chunk layout: split every doc's token
+    stream into windows of ``chunk`` tokens starting every ``stride``
+    tokens (default = chunk, i.e. non-overlapping; stride < chunk
+    gives the overlapping-context shape used for long-doc pre-training
+    splits). Output one row per chunk: (doc_id, chunk_id, tok_start,
+    tok_end, n_chunk_tokens, chunk_sha256) where chunk_sha256 hashes
+    the space-rejoined token slice — the actual training-example
+    payload, so the whole rewrite is value-hash-attestable (the
+    line_dedup_stats idiom). Docs with zero tokens emit no rows.
+
+    Scale shape: a pure per-doc projection — tokenize, build the start
+    positions with `sequence`, explode IN PLACE, slice + hash. ZERO
+    exchanges; parallelism = input partitions, which is exactly how a
+    100 TB chunking pass should look."""
+    if stride is None:
+        stride = chunk
+    from .textops import tokens_all_col
+
+    t = tokens_all_col(F.col("content"))
+    starts = F.when(
+        F.size(t) >= 1, F.sequence(F.lit(1), F.size(t), F.lit(stride))
+    ).otherwise(F.array().cast("array<int>"))
+    ex = corpus.select(
+        "doc_id",
+        t.alias("toks"),
+        F.explode(starts).alias("tok_start"),
+    )
+    n_chunk = F.least(
+        F.lit(chunk), F.size("toks") - F.col("tok_start") + 1
+    )
+    return ex.select(
+        "doc_id",
+        # deterministic without ordinality: starts are 1, 1+stride, ...
+        ((F.col("tok_start") - 1) / F.lit(stride)).cast("long").alias("chunk_id"),
+        F.col("tok_start").cast("long").alias("tok_start"),
+        (F.col("tok_start") + n_chunk - 1).cast("long").alias("tok_end"),
+        n_chunk.cast("long").alias("n_chunk_tokens"),
+        F.sha2(
+            F.concat_ws(" ", F.slice(F.col("toks"), F.col("tok_start"), n_chunk)),
+            256,
+        ).alias("chunk_sha256"),
+    )
+
+
+def chunk_plan_sql(chunk: int = CHUNK_TOKENS, *, stride: int | None = None) -> str:
+    """Exact DuckDB twin over the `documents` view (text column)."""
+    if stride is None:
+        stride = chunk
+    from .tokenizer import TOKEN_PATTERN
+
+    pat = TOKEN_PATTERN.replace("'", "''")
+    return f"""
+WITH tok AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '{pat}') AS l FROM documents
+),
+ex AS (
+  SELECT doc_id, l, unnest(range(1, len(l) + 1, {stride})) AS tok_start
+  FROM tok WHERE len(l) >= 1
+)
+SELECT doc_id,
+       ((tok_start - 1) // {stride})::BIGINT AS chunk_id,
+       tok_start::BIGINT AS tok_start,
+       least(tok_start + {chunk} - 1, len(l))::BIGINT AS tok_end,
+       (least(tok_start + {chunk} - 1, len(l)) - tok_start + 1)::BIGINT
+         AS n_chunk_tokens,
+       sha256(array_to_string(
+         l[tok_start:least(tok_start + {chunk} - 1, len(l))], ' '
+       )) AS chunk_sha256
+FROM ex
+"""
+
+
+MIX_TAU = 0.7  # the multilingual-sampling temperature (XLM-R / mT5 use 0.3-0.7)
+
+
+def source_mix_weights(corpus: DataFrame, tau: float = MIX_TAU) -> DataFrame:
+    """Temperature-scaled domain-mixing weights (the Pile / XLM-R
+    sampling recipe): per `source`, its token share p_s, and the
+    sampling weight w_s = p_s^tau / sum_s p_s^tau — tau < 1 upsamples
+    small domains, tau = 1 is proportional. The output is the sampling
+    table a data loader consumes; `expect_docs_per_epoch` is the
+    per-source expectation under w (n_docs-weighted).
+
+    Scale shape: one map-side-combined groupBy(source) over the corpus
+    (domain cardinality is tiny), then window totals over the
+    domain-sized frame — the second stage is O(#sources)."""
+    from pyspark.sql import Window
+
+    from .textops import ROUND, tokens_all_col
+
+    per = corpus.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.size(tokens_all_col(F.col("content")))).cast("long").alias("n_tokens"),
+    )
+    w = Window.partitionBy()
+    share = F.col("n_tokens") / F.sum("n_tokens").over(w)
+    pw = F.pow(share, F.lit(float(tau)))
+    weight = pw / F.sum(pw).over(w)
+    return per.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.round(share, ROUND).alias("token_share"),
+        F.round(weight, ROUND).alias("mix_weight"),
+        F.round(weight * F.sum("n_docs").over(w), 2).alias("expect_docs_per_epoch"),
+    )
+
+
+def source_mix_weights_sql(tau: float = MIX_TAU) -> str:
+    """Exact DuckDB twin over the `documents` view (text/source)."""
+    from .textops import ROUND
+    from .tokenizer import TOKEN_PATTERN
+
+    pat = TOKEN_PATTERN.replace("'", "''")
+    return f"""
+WITH per AS (
+  SELECT source, count(*)::BIGINT AS n_docs,
+         sum(len(regexp_extract_all(lower(text), '{pat}')))::BIGINT AS n_tokens
+  FROM documents GROUP BY source
+),
+sh AS (
+  SELECT source, n_docs, n_tokens,
+         n_tokens / (sum(n_tokens) OVER ())::DOUBLE AS share,
+         pow(n_tokens / (sum(n_tokens) OVER ())::DOUBLE, {float(tau)}) AS pw,
+         sum(n_docs) OVER () AS total_docs
+  FROM per
+)
+SELECT source, n_docs, n_tokens,
+       round(share, {ROUND}) AS token_share,
+       round(pw / sum(pw) OVER (), {ROUND}) AS mix_weight,
+       round(pw / sum(pw) OVER () * total_docs, 2) AS expect_docs_per_epoch
+FROM sh
+"""

@@ -398,3 +398,64 @@ def test_lm_score_plan_broadcasts_counts(spark):
     assert final.count("BroadcastHashJoin") >= 2, final
     assert "SortMergeJoin" not in final, final
     assert "partial_avg" in final or "partial_count" in final, final
+
+
+def test_dup_ngram_stats_semantics(spark):
+    """Two docs sharing a verbatim 3-gram run both report it as dup;
+    a doc with unique grams reports 0; a doc below n tokens reports
+    (0, 0, NULL). n=3 keeps the fixture readable."""
+    from engine.dedup import dup_ngram_stats
+
+    rows = [
+        (1, "alpha beta gamma delta"),          # grams: abc, bcd (abc shared)
+        (2, "alpha beta gamma zeta"),            # grams: abg, bgz -> abg shared
+        (3, "uniq1 uniq2 uniq3 uniq4"),          # all unique
+        (4, "too short"),                         # < 3 tokens
+    ]
+    sdf = spark.createDataFrame(rows, "doc_id long, content string")
+    got = {r["doc_id"]: r for r in dup_ngram_stats(sdf, n=3).collect()}
+    assert got[1]["n_ngrams"] == 2 and got[1]["n_dup_ngrams"] == 1
+    assert got[2]["n_ngrams"] == 2 and got[2]["n_dup_ngrams"] == 1
+    assert got[1]["dup_ngram_frac"] == 0.5
+    assert got[3]["n_dup_ngrams"] == 0 and got[3]["dup_ngram_frac"] == 0.0
+    assert got[4]["n_ngrams"] == 0 and got[4]["dup_ngram_frac"] is None
+
+
+def test_chunk_plan_layout(spark):
+    """Chunk math on a 10-token doc with chunk=4/stride=3: starts at
+    1,4,7,10; tail chunks clamp; every chunk hashes its own slice; a
+    zero-token doc emits nothing."""
+    import hashlib
+
+    from engine.sampling import chunk_plan
+
+    toks = [f"tok{i:02d}" for i in range(1, 11)]
+    sdf = spark.createDataFrame(
+        [(1, " ".join(toks)), (2, "...")], "doc_id long, content string"
+    )
+    out = sorted(
+        chunk_plan(sdf, 4, stride=3).collect(), key=lambda r: r["chunk_id"]
+    )
+    assert [r["doc_id"] for r in out] == [1, 1, 1, 1]
+    assert [(r["tok_start"], r["tok_end"], r["n_chunk_tokens"]) for r in out] == [
+        (1, 4, 4), (4, 7, 4), (7, 10, 4), (10, 10, 1),
+    ]
+    for r in out:
+        want = " ".join(toks[r["tok_start"] - 1 : r["tok_end"]])
+        assert r["chunk_sha256"] == hashlib.sha256(want.encode()).hexdigest()
+
+
+def test_source_mix_weights_temperature(spark):
+    """tau<1 must upsample the small domain: its mix_weight exceeds its
+    token_share, the big domain's is below, and weights sum to 1."""
+    from engine.sampling import source_mix_weights
+
+    rows = [(i, "tok " * 100, "big") for i in range(1, 10)] + [
+        (10, "tok tok tok", "small")
+    ]
+    sdf = spark.createDataFrame(rows, "doc_id long, content string, source string")
+    got = {r["source"]: r for r in source_mix_weights(sdf, tau=0.5).collect()}
+    assert got["small"]["mix_weight"] > got["small"]["token_share"]
+    assert got["big"]["mix_weight"] < got["big"]["token_share"]
+    assert abs(got["big"]["mix_weight"] + got["small"]["mix_weight"] - 1) < 1e-5
+    assert got["big"]["n_docs"] == 9 and got["small"]["n_tokens"] == 3
