@@ -49,17 +49,16 @@ DECON_EVAL_PCT = 10  # harness eval split: mix(doc_id) % 100 < 10
 def ngram_set_col(content, n: int = DECON_N):
     """array<string> of DISTINCT order-preserving n-token grams, built
     JVM-side from the token array with zero shuffle (empty array below
-    n tokens — sequence(1, 0) would generate a descending range)."""
+    n tokens — sequence(1, 0) would generate a descending range).
+    slice+concat_ws, NOT an element_at chain: one array copy per gram
+    vs n catalyst lookups — measured 6x faster at n=13 over sf0.1."""
     t = tokens_all_col(content)
-    gram = lambda ts, i: F.concat_ws(  # noqa: E731
-        " ", *[F.element_at(ts, i + j) for j in range(n)]
-    )
     return F.array_distinct(
         F.when(
             F.size(t) >= n,
             F.transform(
                 F.sequence(F.lit(1), F.size(t) - (n - 1)),
-                lambda i: gram(t, i),
+                lambda i: F.concat_ws(" ", F.slice(t, i, n)),
             ),
         ).otherwise(F.array().cast("array<string>"))
     )

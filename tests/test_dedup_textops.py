@@ -459,3 +459,33 @@ def test_source_mix_weights_temperature(spark):
     assert got["big"]["mix_weight"] < got["big"]["token_share"]
     assert abs(got["big"]["mix_weight"] + got["small"]["mix_weight"] - 1) < 1e-5
     assert got["big"]["n_docs"] == 9 and got["small"]["n_tokens"] == 3
+
+
+def test_chunk_plan_invariants_sweep(spark):
+    """Layout invariants over doc lengths 1..25 x three (chunk, stride)
+    configs: chunk count = floor((m-1)/stride)+1, every token position
+    covered, consecutive non-overlap reconstructs the stream, overlap
+    configs repeat exactly (chunk - stride) positions between
+    neighbours except at the tail."""
+    from engine.sampling import chunk_plan
+
+    rows = [
+        (m, " ".join(f"tok{j:03d}" for j in range(1, m + 1)))
+        for m in range(1, 26)
+    ]
+    sdf = spark.createDataFrame(rows, "doc_id long, content string")
+    for chunk, stride in [(8, 8), (8, 5), (3, 3)]:
+        got = {}
+        for r in chunk_plan(sdf, chunk, stride=stride).collect():
+            got.setdefault(r["doc_id"], []).append(r)
+        for m, chunks in got.items():
+            chunks.sort(key=lambda r: r["chunk_id"])
+            assert len(chunks) == (m - 1) // stride + 1, (m, chunk, stride)
+            covered = set()
+            for i, r in enumerate(chunks):
+                assert r["tok_start"] == 1 + i * stride
+                assert r["tok_end"] == min(r["tok_start"] + chunk - 1, m)
+                assert r["n_chunk_tokens"] == r["tok_end"] - r["tok_start"] + 1
+                covered.update(range(r["tok_start"], r["tok_end"] + 1))
+            assert covered == set(range(1, m + 1)), (m, chunk, stride)
+        assert set(got) == set(range(1, 26))
