@@ -22,9 +22,17 @@ Layout
 - :mod:`engine.textops`     — training-data-pipeline text operators
   (lang-id, quality, token counts, fingerprints).
 - :mod:`engine.dedup`       — exact / MinHash-LSH / SimHash / n-gram
-  Jaccard deduplication.
+  Jaccard deduplication + cross-doc duplicated-n-gram stats.
+- :mod:`engine.decontam`    — benchmark decontamination (GPT-3 13-gram
+  collision rule, broadcast eval-gram build side).
+- :mod:`engine.lm`          — CCNet-style bigram-LM quality scoring
+  (reference-split-trained, Laplace-smoothed).
 - :mod:`engine.sim`         — embedding cosine top-k (brute force,
-  sign-LSH single/multi-probe, IVF) + near-dup pairs.
+  sign-LSH single/multi-probe, IVF, PQ/IVF-PQ) + near-dup pairs.
+- :mod:`engine.cluster`     — near-dup connected components + canonical
+  selection + composed clean_corpus.
+- :mod:`engine.sampling`    — deterministic hash/stratified sampling,
+  token packing, fixed-token chunk plans, domain mix weights.
 - :mod:`engine.merge`       — distributed segment merge (incremental
   ingestion; byte-identical to a full rebuild).
 - :mod:`engine.reindex`     — rebuild from the index's own docstore
