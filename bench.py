@@ -226,6 +226,7 @@ def main() -> None:
             "dup_ngram_stats",
             "chunk_plan",
             "source_mix_weights",
+            "hygiene_keep",
             "histogram_chars",
             "extended_stats_chars",
             "filters_agg_counts",

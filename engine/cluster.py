@@ -228,3 +228,124 @@ ranked AS (
 SELECT cluster_id, doc_id AS canonical_doc_id, n_members::BIGINT AS n_members
 FROM ranked WHERE rn = 1 AND n_members >= 2
 """
+
+
+DUP_NGRAM_MAX = 0.5  # drop when >50% of a doc's 13-grams are cross-doc dups
+
+
+def hygiene_keep(
+    corpus: DataFrame,
+    *,
+    min_quality: float = 0.15,
+    max_dup_ngram: float = DUP_NGRAM_MAX,
+) -> DataFrame:
+    """The COMPLETE keep/drop decision table a pre-training pipeline
+    materializes — every hygiene signal this engine computes, joined
+    into one row per TRAINING doc (the decontamination eval split is
+    excluded outright: benchmark docs never enter the training set):
+
+    - is_canonical  — survives near-dup dedup (cluster's canonical doc
+      or singleton; engine/cluster.dup_clusters + canonical argmax)
+    - quality       — heuristic score, floored at ``min_quality``
+    - gopher_pass   — Gopher repetition rules (engine/textops)
+    - contaminated  — GPT-3 13-gram eval collision (engine/decontam)
+    - dup_ngram_frac — cross-doc duplicated-13-gram fraction, capped
+      at ``max_dup_ngram`` (engine/dedup.dup_ngram_stats)
+    - keep          — the conjunction
+
+    Every stage is the already-plan-audited shape of its standalone
+    operator; the joins are all doc_id-keyed (one co-partitioned
+    exchange each at worst), so the composition adds no new scale
+    hazard beyond its parts."""
+    from .decontam import decontaminate
+    from .dedup import dup_ngram_stats, minhash_candidate_pairs
+    from .textops import gopher_repetition, quality_score
+
+    clusters = dup_clusters(corpus, minhash_candidate_pairs(corpus))
+    sized = clusters.join(
+        corpus.select("doc_id", F.length("content").alias("len")), "doc_id"
+    )
+    canon = (
+        sized.groupBy("cluster_id")
+        .agg(F.max(F.struct("len", (-F.col("doc_id")).alias("nid"))).alias("m"))
+        .select("cluster_id", (-F.col("m.nid")).alias("canonical_doc_id"))
+    )
+    is_canon = (
+        clusters.join(canon, "cluster_id")
+        .select(
+            "doc_id",
+            (F.col("doc_id") == F.col("canonical_doc_id")).alias("is_canonical"),
+        )
+    )
+    q = quality_score(corpus).select("doc_id", "quality")
+    g = gopher_repetition(corpus).select("doc_id", "gopher_pass")
+    dec = decontaminate(corpus).select("doc_id", "contaminated")
+    dng = dup_ngram_stats(corpus).select("doc_id", "dup_ngram_frac")
+    out = (
+        dec.join(is_canon, "doc_id")
+        .join(q, "doc_id")
+        .join(g, "doc_id")
+        .join(dng, "doc_id")
+    )
+    keep = (
+        F.col("is_canonical")
+        & (F.col("quality") >= min_quality)
+        & F.col("gopher_pass")
+        & ~F.col("contaminated")
+        & (F.coalesce(F.col("dup_ngram_frac"), F.lit(0.0)) <= max_dup_ngram)
+    )
+    return out.select(
+        "doc_id",
+        "is_canonical",
+        "quality",
+        "gopher_pass",
+        "contaminated",
+        "dup_ngram_frac",
+        keep.alias("keep"),
+    )
+
+
+def hygiene_keep_sql(
+    *,
+    min_quality: float = 0.15,
+    max_dup_ngram: float = DUP_NGRAM_MAX,
+) -> str:
+    """Exact DuckDB twin: the same five signal CTEs (each the SQL twin
+    of its standalone driver entry) joined on doc_id."""
+    from .decontam import decontaminate_sql
+    from .dedup import dup_ngram_stats_sql
+    from .textops import gopher_repetition_sql, quality_score_sql
+
+    qsql = quality_score_sql().strip().rstrip(";")
+    gsql = gopher_repetition_sql().strip().rstrip(";")
+    dsql = decontaminate_sql().strip().rstrip(";")
+    ngsql = dup_ngram_stats_sql().strip().rstrip(";")
+    return f"""
+WITH RECURSIVE {_closure_ctes()},
+canon AS (
+  SELECT cluster_id, doc_id AS canonical_doc_id FROM (
+    SELECT c.cluster_id, c.doc_id,
+           row_number() OVER (PARTITION BY c.cluster_id
+                              ORDER BY length(d.text) DESC, c.doc_id ASC) AS rn
+    FROM clus c JOIN documents d ON d.doc_id = c.doc_id
+  ) WHERE rn = 1
+),
+iscan AS (
+  SELECT c.doc_id, (c.doc_id = n.canonical_doc_id) AS is_canonical
+  FROM clus c JOIN canon n ON n.cluster_id = c.cluster_id
+),
+q AS ({qsql}),
+g AS ({gsql}),
+dec AS ({dsql}),
+dng AS ({ngsql})
+SELECT dec.doc_id, i.is_canonical, q.quality, g.gopher_pass,
+       dec.contaminated, dng.dup_ngram_frac,
+       (i.is_canonical AND q.quality >= {min_quality} AND g.gopher_pass
+        AND NOT dec.contaminated
+        AND coalesce(dng.dup_ngram_frac, 0.0) <= {max_dup_ngram}) AS keep
+FROM dec
+JOIN iscan i ON i.doc_id = dec.doc_id
+JOIN q ON q.doc_id = dec.doc_id
+JOIN g ON g.doc_id = dec.doc_id
+JOIN dng ON dng.doc_id = dec.doc_id
+"""

@@ -1755,6 +1755,12 @@ def _q_source_mix(spark, sf_dir):
     )
 
 
+def _q_hygiene_keep(spark, sf_dir):
+    from .cluster import hygiene_keep
+
+    return hygiene_keep(_docs(spark, sf_dir))
+
+
 def _q_fingerprint(spark, sf_dir):
     from .textops import doc_fingerprint
 
@@ -2481,6 +2487,7 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["dup_ngram_stats"] = _q_dup_ngram
     out["chunk_plan"] = _q_chunk_plan
     out["source_mix_weights"] = _q_source_mix
+    out["hygiene_keep"] = _q_hygiene_keep
     return _driver_order(out)
 
 
@@ -2816,4 +2823,7 @@ FROM d CROSS JOIN t
     out["dup_ngram_stats"] = dup_ngram_stats_sql()
     out["chunk_plan"] = chunk_plan_sql(_CHUNK, stride=_STRIDE)
     out["source_mix_weights"] = source_mix_weights_sql()
+    from .cluster import hygiene_keep_sql
+
+    out["hygiene_keep"] = hygiene_keep_sql()
     return _driver_order(out)

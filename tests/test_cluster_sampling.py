@@ -154,3 +154,55 @@ def test_stratified_sample_exact_n_one_exchange(spark):
         "en": [1, 2, 3, 4, 5],
         "fr": [1, 2, 3, 4, 5],
     }
+
+
+def test_hygiene_keep_composition(spark):
+    """The composed keep table: a near-dup loser fails is_canonical, a
+    repetitive doc fails gopher, eval-split docs are absent, and the
+    DuckDB twin agrees value-for-value on the fixture."""
+    import duckdb
+    import pandas as pd
+
+    from engine.cluster import hygiene_keep, hygiene_keep_sql
+    from engine.sampling import MIX_MOD, MIX_MUL, MIX_PRE
+
+    mix = lambda d: ((d % MIX_PRE) * MIX_MUL + d % 97) % MIX_MOD  # noqa: E731
+    # training ids only (default eval split is mix % 100 < 10)
+    tr = [d for d in range(1, 60) if mix(d) % 100 >= 10]
+    base = (
+        "spark shuffle partition broadcast join window aggregate filter "
+        "project scan exchange codegen adaptive skew salt bucket merge "
+        "sort limit sample"
+    )
+    t0, t1, t2, t3 = tr[:4]
+    docs = {
+        t0: base + " extra tail tokens here",   # canonical (longest dup)
+        t1: base,                                 # near-dup loser
+        t2: "spam spam " * 30,                    # gopher repetition fail
+        t3: "clean unique prose about engines " + base[::-1].lower(),
+    }
+    sdf = spark.createDataFrame(
+        sorted(docs.items()), "doc_id long, content string"
+    )
+    got = {r["doc_id"]: r for r in hygiene_keep(sdf).collect()}
+    assert set(got) == set(docs)
+    if not got[t1]["is_canonical"]:   # LSH is probabilistic at n=1 band set;
+        assert not got[t1]["keep"]    # when the pair IS caught, loser drops
+    assert not got[t2]["gopher_pass"] and not got[t2]["keep"]
+    assert not got[t0]["contaminated"]
+
+    con = duckdb.connect()
+    con.register(
+        "documents",
+        pd.DataFrame({"doc_id": list(docs), "text": list(docs.values())}),
+    )
+    want = {int(r[0]): r for r in con.execute(hygiene_keep_sql()).fetchall()}
+    assert set(want) == set(got)
+    for d in got:
+        g, w = got[d], want[d]
+        assert (
+            g["is_canonical"], g["quality"], g["gopher_pass"],
+            g["contaminated"], g["dup_ngram_frac"], g["keep"],
+        ) == (
+            bool(w[1]), w[2], bool(w[3]), bool(w[4]), w[5], bool(w[6]),
+        ), d
