@@ -39,20 +39,28 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from .sampling import _mix, _mix_sql
-from .textops import term_hash_col, term_hash_sql, tokens_all_col
+from .textops import (
+    term_hash_col,
+    term_hash_sql,
+    tokens_all_col,
+    with_array_barrier,
+)
 from .tokenizer import TOKEN_PATTERN
 
 DECON_N = 13      # GPT-3 appendix C n-gram size
 DECON_EVAL_PCT = 10  # harness eval split: mix(doc_id) % 100 < 10
 
 
-def ngram_set_col(content, n: int = DECON_N):
-    """array<string> of DISTINCT order-preserving n-token grams, built
-    JVM-side from the token array with zero shuffle (empty array below
-    n tokens — sequence(1, 0) would generate a descending range).
-    slice+concat_ws, NOT an element_at chain: one array copy per gram
-    vs n catalyst lookups — measured 6x faster at n=13 over sf0.1."""
-    t = tokens_all_col(content)
+def ngram_set_from_tokens(t, n: int = DECON_N):
+    """array<string> of DISTINCT order-preserving n-token grams from a
+    token-array column, zero shuffle (empty array below n tokens —
+    sequence(1, 0) would generate a descending range). slice+concat_ws,
+    NOT an element_at chain: one array copy per gram vs n catalyst
+    lookups. ``t`` MUST be a bound column (with_array_barrier), not the
+    raw tokenization expression: CollapseProject re-inlines an inlined
+    regexp at every slice() — one full re-tokenization PER GRAM
+    (measured 38.5 s vs ~1 s for the 13-gram stream at 20k docs,
+    local[8]; engine/textops.py:with_array_barrier)."""
     return F.array_distinct(
         F.when(
             F.size(t) >= n,
@@ -62,6 +70,13 @@ def ngram_set_col(content, n: int = DECON_N):
             ),
         ).otherwise(F.array().cast("array<string>"))
     )
+
+
+def ngram_set_col(content, n: int = DECON_N):
+    """ngram_set_from_tokens over a content column — only safe for
+    one-reference consumers; explode paths should go through
+    with_array_barrier + ngram_set_from_tokens (see that docstring)."""
+    return ngram_set_from_tokens(tokens_all_col(content), n)
 
 
 def eval_split(corpus: DataFrame, pct: int = DECON_EVAL_PCT, *, salt: int = 0) -> DataFrame:
@@ -92,14 +107,21 @@ def decontaminate(
     else:
         train = corpus
 
+    # token arrays behind a Generate barrier so the per-gram slice()
+    # kernel references a bound column (textops.with_array_barrier)
     ev = (
-        eval_df.select(F.explode(ngram_set_col(F.col("content"), n)).alias("gram"))
+        with_array_barrier(
+            eval_df.select("content"), tokens_all_col(F.col("content")), "_t"
+        )
+        .select(F.explode(ngram_set_from_tokens(F.col("_t"), n)).alias("gram"))
         .select(term_hash_col(F.col("gram")).alias("gh"))
         .distinct()
         .withColumn("_hit", F.lit(1))
     )
-    ex = train.select(
-        "doc_id", ngram_set_col(F.col("content"), n).alias("grams")
+    ex = with_array_barrier(
+        train.select("doc_id", "content"), tokens_all_col(F.col("content")), "_t"
+    ).select(
+        "doc_id", ngram_set_from_tokens(F.col("_t"), n).alias("grams")
     ).select(
         "doc_id",
         F.size("grams").cast("long").alias("n_ngrams"),

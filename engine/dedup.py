@@ -160,9 +160,17 @@ def shingles_df(corpus: DataFrame, n: int = 3, *, distinct: bool = True) -> Data
     this feeds both Jaccard and MinHash, the hottest dedup input path.
     ``distinct=False`` skips the dedup exchange for consumers whose
     aggregate is duplicate-insensitive (MinHash min)."""
-    toks = corpus.select(
-        "doc_id", tokens_filtered_col(F.col("content")).alias("toks")
-    )
+    from .textops import with_array_barrier
+
+    # token array behind a Generate barrier: a plain select would be
+    # CollapseProject-merged into the per-gram lambda below, re-running
+    # the regexp tokenization + stopword filter at every element_at
+    # (textops.with_array_barrier has the measured numbers)
+    toks = with_array_barrier(
+        corpus.select("doc_id", "content"),
+        tokens_filtered_col(F.col("content")),
+        "toks",
+    ).select("doc_id", "toks")
     t = F.col("toks")
     gram = lambda i: F.concat_ws(  # noqa: E731
         " ", *[F.element_at(t, i + j) for j in range(n)]
@@ -534,11 +542,13 @@ def dup_ngram_stats(corpus: DataFrame, n: int = DUP_NGRAM_N) -> DataFrame:
     the stream) — then a map-side-combined groupBy(doc_id)."""
     from pyspark.sql import Window
 
-    from .decontam import ngram_set_col
-    from .textops import ROUND, term_hash_col
+    from .decontam import ngram_set_from_tokens
+    from .textops import ROUND, term_hash_col, tokens_all_col, with_array_barrier
 
-    ex = corpus.select(
-        "doc_id", ngram_set_col(F.col("content"), n).alias("grams")
+    ex = with_array_barrier(
+        corpus.select("doc_id", "content"), tokens_all_col(F.col("content")), "_t"
+    ).select(
+        "doc_id", ngram_set_from_tokens(F.col("_t"), n).alias("grams")
     ).select(
         "doc_id",
         F.size("grams").cast("long").alias("n_ngrams"),

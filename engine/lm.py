@@ -42,7 +42,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from .sampling import _mix, _mix_sql
-from .textops import ROUND, tokens_all_col
+from .textops import ROUND, pairs_from_tokens, tokens_all_col, with_array_barrier
 from .tokenizer import TOKEN_PATTERN
 
 LM_REF_PCT = 30  # harness reference split: mix(doc_id) % 100 < 30
@@ -50,18 +50,12 @@ LM_REF_PCT = 30  # harness reference split: mix(doc_id) % 100 < 30
 
 def _pairs_col(content):
     """array<struct<w1,w2>> of ADJACENT token pairs, in order, built
-    JVM-side with zero shuffle (empty below 2 tokens)."""
-    t = tokens_all_col(content)
-    return F.when(
-        F.size(t) >= 2,
-        F.transform(
-            F.sequence(F.lit(1), F.size(t) - 1),
-            lambda i: F.struct(
-                F.element_at(t, i).alias("w1"),
-                F.element_at(t, i + 1).alias("w2"),
-            ),
-        ),
-    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    JVM-side with zero shuffle (empty below 2 tokens). zip-of-slices
+    over the token array — the element_at-per-pair transform it
+    replaces re-tokenized the doc at EVERY pair once CollapseProject
+    inlined the regexp (80.1 s -> 0.9 s for the 4.1M-pair stream at
+    20k docs, local[8]; see textops.with_array_barrier)."""
+    return pairs_from_tokens(tokens_all_col(content))
 
 
 def lm_score(
@@ -88,15 +82,27 @@ def lm_score(
     uni = ref_tok.groupBy("w").agg(F.count("*").alias("c1"))
     # V as a 1-row frame cross-joined in (broadcast, no driver collect)
     vocab = uni.agg(F.count("*").cast("double").alias("v_sz"))
+    # token arrays behind a Generate barrier (textops.with_array_barrier)
+    # so the pair kernels below reference a bound column, never the
+    # re-inlined regexp tokenization
     bi = (
-        ref_df.select(F.explode(_pairs_col(F.col("content"))).alias("p"))
+        with_array_barrier(
+            ref_df.select("content"), tokens_all_col(F.col("content")), "_t"
+        )
+        .select(F.explode(pairs_from_tokens(F.col("_t"))).alias("p"))
         .groupBy(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
         .agg(F.count("*").alias("c12"))
     )
 
-    ex = corpus.select(
-        "doc_id", F.explode_outer(_pairs_col(F.col("content"))).alias("p")
-    ).select("doc_id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    ex = (
+        with_array_barrier(
+            corpus.select("doc_id", "content"),
+            tokens_all_col(F.col("content")),
+            "_t",
+        )
+        .select("doc_id", F.explode_outer(pairs_from_tokens(F.col("_t"))).alias("p"))
+        .select("doc_id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    )
     scored = (
         ex.join(bi, ["w1", "w2"], "left")
         .join(uni.withColumnRenamed("w", "w1"), "w1", "left")

@@ -55,6 +55,39 @@ def tokens_filtered_col(content: Column) -> Column:
     )
 
 
+def with_array_barrier(df: DataFrame, expr: Column, out: str) -> DataFrame:
+    """Materialize an array expression as a bound column behind a
+    Generate barrier: ``explode(array(expr))`` emits exactly one row
+    per input row, and Catalyst's CollapseProject cannot merge a
+    Project across a Generate node.
+
+    Why this exists: a higher-order lambda that references ``expr``
+    per element — ``transform(sequence(...), i -> element_at(t, i))``
+    or ``slice(t, i, n)`` — gets ``expr`` RE-INLINED at every
+    reference once CollapseProject folds the defining Project into
+    the consumer. With ``t = regexp_extract_all(...)`` that means one
+    full re-tokenization per gram/pair: the bigram pair stream over
+    20k synthetic docs (4.1M pairs, local[8]) measured 80.1 s inlined
+    vs 0.7 s behind this barrier; the 13-gram stream 38.5 s vs ~1 s.
+    Subexpression elimination does not save it because higher-order
+    functions are evaluated outside whole-stage codegen."""
+    return df.select("*", F.explode(F.array(expr)).alias(out))
+
+
+def pairs_from_tokens(t: Column) -> Column:
+    """array<struct<w1,w2>> of ADJACENT ordered token pairs from a
+    BOUND token-array column (empty below 2 tokens). zip-of-slices,
+    not per-pair element_at: references ``t`` O(1) times per doc, so
+    it is safe even without with_array_barrier (and fastest with it)."""
+    return F.when(
+        F.size(t) >= 2,
+        F.arrays_zip(
+            F.slice(t, 1, F.size(t) - 1).alias("w1"),
+            F.slice(t, 2, F.size(t) - 1).alias("w2"),
+        ),
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+
+
 def term_hash_col(term: Column) -> Column:
     """60-bit deterministic term hash: int(md5(term)[:15], 16) — the
     cross-engine hash shared with DuckDB (engine/driver_queries.py)."""
@@ -153,7 +186,15 @@ def gopher_repetition(corpus: DataFrame) -> DataFrame:
     gram-level exchange as tokenize→tf, linear in corpus tokens (the
     per-row O(G²) array-mode alternative dies on 10k-token docs).
     DuckDB mirror: gopher_repetition_sql."""
-    toks = tokens_all_col(F.col("content"))
+    # token array behind a Generate barrier: the 2-gram kernel below
+    # would otherwise re-tokenize per element once CollapseProject
+    # inlines the regexp (with_array_barrier has the measured numbers)
+    bar = with_array_barrier(
+        corpus.select("doc_id", "content"),
+        tokens_all_col(F.col("content")),
+        "_t",
+    )
+    toks = F.col("_t")
     # single-arg lambda, NOT bare F.trim: transform() feeds (element,
     # index) to two-parameter callables, silently binding trim's
     # trimStr overload to the index
@@ -161,19 +202,17 @@ def gopher_repetition(corpus: DataFrame) -> DataFrame:
         F.transform(F.split(F.col("content"), "\n"), lambda s: F.trim(s)),
         lambda s: F.length(s) > 0,
     )
-    base = corpus.select(
+    base = bar.select(
         "doc_id",
         F.size(toks).cast("long").alias("n_tokens"),
         F.size(lines).cast("long").alias("n_lines"),
         F.size(F.array_distinct(lines)).cast("long").alias("n_distinct"),
         F.when(
             F.size(toks) >= 2,
-            F.transform(
-                F.sequence(F.lit(1), F.size(toks) - 1),
-                lambda i: F.concat(
-                    F.element_at(toks, i), F.lit(" "),
-                    F.element_at(toks, i + F.lit(1)),
-                ),
+            F.zip_with(
+                F.slice(toks, 1, F.size(toks) - 1),
+                F.slice(toks, 2, F.size(toks) - 1),
+                lambda a, b: F.concat(a, F.lit(" "), b),
             ),
         ).otherwise(F.array().cast("array<string>")).alias("grams"),
     )
