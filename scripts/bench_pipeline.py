@@ -31,7 +31,13 @@ def main() -> None:
     ap.add_argument("--docs", type=int, default=1_200_000)
     ap.add_argument("--cpus", type=int, default=32)
     ap.add_argument("--files", type=int, default=64)
+    ap.add_argument("--steps", default="", help="comma list; default all")
     args = ap.parse_args()
+
+    # local mode = ONE JVM: the 8g default heap dies in hygiene_keep's
+    # clustering stage at 1.2M docs (GCLocker alloc failures, then the
+    # JVM is killed). Must be set before the session starts.
+    os.environ.setdefault("SPARK_DRIVER_MEM", "48g")
 
     import pyarrow as pa
     import pyarrow.parquet as pq
@@ -78,6 +84,9 @@ def main() -> None:
             "source_mix_weights": lambda: source_mix_weights(corpus),
             "hygiene_keep": lambda: hygiene_keep(corpus),
         }
+        if args.steps:
+            want = {s.strip() for s in args.steps.split(",")}
+            steps = {k: v for k, v in steps.items() if k in want}
         out = {}
         for name, mk in steps.items():
             t = time.perf_counter()
