@@ -230,6 +230,9 @@ def main() -> None:
             "histogram_chars",
             "extended_stats_chars",
             "filters_agg_counts",
+            "composite_page2",
+            "rare_terms_chars",
+            "multi_terms_lang_source",
             "date_histogram_events",
             "sessionize_events",
             "stream_window_counts",

@@ -696,3 +696,175 @@ SELECT row_number() OVER (ORDER BY score DESC, term ASC)::INTEGER AS rank,
        term, fg_df, bg_df, score
 FROM scored ORDER BY score DESC, term ASC LIMIT {int(k)}
 """
+
+
+# ---------------------------------------------------------------- composite
+
+def composite_agg(
+    corpus: DataFrame,
+    query: str,
+    keys: list[str],
+    size: int = 10,
+    after: tuple | None = None,
+) -> DataFrame:
+    """ES ``composite`` agg — THE scale path for bucket retrieval.
+
+    A plain terms agg over a high-cardinality key set must materialize
+    every bucket to return any of them; composite streams buckets in
+    composite-key order, ``size`` per page, resuming from the last
+    page's final key (``after``). Because the cursor predicate
+    compares GROUPING columns only, it holds row-wise too, so it is
+    applied to the raw match set BEFORE the aggregate: the shuffle
+    carries only buckets past the cursor, and no page ever re-shuffles
+    buckets an earlier page already emitted. At 100 TB the per-page
+    cost is one pruned scan + a bucket-cardinality exchange capped by
+    the cursor, independent of how many pages were already read.
+
+    NULL keys are dropped (cross-engine NULL-ordering pin, as
+    engine/facets.py). DuckDB mirror: composite_sql (row-value
+    comparison — identical lexicographic semantics to Spark's struct
+    ordering for non-null string keys).
+    """
+    terms = _qterms(query)
+    spark = corpus.sparkSession
+    schema = ", ".join(f"{k} string" for k in keys) + ", n_docs long"
+    if not terms:
+        return spark.createDataFrame([], schema)
+    m = _match(corpus, terms)
+    for k in keys:
+        m = m.where(F.col(k).isNotNull())
+    if after is not None:
+        # lexicographic (k1..kn) > (a1..an), decomposed to a flat
+        # boolean instead of a struct comparison so the cursor reaches
+        # the parquet scan as pushed-down row-group filters
+        pred = F.lit(False)
+        eq = F.lit(True)
+        for k, v in zip(keys, after):
+            pred = pred | (eq & (F.col(k) > F.lit(str(v))))
+            eq = eq & (F.col(k) == F.lit(str(v)))
+        m = m.where(pred)
+    return (
+        m.groupBy(*keys)
+        .agg(F.count("*").alias("n_docs"))
+        .orderBy(*[F.asc(k) for k in keys])
+        .limit(int(size))
+    )
+
+
+def composite_sql(
+    query: str, keys: list[str], size: int = 10, after: tuple | None = None
+) -> str:
+    """DuckDB mirror of composite_agg over the driver `documents`."""
+    from .phrase import _phrase_list_sql, _tokd_cte
+
+    terms = _qterms(query)
+    cols = ", ".join(f"d.{k}" for k in keys)
+    if not terms:
+        sel = ", ".join(f"''::VARCHAR AS {k}" for k in keys)
+        return f"SELECT {sel}, 0::BIGINT AS n_docs WHERE false"
+    notnull = " AND ".join(f"d.{k} IS NOT NULL" for k in keys)
+    cur = ""
+    if after is not None:
+        lhs = ", ".join(f"d.{k}" for k in keys)
+        rhs = ", ".join("'" + str(v).replace("'", "''") + "'" for v in after)
+        cur = f" AND ({lhs}) > ({rhs})"
+    order = ", ".join(f"{k} ASC" for k in keys)
+    return f"""
+WITH {_tokd_cte()}
+SELECT {cols}, count(*)::BIGINT AS n_docs
+FROM tokd t JOIN documents d USING (doc_id)
+WHERE list_has_any(t.toks, {_phrase_list_sql(terms)})
+  AND {notnull}{cur}
+GROUP BY {cols} ORDER BY {order} LIMIT {int(size)}
+"""
+
+
+# --------------------------------------------------------------- rare terms
+
+def rare_terms_agg(
+    corpus: DataFrame, query: str, col: str, max_doc_count: int = 2
+) -> DataFrame:
+    """ES ``rare_terms`` agg: buckets of ``col`` over the match set
+    with doc count ≤ ``max_doc_count`` — the long-tail complement of
+    the terms agg (count ASC, value ASC). Same shape as a terms agg:
+    one map-side-combined groupBy whose exchange carries buckets, with
+    the HAVING cut applied post-aggregate (ES documents the same
+    approximation trade-off; exact here). NULLs dropped. DuckDB
+    mirror: rare_terms_sql."""
+    terms = _qterms(query)
+    spark = corpus.sparkSession
+    if not terms:
+        return spark.createDataFrame([], "value string, n_docs long")
+    return (
+        _match(corpus, terms)
+        .where(F.col(col).isNotNull())
+        .groupBy(F.col(col).cast("string").alias("value"))
+        .agg(F.count("*").alias("n_docs"))
+        .where(F.col("n_docs") <= int(max_doc_count))
+        .orderBy(F.asc("n_docs"), F.asc("value"))
+    )
+
+
+def rare_terms_sql(query: str, col: str, max_doc_count: int = 2) -> str:
+    """DuckDB mirror of rare_terms_agg."""
+    from .phrase import _phrase_list_sql, _tokd_cte
+
+    terms = _qterms(query)
+    if not terms:
+        return "SELECT ''::VARCHAR AS value, 0::BIGINT AS n_docs WHERE false"
+    return f"""
+WITH {_tokd_cte()}
+SELECT d.{col}::VARCHAR AS value, count(*)::BIGINT AS n_docs
+FROM tokd t JOIN documents d USING (doc_id)
+WHERE list_has_any(t.toks, {_phrase_list_sql(terms)})
+  AND d.{col} IS NOT NULL
+GROUP BY 1 HAVING count(*) <= {int(max_doc_count)}
+ORDER BY n_docs ASC, value ASC
+"""
+
+
+# -------------------------------------------------------------- multi terms
+
+def multi_terms_agg(
+    corpus: DataFrame, query: str, keys: list[str], k: int = 10
+) -> DataFrame:
+    """ES ``multi_terms`` agg: top-k buckets of the key TUPLE over the
+    match set, count DESC then keys ASC (the deterministic ES order).
+    One map-side-combined groupBy + TakeOrderedAndProject — bucket
+    stream never materializes beyond k on the driver. NULLs dropped.
+    DuckDB mirror: multi_terms_sql."""
+    terms = _qterms(query)
+    spark = corpus.sparkSession
+    schema = ", ".join(f"{c} string" for c in keys) + ", n_docs long"
+    if not terms:
+        return spark.createDataFrame([], schema)
+    m = _match(corpus, terms)
+    for c in keys:
+        m = m.where(F.col(c).isNotNull())
+    return (
+        m.groupBy(*keys)
+        .agg(F.count("*").alias("n_docs"))
+        .orderBy(F.desc("n_docs"), *[F.asc(c) for c in keys])
+        .limit(int(k))
+    )
+
+
+def multi_terms_sql(query: str, keys: list[str], k: int = 10) -> str:
+    """DuckDB mirror of multi_terms_agg."""
+    from .phrase import _phrase_list_sql, _tokd_cte
+
+    terms = _qterms(query)
+    cols = ", ".join(f"d.{c}" for c in keys)
+    if not terms:
+        sel = ", ".join(f"''::VARCHAR AS {c}" for c in keys)
+        return f"SELECT {sel}, 0::BIGINT AS n_docs WHERE false"
+    notnull = " AND ".join(f"d.{c} IS NOT NULL" for c in keys)
+    order = ", ".join(f"{c} ASC" for c in keys)
+    return f"""
+WITH {_tokd_cte()}
+SELECT {cols}, count(*)::BIGINT AS n_docs
+FROM tokd t JOIN documents d USING (doc_id)
+WHERE list_has_any(t.toks, {_phrase_list_sql(terms)})
+  AND {notnull}
+GROUP BY {cols} ORDER BY n_docs DESC, {order} LIMIT {int(k)}
+"""

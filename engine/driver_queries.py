@@ -1070,6 +1070,48 @@ def _q_significant_terms(spark, sf_dir):
     return significant_terms(_docs_meta(spark, sf_dir), AGG_QUERY, 15, 2)
 
 
+COMPOSITE_KEYS = ["lang", "source"]
+COMPOSITE_AFTER = ("en", "src15")
+COMPOSITE_SIZE = 12
+RARE_MAX_DC = 3
+
+
+def _q_composite_page1(spark, sf_dir):
+    from .aggs import composite_agg
+
+    return composite_agg(
+        _docs_meta(spark, sf_dir), AGG_QUERY, COMPOSITE_KEYS, COMPOSITE_SIZE
+    )
+
+
+def _q_composite_page2(spark, sf_dir):
+    from .aggs import composite_agg
+
+    return composite_agg(
+        _docs_meta(spark, sf_dir), AGG_QUERY, COMPOSITE_KEYS, COMPOSITE_SIZE,
+        after=COMPOSITE_AFTER,
+    )
+
+
+def _q_rare_terms(spark, sf_dir):
+    # n_chars, not source: sources are all frequent at driver scale, so
+    # the long-tail cut would attest on an empty frame; doc lengths give
+    # a real rare-bucket stream at every SF.
+    from .aggs import rare_terms_agg
+
+    return rare_terms_agg(
+        _docs_meta(spark, sf_dir), AGG_QUERY, "n_chars", RARE_MAX_DC
+    )
+
+
+def _q_multi_terms(spark, sf_dir):
+    from .aggs import multi_terms_agg
+
+    return multi_terms_agg(
+        _docs_meta(spark, sf_dir), AGG_QUERY, COMPOSITE_KEYS, K
+    )
+
+
 def _q_dismax(spark, sf_dir):
     from .bm25f import dismax_topk
 
@@ -2443,6 +2485,11 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["percentiles_chars"] = _q_percentiles
     out["top_hits_by_lang"] = _q_top_hits
     out["significant_terms_q"] = _q_significant_terms
+    # round-4 session-5: bucket pagination + long-tail/tuple terms aggs
+    out["composite_page1"] = _q_composite_page1
+    out["composite_page2"] = _q_composite_page2
+    out["rare_terms_chars"] = _q_rare_terms
+    out["multi_terms_lang_source"] = _q_multi_terms
     out["dismax_topk"] = _q_dismax
     # function_score family (engine/funcscore.py) + regexp query
     # (engine/wildcard.py) — registered at the tail for the r5 window
@@ -2719,9 +2766,12 @@ def oracle_sqls() -> dict[str, str]:
     out["percolate_counts_indexed"] = out["percolate_counts"]
     from .aggs import (
         cardinality_sql,
+        composite_sql,
         date_histogram_sql,
+        multi_terms_sql,
         percentiles_sql,
         range_stats_sql,
+        rare_terms_sql,
         significant_terms_sql,
         top_hits_sql,
     )
@@ -2733,6 +2783,16 @@ def oracle_sqls() -> dict[str, str]:
     out["percentiles_chars"] = percentiles_sql(AGG_QUERY, "n_chars", PCTS)
     out["top_hits_by_lang"] = top_hits_sql(AGG_QUERY, "lang", 3, 5)
     out["significant_terms_q"] = significant_terms_sql(AGG_QUERY, 15, 2)
+    out["composite_page1"] = composite_sql(
+        AGG_QUERY, COMPOSITE_KEYS, COMPOSITE_SIZE
+    )
+    out["composite_page2"] = composite_sql(
+        AGG_QUERY, COMPOSITE_KEYS, COMPOSITE_SIZE, after=COMPOSITE_AFTER
+    )
+    out["rare_terms_chars"] = rare_terms_sql(AGG_QUERY, "n_chars", RARE_MAX_DC)
+    out["multi_terms_lang_source"] = multi_terms_sql(
+        AGG_QUERY, COMPOSITE_KEYS, K
+    )
     out["dismax_topk"] = dismax_topk_sql(
         FIXED_QUERIES["q_table_scan"], K, round_scores=ROUND
     )

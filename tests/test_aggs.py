@@ -25,6 +25,10 @@ NEW = [
     "top_hits_by_lang",
     "significant_terms_q",
     "dismax_topk",
+    "composite_page1",
+    "composite_page2",
+    "rare_terms_chars",
+    "multi_terms_lang_source",
 ]
 
 
@@ -87,6 +91,36 @@ def test_empty_query_guards(spark):
     ]:
         assert df.count() == 0 and len(df.columns) >= 2
 
+    from engine.aggs import composite_agg, multi_terms_agg, rare_terms_agg
+
+    for df in [
+        composite_agg(c, "", ["lang", "source"]),
+        rare_terms_agg(c, "the a of", "source"),
+        multi_terms_agg(c, "", ["lang", "source"]),
+    ]:
+        assert df.count() == 0 and len(df.columns) >= 2
+
+
+def test_composite_pages_stitch_to_full_bucket_stream(spark):
+    """Page 1 + page-2-after-page-1's-last-key must reproduce the first
+    2*size buckets of the un-paginated stream, with no overlap — the
+    cursor contract that makes composite THE scale path for bucket
+    retrieval."""
+    from engine.aggs import composite_agg
+
+    c = _meta(spark)
+    q, keys, size = "query join window group", ["lang", "source"], 7
+    full = composite_agg(c, q, keys, size=10**6).toPandas()
+    p1 = composite_agg(c, q, keys, size=size).toPandas()
+    after = tuple(p1.iloc[-1][k] for k in keys)
+    p2 = composite_agg(c, q, keys, size=size, after=after).toPandas()
+    got = pd.concat([p1, p2], ignore_index=True)
+    want = full.head(len(got)).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    assert not set(map(tuple, p1[keys].values)) & set(
+        map(tuple, p2[keys].values)
+    )
+
 
 def test_cardinality_approx_within_rsd(spark):
     from engine.aggs import cardinality_agg, cardinality_approx
@@ -139,3 +173,23 @@ def test_agg_plans_stay_jvm_side(spark):
     plan = th._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     assert "WindowGroupLimit" in plan
+
+
+def test_composite_cursor_pushed_to_scan(spark):
+    """The after-cursor must reach the parquet scan as row-group
+    filters (the flat lexicographic decomposition), not sit above the
+    aggregate as a struct comparison."""
+    from engine.aggs import composite_agg
+
+    c = _meta(spark)
+    df = composite_agg(
+        c, "query join window group", ["lang", "source"],
+        size=5, after=("en", "src15"),
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # toString truncates the filter list, so pin the leading disjunct
+    # (enough to prove the lexicographic Or reached the scan)
+    assert "Or(GreaterThan(lang,en),And(EqualTo(lang,en)" in plan.replace(
+        " ", ""
+    )
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
