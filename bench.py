@@ -196,6 +196,7 @@ def main() -> None:
             "related_terms",
             "more_like_this",
             "facet_counts_lang",
+            "facet_counts_indexed",
             "qstring_topk",
             "suggest_terms",
             "bm25f_topk",

@@ -985,6 +985,13 @@ def _q_facet_lang(spark, sf_dir):
     return facet_counts(corpus, FACET_QUERY, "lang", 20)
 
 
+def _q_facet_indexed(spark, sf_dir):
+    # index-served facets: the adapter maps source→repo at build time
+    # (engine/io.documents_as_corpus), so faceting the index on "repo"
+    # mirrors the recompute/DuckDB facet on "source"
+    return _index_reader(spark, sf_dir).facet_counts(FACET_QUERY, "repo", 20)
+
+
 # ----------------------------------------------------- aggregations family
 
 AGG_QUERY = FIXED_QUERIES["q_multi"]
@@ -2404,6 +2411,7 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "more_like_this": _q_more_like_this,
         "more_like_this_indexed": _q_more_like_this_indexed,
         "facet_counts_lang": _q_facet_lang,
+        "facet_counts_indexed": _q_facet_indexed,
         "pagerank": _q_pagerank,
     }
     for name, text in FIXED_QUERIES.items():
@@ -2674,6 +2682,7 @@ def oracle_sqls() -> dict[str, str]:
             "more_like_this": more_like_this_sql(K, 5),
             "more_like_this_indexed": more_like_this_sql(K, 5),
             "facet_counts_lang": facet_counts_sql(FACET_QUERY, "lang", 20),
+            "facet_counts_indexed": facet_counts_sql(FACET_QUERY, "source", 20),
             "pagerank": pagerank_sql(),
         }
     )

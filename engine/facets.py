@@ -58,8 +58,81 @@ def facet_counts(
     counts = matched.groupBy(F.col(facet_col).alias("facet")).agg(
         F.count("*").alias("n_docs")
     )
+    return _ranked_facets(counts, k)
+
+
+def _ranked_facets(counts: DataFrame, k: int) -> DataFrame:
+    """(facet, n_docs) → (rank, facet, n_docs), top-k by count DESC
+    then facet ASC. The window runs over ≤k rows (post-limit), so the
+    single-partition sort is bounded."""
     topk = counts.orderBy(F.desc("n_docs"), F.asc("facet")).limit(k)
     w = Window.orderBy(F.desc("n_docs"), F.asc("facet"))
     return topk.withColumn("rank", F.row_number().over(w)).select(
         "rank", "facet", "n_docs"
     )
+
+
+def facet_counts_from_postings(
+    spark,
+    postings: DataFrame,
+    doc_stats: DataFrame,
+    query: str,
+    facet_col: str,
+    k: int = 20,
+    *,
+    tombstones: DataFrame | None = None,
+) -> DataFrame:
+    """Index-served twin of facet_counts — the production plan.
+
+    The recompute path re-tokenizes the whole corpus per facet request;
+    at scale the match set must come from the index. Per shard, the
+    kernel unions the queried terms' decoded doc_id runs (each term's
+    run is sorted-unique; shard = f(doc_id), so per-shard unions are
+    globally distinct — no cross-shard dedup exchange). The id stream
+    (match-set-sized, usually ≪ corpus) then picks up ``facet_col``
+    from the doc_stats artifact — AQE broadcasts the id side when it
+    fits, leaving the doc_stats scan exchange-free — and the final
+    groupBy exchanges facet-cardinality rows. Total cost ∝ queried
+    posting mass + match set, independent of corpus width.
+
+    Value-identical to facet_counts on the same corpus (same DuckDB
+    oracle); pinned to UNSTEMMED vocabularies like engine/boolean.py.
+    """
+    import pandas as pd
+
+    terms = sorted(set(tokenize(query, use_stem=False)))
+    if not terms:
+        return spark.createDataFrame([], "rank int, facet string, n_docs long")
+
+    def union_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        from .boolean import _decode_term_docs
+
+        runs = [
+            _decode_term_docs(grp) for _, grp in pdf.groupby("term")
+        ]
+        ids = (
+            np.unique(np.concatenate(runs))
+            if runs
+            else np.empty(0, dtype=np.int64)
+        )
+        return pd.DataFrame({"doc_id": ids})
+
+    ids = (
+        postings.where(F.col("term").isin(terms))
+        .groupBy("shard")
+        .applyInPandas(union_kernel, "doc_id long")
+    )
+    if tombstones is not None:
+        ids = ids.join(F.broadcast(tombstones), "doc_id", "left_anti")
+    counts = (
+        ids.join(
+            doc_stats.select("doc_id", F.col(facet_col).alias("facet")),
+            "doc_id",
+        )
+        .where(F.col("facet").isNotNull())
+        .groupBy("facet")
+        .agg(F.count("*").alias("n_docs"))
+    )
+    return _ranked_facets(counts, k)

@@ -817,6 +817,28 @@ class IndexReader:
             tombstones=self.tombstones_df(),
         )
 
+    def facet_counts(
+        self, query: str, facet_col: str = "repo", k: int = 20
+    ) -> DataFrame:
+        """Index-served facet counts (engine/facets.py:
+        facet_counts_from_postings): match set from the posting blocks'
+        doc_id runs, facet values from the doc_stats artifact —
+        value-identical to the corpus-recompute facet_counts (same
+        DuckDB oracle), but cost ∝ queried posting mass + match set
+        instead of a full corpus re-tokenize. Pinned to unstemmed
+        vocabularies like boolean_topk."""
+        if self.use_stem:
+            raise ValueError(
+                "facet_counts is pinned to unstemmed terms; this index "
+                "was built with use_stem=True"
+            )
+        from .facets import facet_counts_from_postings
+
+        return facet_counts_from_postings(
+            self.spark, self.postings(), self.doc_stats(), query,
+            facet_col, k, tombstones=self.tombstones_df(),
+        )
+
     def fuzzy_terms(self, query_term: str, k: int = 10) -> DataFrame:
         """Spell-correction candidates from the index dictionary
         (engine/fuzzy.py: deletion-neighborhood join + exact verify) —

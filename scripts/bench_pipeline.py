@@ -60,7 +60,7 @@ def main() -> None:
 
         from pyspark.sql import functions as F
 
-        from engine.cluster import hygiene_keep
+        from engine.cluster import dedup_canonical, dup_clusters, hygiene_keep
         from engine.decontam import decontaminate
         from engine.dedup import dup_ngram_stats
         from engine.io import read_corpus, with_identity
@@ -76,6 +76,11 @@ def main() -> None:
         n = corpus.count()  # warm the scan outside the timed window
         print(f"corpus ready: {n} docs", flush=True)
 
+        def _clusters(c):
+            from engine.dedup import minhash_candidate_pairs
+
+            return dup_clusters(c, minhash_candidate_pairs(c))
+
         steps = {
             "decontaminate": lambda: decontaminate(corpus),
             "lm_score": lambda: lm_score(corpus),
@@ -83,6 +88,8 @@ def main() -> None:
             "chunk_plan": lambda: chunk_plan(corpus),
             "source_mix_weights": lambda: source_mix_weights(corpus),
             "hygiene_keep": lambda: hygiene_keep(corpus),
+            "dup_clusters": lambda: _clusters(corpus),
+            "dedup_canonical": lambda: dedup_canonical(corpus, _clusters(corpus)),
         }
         if args.steps:
             want = {s.strip() for s in args.steps.split(",")}
