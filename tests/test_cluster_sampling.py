@@ -206,3 +206,33 @@ def test_hygiene_keep_composition(spark):
         ) == (
             bool(w[1]), w[2], bool(w[3]), bool(w[4]), w[5], bool(w[6]),
         ), d
+
+
+def test_star_edges_give_identical_clusters_to_clique_pairs(spark):
+    """minhash_candidate_edges (per-bucket star, linear in bucket size)
+    must yield EXACTLY the same dup_clusters labeling as the full
+    candidate-pair clique — union-of-stars and union-of-cliques have
+    the same connected components. This is the invariance that lets
+    the clustering consumers skip the m² pair materialization."""
+    from engine.cluster import dup_clusters
+    from engine.dedup import minhash_candidate_edges, minhash_candidate_pairs
+    from engine.io import read_documents
+
+    docs = (
+        read_documents(spark, "/root/testdata/sf0.001")
+        .select("doc_id", F.col("text").alias("content"))
+        .cache()
+    )
+    via_pairs = {
+        (r["doc_id"], r["cluster_id"])
+        for r in dup_clusters(docs, minhash_candidate_pairs(docs)).collect()
+    }
+    via_edges = {
+        (r["doc_id"], r["cluster_id"])
+        for r in dup_clusters(docs, minhash_candidate_edges(docs)).collect()
+    }
+    assert via_edges == via_pairs
+    # and the star stream is never larger than the clique stream
+    n_pairs = minhash_candidate_pairs(docs).count()
+    n_edges = minhash_candidate_edges(docs).count()
+    assert n_edges <= n_pairs
