@@ -227,6 +227,8 @@ def main() -> None:
             "dup_ngram_stats",
             "chunk_plan",
             "source_mix_weights",
+            "pii_redact",
+            "url_domains",
             "hygiene_keep",
             "histogram_chars",
             "extended_stats_chars",

@@ -1810,6 +1810,18 @@ def _q_hygiene_keep(spark, sf_dir):
     return hygiene_keep(_docs(spark, sf_dir))
 
 
+def _q_pii_redact(spark, sf_dir):
+    from .pii import pii_redact, with_injected_pii
+
+    return pii_redact(with_injected_pii(_docs(spark, sf_dir)))
+
+
+def _q_url_domains(spark, sf_dir):
+    from .pii import url_domains, with_injected_pii
+
+    return url_domains(with_injected_pii(_docs(spark, sf_dir)))
+
+
 def _q_fingerprint(spark, sf_dir):
     from .textops import doc_fingerprint
 
@@ -2543,6 +2555,8 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["chunk_plan"] = _q_chunk_plan
     out["source_mix_weights"] = _q_source_mix
     out["hygiene_keep"] = _q_hygiene_keep
+    out["pii_redact"] = _q_pii_redact
+    out["url_domains"] = _q_url_domains
     return _driver_order(out)
 
 
@@ -2895,4 +2909,8 @@ FROM d CROSS JOIN t
     from .cluster import hygiene_keep_sql
 
     out["hygiene_keep"] = hygiene_keep_sql()
+    from .pii import pii_redact_sql, url_domains_sql
+
+    out["pii_redact"] = pii_redact_sql()
+    out["url_domains"] = url_domains_sql()
     return _driver_order(out)
