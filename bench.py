@@ -229,6 +229,8 @@ def main() -> None:
             "source_mix_weights",
             "pii_redact",
             "url_domains",
+            "hll_distinct_content",
+            "cms_heavy_hitters",
             "hygiene_keep",
             "histogram_chars",
             "extended_stats_chars",

@@ -1822,6 +1822,23 @@ def _q_url_domains(spark, sf_dir):
     return url_domains(with_injected_pii(_docs(spark, sf_dir)))
 
 
+def _q_hll_distinct(spark, sf_dir):
+    from .ids import sha256_col
+    from .sketch import hll_distinct
+
+    d = _docs(spark, sf_dir).select(
+        sha256_col(F.coalesce(F.col("content"), F.lit(""))).alias("sha")
+    )
+    return hll_distinct(d, "sha")
+
+
+def _q_cms_heavy_hitters(spark, sf_dir):
+    from .sketch import cms_heavy_hitters
+
+    toks = tokens_df(_corpus(spark, sf_dir), use_stem=False)
+    return cms_heavy_hitters(toks, POSTING_TERMS)
+
+
 def _q_fingerprint(spark, sf_dir):
     from .textops import doc_fingerprint
 
@@ -2557,6 +2574,8 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["hygiene_keep"] = _q_hygiene_keep
     out["pii_redact"] = _q_pii_redact
     out["url_domains"] = _q_url_domains
+    out["hll_distinct_content"] = _q_hll_distinct
+    out["cms_heavy_hitters"] = _q_cms_heavy_hitters
     return _driver_order(out)
 
 
@@ -2913,4 +2932,12 @@ FROM d CROSS JOIN t
 
     out["pii_redact"] = pii_redact_sql()
     out["url_domains"] = url_domains_sql()
+    from .sketch import cms_heavy_hitters_sql, hll_distinct_sql
+
+    out["hll_distinct_content"] = hll_distinct_sql(
+        "sha256(coalesce(text, ''))", "documents"
+    )
+    out["cms_heavy_hitters"] = (
+        f"WITH {base}, {cms_heavy_hitters_sql(POSTING_TERMS)}"
+    )
     return _driver_order(out)

@@ -1,0 +1,246 @@
+"""Mergeable sketches: HyperLogLog distinct-count + count-min heavy
+hitters — the 100 TB cardinality/frequency answer.
+
+At production scale ``count(distinct x)`` is a corpus-sized shuffle and
+an exact per-term frequency table is dictionary-sized state; both
+sketches below reduce to FIXED-size state (2^p registers / d×w
+counters) built with one map-side-combinable aggregation, and two
+sketch states merge by max/sum — exactly the shape a 1000-executor
+tree aggregation wants. Spark's own approx_count_distinct is the same
+HLL idea but its binary sketch state is not reproducible in DuckDB, so
+these implementations pin a deterministic hash (the repo's 60-bit
+md5 convention, engine/textops.term_hash_col) and exact integer
+register state: the DuckDB oracles rebuild byte-identical registers
+and the driver value-hash check covers the ESTIMATES, not just the
+inputs.
+
+Float discipline: the only non-integer steps are the final estimate
+formulas. The harmonic-mean denominator is kept as an exact BIGINT
+(sum of 2^(shift+1-M) over registers), so the raw estimate is a single
+identical-IEEE expression in both engines; the linear-counting branch
+(m·ln(m/zeros)) is rounded to 4 decimals before comparison.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .textops import term_hash_col, term_hash_sql
+
+HLL_P = 8                 # 2^8 = 256 registers
+HLL_BITS = 60             # term_hash_col width
+CMS_DEPTH = 4
+CMS_WIDTH = 64
+ROUND = 4
+
+
+def _alpha(m: int) -> str:
+    """HLL bias constant as a SQL-literal expression (kept symbolic so
+    both engines evaluate the identical IEEE expression)."""
+    if m == 16:
+        return "0.673"
+    if m == 32:
+        return "0.697"
+    if m == 64:
+        return "0.709"
+    return f"0.7213 / (1.0 + 1.079 / {m}.0)"
+
+
+def hll_distinct(df: DataFrame, col: str, p: int = HLL_P) -> DataFrame:
+    """One-row (m, used, est, exact) HyperLogLog estimate of
+    count(distinct col), with the exact count alongside for accuracy
+    reporting. Register build = one groupBy(bucket) max; final state is
+    m-bounded, so the whole sketch is two tiny aggregations above the
+    scan (the ``exact`` column is the only corpus-sized distinct and
+    exists for the comparison — drop it at 100 TB).
+    """
+    m = 1 << p
+    shift = HLL_BITS - p
+    h = term_hash_col(F.col(col))
+    bucket = F.shiftrightunsigned(h, shift).alias("bucket")
+    w = h.bitwiseAND(F.lit((1 << shift) - 1))
+    # rho = leading zeros of the shift-bit remainder + 1;
+    # floor(log2(w)) == length(bin(w)) - 1 exactly (no float log)
+    rho = F.when(w == 0, F.lit(shift + 1)).otherwise(
+        F.lit(shift) - (F.length(F.bin(w)) - F.lit(1))
+    )
+    regs = df.select(bucket, rho.alias("rho")).groupBy("bucket").agg(
+        F.max("rho").alias("M")
+    )
+    # exact integer harmonic state: empty buckets contribute 2^(shift+1)
+    state = regs.agg(
+        F.count("*").cast("long").alias("used"),
+        F.sum(F.expr(f"shiftleft(1L, {shift + 1} - M)")).cast("long").alias(
+            "s_used"
+        ),
+    )
+    exact = df.agg(F.count_distinct(F.col(col)).cast("long").alias("exact"))
+    est = F.expr(
+        f"CASE WHEN raw <= 2.5 * {m}.0 AND {m} - used > 0 "
+        f"THEN {m}.0 * ln({m}.0 / (({m} - used) * 1.0)) ELSE raw END"
+    )
+    return (
+        state.crossJoin(F.broadcast(exact))
+        .withColumn(
+            "raw",
+            F.expr(
+                f"({_alpha(m)}) * {m}.0 * {m}.0 * {float(1 << (shift + 1))} "
+                f"/ (({m} - used) * shiftleft(1L, {shift + 1}) + s_used)"
+            ),
+        )
+        .select(
+            F.lit(m).cast("long").alias("m"),
+            F.col("used"),
+            F.round(est, ROUND).alias("est"),
+            F.col("exact"),
+        )
+    )
+
+
+def hll_distinct_sql(
+    expr: str, from_clause: str, p: int = HLL_P
+) -> str:
+    """DuckDB mirror of hll_distinct over ``SELECT {expr} FROM
+    {from_clause}`` — identical hash, registers, and estimate
+    expressions."""
+    m = 1 << p
+    shift = HLL_BITS - p
+    h = term_hash_sql(expr)
+    return f"""
+WITH vals AS (SELECT {h} AS h FROM {from_clause}),
+parts AS (
+  SELECT h >> {shift} AS bucket, h & {(1 << shift) - 1} AS w FROM vals
+),
+rho AS (
+  SELECT bucket,
+         CASE WHEN w = 0 THEN {shift + 1}
+              ELSE {shift} - (length(bin(w)) - 1) END AS rho
+  FROM parts
+),
+regs AS (SELECT bucket, max(rho) AS M FROM rho GROUP BY bucket),
+state AS (
+  SELECT count(*)::BIGINT AS used,
+         sum((1::BIGINT << ({shift + 1} - M)))::BIGINT AS s_used
+  FROM regs
+),
+ex AS (SELECT count(DISTINCT {expr})::BIGINT AS exact FROM {from_clause}),
+calc AS (
+  SELECT used, s_used, exact,
+         ({_alpha(m)}) * {m}.0 * {m}.0 * {float(1 << (shift + 1))}
+           / (({m} - used) * (1::BIGINT << {shift + 1}) + s_used) AS raw
+  FROM state, ex
+)
+SELECT {m}::BIGINT AS m, used,
+       round(CASE WHEN raw <= 2.5 * {m}.0 AND {m} - used > 0
+                  THEN {m}.0 * ln({m}.0 / (({m} - used) * 1.0))
+                  ELSE raw END, {ROUND}) AS est,
+       exact
+FROM calc
+"""
+
+
+# ------------------------------------------------------------ count-min
+
+def _cms_bucket(term: F.Column, row: int, width: int) -> F.Column:
+    return term_hash_col(F.concat(F.lit(f"{row}:"), term)) % width
+
+
+def cms_heavy_hitters(
+    tokens: DataFrame,
+    candidates: list[str],
+    *,
+    depth: int = CMS_DEPTH,
+    width: int = CMS_WIDTH,
+    tf_cap: int = 65535,
+) -> DataFrame:
+    """(term, cf_est, cf_exact) — count-min sketch estimate of the
+    (capped) collection term frequency for each candidate term, with
+    the exact value alongside. Sketch build: each (doc,term,tf) row
+    lands in ``depth`` of the d×w counters (posexplode of a d-element
+    bucket array), one groupBy over ≤ d·w keys — map-side combined,
+    fixed-size state, mergeable by cell-wise sum. The probe joins a
+    broadcast candidate×row frame against the tiny sketch; CMS
+    guarantees cf_est >= cf_exact (asserted in tests).
+    ``tokens`` is tokens_df(...) output: (doc_id, term, tf)."""
+    spark = tokens.sparkSession
+    tfc = F.least(F.col("tf"), F.lit(tf_cap))
+    buckets = F.array(
+        *[_cms_bucket(F.col("term"), i, width) for i in range(depth)]
+    )
+    cells = (
+        tokens.select(tfc.alias("tfc"), F.posexplode(buckets))
+        .groupBy(F.col("pos").alias("row_i"), F.col("col").alias("bucket"))
+        .agg(F.sum("tfc").cast("long").alias("cell"))
+    )
+    probe_rows = [
+        (t, i, _cms_py_bucket(t, i, width))
+        for t in candidates
+        for i in range(depth)
+    ]
+    probe = spark.createDataFrame(
+        probe_rows, "term string, row_i int, bucket long"
+    )
+    est = (
+        F.broadcast(probe)
+        .join(cells, ["row_i", "bucket"], "left")
+        .groupBy("term")
+        .agg(F.min(F.coalesce(F.col("cell"), F.lit(0))).alias("cf_est"))
+    )
+    exact = (
+        tokens.where(F.col("term").isin(candidates))
+        .groupBy("term")
+        .agg(F.sum(tfc).cast("long").alias("cf_exact"))
+    )
+    return (
+        est.join(exact, "term", "left")
+        .select(
+            "term",
+            "cf_est",
+            F.coalesce(F.col("cf_exact"), F.lit(0)).alias("cf_exact"),
+        )
+    )
+
+
+def _cms_py_bucket(term: str, row: int, width: int) -> int:
+    """Driver-side twin of _cms_bucket (same md5 60-bit convention)."""
+    return int(hashlib.md5(f"{row}:{term}".encode()).hexdigest()[:15], 16) % width
+
+
+def cms_heavy_hitters_sql(
+    candidates: list[str],
+    *,
+    depth: int = CMS_DEPTH,
+    width: int = CMS_WIDTH,
+) -> str:
+    """DuckDB mirror over the driver ``tfv`` CTE (must be composed as
+    ``WITH {_base_ctes()}, {this}`` — see engine/driver_queries.py)."""
+    rows = ", ".join(f"({i})" for i in range(depth))
+    cand = ", ".join("('" + t.replace("'", "''") + "')" for t in candidates)
+    bucket = term_hash_sql("r.row_i::VARCHAR || ':' || tfv.term")
+    pbucket = term_hash_sql("r.row_i::VARCHAR || ':' || c.term")
+    return f"""
+rows(row_i) AS (VALUES {rows}),
+cand(term) AS (VALUES {cand}),
+cells AS (
+  SELECT r.row_i, {bucket} % {width} AS bucket,
+         sum(least(tfv.tf, 65535))::BIGINT AS cell
+  FROM tfv, rows r GROUP BY 1, 2
+),
+probe AS (
+  SELECT c.term, r.row_i, {pbucket} % {width} AS bucket
+  FROM cand c, rows r
+),
+est AS (
+  SELECT p.term, min(coalesce(cells.cell, 0))::BIGINT AS cf_est
+  FROM probe p LEFT JOIN cells USING (row_i, bucket) GROUP BY p.term
+),
+ex AS (
+  SELECT term, sum(least(tf, 65535))::BIGINT AS cf_exact FROM tfv
+  WHERE term IN (SELECT term FROM cand) GROUP BY term
+)
+SELECT est.term, est.cf_est, coalesce(ex.cf_exact, 0)::BIGINT AS cf_exact
+FROM est LEFT JOIN ex USING (term)
+"""

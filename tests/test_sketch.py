@@ -1,0 +1,80 @@
+"""HLL + count-min sketches: accuracy/soundness on constructed input
+plus direct DuckDB parity for the two driver entries at sf0.001."""
+
+import pathlib
+import sys
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_hll_estimate_accuracy(spark):
+    """n=2000 distinct values at m=256 registers: the HLL estimate must
+    land within the textbook ~1.04/sqrt(m) relative-error band (we
+    allow 3 sigma ≈ 20%), and `used`/`exact` must be exact."""
+    from engine.sketch import hll_distinct
+
+    df = spark.range(2000).select(
+        F.concat(F.lit("v"), F.col("id").cast("string")).alias("v")
+    )
+    row = hll_distinct(df, "v").collect()[0]
+    assert row["m"] == 256 and row["exact"] == 2000
+    assert 0 < row["used"] <= 256
+    assert abs(row["est"] - 2000) / 2000 < 0.20
+
+
+def test_hll_small_range_branch(spark):
+    """n << m exercises the linear-counting branch, which is near-exact."""
+    from engine.sketch import hll_distinct
+
+    df = spark.range(30).select(F.col("id").cast("string").alias("v"))
+    row = hll_distinct(df, "v").collect()[0]
+    assert row["exact"] == 30
+    assert abs(row["est"] - 30) / 30 < 0.10
+
+
+def test_cms_overestimates_only(spark):
+    """CMS guarantee: cf_est >= cf_exact for every probed term, and the
+    min-over-rows estimate is within the w-width error bound."""
+    from engine.sketch import cms_heavy_hitters
+
+    rows = [(d, f"t{d % 50}", (d % 7) + 1) for d in range(400)]
+    toks = spark.createDataFrame(rows, "doc_id long, term string, tf long")
+    cands = ["t0", "t1", "t49", "missing"]
+    out = {r["term"]: r.asDict() for r in
+           cms_heavy_hitters(toks, cands).collect()}
+    assert set(out) == set(cands)
+    total = sum(min(tf, 65535) for _, _, tf in rows)
+    for t in cands:
+        assert out[t]["cf_est"] >= out[t]["cf_exact"]
+        # CMS bound: overestimate < 2 * total / width with prob 1-2^-d
+        assert out[t]["cf_est"] - out[t]["cf_exact"] <= 2 * total / 64
+    assert out["missing"]["cf_exact"] == 0
+
+
+def test_driver_entry_parity(spark):
+    """Both sketch entries vs their DuckDB oracles at sf0.001 — exact
+    values (register state is integer; estimates rounded identically)."""
+    from engine import driver_queries as dq
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{SF_DIR}/documents.parquet'"
+    )
+    qs, sqls = dq.spark_queries(), dq.oracle_sqls()
+    for name in ("hll_distinct_content", "cms_heavy_hitters"):
+        got = qs[name](spark, SF_DIR).toPandas()
+        want = con.sql(sqls[name]).df()
+        assert sorted(got.columns) == sorted(want.columns), name
+        g = got[sorted(got.columns)].sort_values(
+            by=sorted(got.columns), ignore_index=True)
+        w = want[sorted(want.columns)].sort_values(
+            by=sorted(want.columns), ignore_index=True)
+        assert len(g) == len(w), name
+        for c in g.columns:
+            assert g[c].tolist() == w[c].tolist(), f"{name}.{c}"
