@@ -231,6 +231,7 @@ def main() -> None:
             "url_domains",
             "hll_distinct_content",
             "cms_heavy_hitters",
+            "kmv_hit_counts",
             "hygiene_keep",
             "histogram_chars",
             "extended_stats_chars",

@@ -1839,6 +1839,20 @@ def _q_cms_heavy_hitters(spark, sf_dir):
     return cms_heavy_hitters(toks, POSTING_TERMS)
 
 
+def _kmv_queries() -> dict[str, list[str]]:
+    return {
+        qid: tokenize(text, use_stem=False)
+        for qid, text in sorted(FIXED_QUERIES.items())
+    }
+
+
+def _q_kmv_hit_counts(spark, sf_dir):
+    from .sketch import kmv_hit_counts
+
+    toks = tokens_df(_corpus(spark, sf_dir), use_stem=False)
+    return kmv_hit_counts(toks, _kmv_queries())
+
+
 def _q_fingerprint(spark, sf_dir):
     from .textops import doc_fingerprint
 
@@ -2576,6 +2590,7 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["url_domains"] = _q_url_domains
     out["hll_distinct_content"] = _q_hll_distinct
     out["cms_heavy_hitters"] = _q_cms_heavy_hitters
+    out["kmv_hit_counts"] = _q_kmv_hit_counts
     return _driver_order(out)
 
 
@@ -2940,4 +2955,7 @@ FROM d CROSS JOIN t
     out["cms_heavy_hitters"] = (
         f"WITH {base}, {cms_heavy_hitters_sql(POSTING_TERMS)}"
     )
+    from .sketch import kmv_hit_counts_sql
+
+    out["kmv_hit_counts"] = f"WITH {base}, {kmv_hit_counts_sql(_kmv_queries())}"
     return _driver_order(out)

@@ -142,6 +142,136 @@ FROM calc
 """
 
 
+# ------------------------------------------------------- KMV hit counts
+
+KMV_K = 64
+_H_MAX = float(1 << HLL_BITS)  # hash-space size (normalizes theta)
+
+
+def kmv_term_sketches(
+    tokens: DataFrame, terms: list[str], k: int = KMV_K
+) -> DataFrame:
+    """(term, h) — the k smallest 60-bit doc-id hashes per term: the
+    KMV (bottom-k) sketch of each term's posting list. Index-time
+    state, k-bounded per term, mergeable by keep-smallest-k. The
+    rank<=k filter is a WindowGroupLimit: Spark evaluates it below the
+    exchange, so each shard ships at most k rows per term."""
+    from pyspark.sql import Window
+
+    h = term_hash_col(F.col("doc_id").cast("string"))
+    pos = tokens.where(F.col("term").isin(terms)).select(
+        "term", h.alias("h")
+    )
+    w = Window.partitionBy("term").orderBy("h")
+    return (
+        pos.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .drop("rn")
+    )
+
+
+def kmv_hit_counts(
+    tokens: DataFrame, queries: dict[str, list[str]], k: int = KMV_K
+) -> DataFrame:
+    """(query_id, n_hits_est, n_hits_exact) — approximate total hits
+    (distinct docs matching ANY query term) from per-term KMV sketches:
+    the track_total_hits=false answer. Query time touches <= q*k sketch
+    rows instead of decoding postings; union sketch = k smallest of the
+    merged values, est = (k-1)/theta. Because all sketches share one
+    hash, the merged kth minimum is always <= each contributing term's
+    own theta, so the naive merge IS the correct KMV union; when the
+    merged set has fewer than k values every contributing sketch was
+    untruncated and the estimate equals the exact count. Every query
+    emits a row (zero-hit queries report 0, never omitted). The exact
+    count is computed alongside for the comparison — at scale you'd
+    serve the estimate alone."""
+    from pyspark.sql import Window
+
+    spark = tokens.sparkSession
+    qt = [(qid, t) for qid, ts in sorted(queries.items()) for t in sorted(set(ts))]
+    qdf = spark.createDataFrame(qt, "query_id string, term string")
+    qids = spark.createDataFrame(
+        [(q,) for q in sorted(queries)], "query_id string"
+    )
+    terms = sorted({t for _, t in qt})
+    sk = kmv_term_sketches(tokens, terms, k)
+    merged = sk.join(F.broadcast(qdf), "term").select("query_id", "h").distinct()
+    w = Window.partitionBy("query_id").orderBy("h")
+    perq = (
+        merged.withColumn("rn", F.row_number().over(w))
+        .groupBy("query_id")
+        .agg(
+            F.count("*").cast("long").alias("n_sk"),
+            F.max(F.when(F.col("rn") == k, F.col("h"))).alias("theta"),
+        )
+    )
+    exact = (
+        tokens.join(F.broadcast(qdf), "term")
+        .groupBy("query_id")
+        .agg(F.count_distinct("doc_id").cast("long").alias("n_exact"))
+    )
+    est = F.when(
+        F.coalesce(F.col("n_sk"), F.lit(0)) < k,
+        F.coalesce(F.col("n_sk"), F.lit(0)).cast("double"),
+    ).otherwise(F.expr(f"({k - 1}.0 * {_H_MAX}) / theta"))
+    return (
+        qids.join(perq, "query_id", "left")
+        .join(exact, "query_id", "left")
+        .select(
+            "query_id",
+            F.round(est, ROUND).alias("n_hits_est"),
+            F.coalesce("n_exact", F.lit(0)).alias("n_hits_exact"),
+        )
+    )
+
+
+def kmv_hit_counts_sql(queries: dict[str, list[str]], k: int = KMV_K) -> str:
+    """DuckDB mirror over the driver ``tfv`` CTE (compose as
+    ``WITH {_base_ctes()}, {this}``)."""
+    qt_rows = ", ".join(
+        f"('{qid}', '" + t.replace("'", "''") + "')"
+        for qid, ts in sorted(queries.items())
+        for t in sorted(set(ts))
+    )
+    qid_rows = ", ".join(f"('{q}')" for q in sorted(queries))
+    h = term_hash_sql("doc_id::VARCHAR")
+    return f"""
+qt(query_id, term) AS (VALUES {qt_rows}),
+qids(query_id) AS (VALUES {qid_rows}),
+pos AS (
+  SELECT term, {h} AS h FROM tfv
+  WHERE term IN (SELECT DISTINCT term FROM qt)
+),
+sk AS (
+  SELECT term, h FROM (
+    SELECT term, h, row_number() OVER (PARTITION BY term ORDER BY h) AS rn
+    FROM pos
+  ) WHERE rn <= {k}
+),
+merged AS (SELECT DISTINCT query_id, h FROM sk JOIN qt USING (term)),
+perq AS (
+  SELECT query_id, count(*)::BIGINT AS n_sk,
+         max(CASE WHEN rn = {k} THEN h END) AS theta
+  FROM (
+    SELECT query_id, h,
+           row_number() OVER (PARTITION BY query_id ORDER BY h) AS rn
+    FROM merged
+  ) GROUP BY query_id
+),
+ex AS (
+  SELECT qt.query_id, count(DISTINCT tfv.doc_id)::BIGINT AS n_exact
+  FROM tfv JOIN qt ON tfv.term = qt.term GROUP BY qt.query_id
+)
+SELECT qids.query_id,
+       round(CASE WHEN coalesce(perq.n_sk, 0) < {k}
+                  THEN coalesce(perq.n_sk, 0) * 1.0
+                  ELSE ({k - 1}.0 * {_H_MAX}) / perq.theta END,
+             {ROUND}) AS n_hits_est,
+       coalesce(ex.n_exact, 0)::BIGINT AS n_hits_exact
+FROM qids LEFT JOIN perq USING (query_id) LEFT JOIN ex USING (query_id)
+"""
+
+
 # ------------------------------------------------------------ count-min
 
 def _cms_bucket(term: F.Column, row: int, width: int) -> F.Column:

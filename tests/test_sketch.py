@@ -57,6 +57,30 @@ def test_cms_overestimates_only(spark):
     assert out["missing"]["cf_exact"] == 0
 
 
+def test_kmv_hit_counts_accuracy(spark):
+    """KMV union estimate within the ~1/sqrt(k) band on a corpus big
+    enough to engage estimation mode; zero-hit queries emit 0 rows of
+    estimate, not omission; sub-k queries are exact."""
+    from engine.sketch import kmv_hit_counts
+
+    rows = [(d, f"t{i}", 1) for d in range(3000) for i in (d % 3, 3 + d % 5)]
+    toks = spark.createDataFrame(rows, "doc_id long, term string, tf long")
+    queries = {
+        "q_wide": ["t0", "t1"],        # ~2000 docs -> estimation mode
+        "q_none": ["absent"],          # 0 hits -> row with 0
+        "q_all": ["t0", "t1", "t2"],   # all 3000 docs
+    }
+    out = {r["query_id"]: r.asDict()
+           for r in kmv_hit_counts(toks, queries, k=64).collect()}
+    assert set(out) == set(queries)
+    assert out["q_none"]["n_hits_est"] == 0.0
+    assert out["q_none"]["n_hits_exact"] == 0
+    for qid in ("q_wide", "q_all"):
+        ex = out[qid]["n_hits_exact"]
+        assert abs(out[qid]["n_hits_est"] - ex) / ex < 0.40  # 3/sqrt(64)
+    assert out["q_all"]["n_hits_exact"] == 3000
+
+
 def test_driver_entry_parity(spark):
     """Both sketch entries vs their DuckDB oracles at sf0.001 — exact
     values (register state is integer; estimates rounded identically)."""
@@ -67,7 +91,8 @@ def test_driver_entry_parity(spark):
         f"CREATE VIEW documents AS SELECT * FROM '{SF_DIR}/documents.parquet'"
     )
     qs, sqls = dq.spark_queries(), dq.oracle_sqls()
-    for name in ("hll_distinct_content", "cms_heavy_hitters"):
+    for name in ("hll_distinct_content", "cms_heavy_hitters",
+                 "kmv_hit_counts"):
         got = qs[name](spark, SF_DIR).toPandas()
         want = con.sql(sqls[name]).df()
         assert sorted(got.columns) == sorted(want.columns), name
