@@ -91,7 +91,15 @@ def tfidf_cosine_topk(
     use_stem: bool = False,
 ) -> DataFrame:
     """(rank, doc_id, cos) — reference `/search_body` analog."""
-    toks = tokens_df(corpus, use_stem=use_stem)
+    # toks feeds the dictionary, the corpus stats AND the weight frame —
+    # persisted so the corpus tokenizes once per query, not once per
+    # consumer. Round-4 re-A/B (interleaved, same session, 3 reps):
+    # persist 2.56 s vs lazy-checkpointed weights 2.86 s vs nothing
+    # 2.24 s at sf0.1 — the unmaterialized shape wins only because
+    # re-tokenizing 5k docs is launch-bound cheap; at scale it pays
+    # the corpus scan per consumer, so persist is the pinned shape
+    # (the indexed twin IndexReader.tfidf_topk is the serving path).
+    toks = tokens_df(corpus, use_stem=use_stem).persist()
     d = dictionary_df(toks)
     n_docs = corpus_stats_df(doc_stats_df(corpus, toks)).select("n_docs")
     qterms = query_terms_df(spark, query, use_stem=use_stem)
@@ -108,12 +116,6 @@ def tfidf_cosine_topk(
         .crossJoin(F.broadcast(n_docs))
         .select("doc_id", "term", wtd.alias("w"))
     )
-    # weights feeds BOTH the norm agg and the dot-product join — the
-    # lazy checkpoint materializes (doc_id, term, w) once instead of
-    # re-running the tokenize+join per consumer (persisting toks
-    # instead measured SLOWER: the corpus-wide aggs dominate and the
-    # extra cache write is pure overhead — BENCH/BASELINE.md round 4)
-    weights = weights.localCheckpoint(eager=False)
     norms = weights.groupBy("doc_id").agg(
         F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("dnorm")
     )
