@@ -93,6 +93,14 @@ def main() -> None:
         timings["anchor_indexed"] = time.perf_counter() - t
         # 3-signal /search from artifacts (round 3): first call also
         # materializes the pagerank parquet — time build and query apart
+        # KMV sketch artifact: build, then the approximate-count serve
+        # (postings untouched at query time)
+        t = time.perf_counter()
+        reader.kmv_sketches_df().count()
+        timings["kmv_artifact_build"] = time.perf_counter() - t
+        t = time.perf_counter()
+        reader.hit_counts_approx(bm25_queries).collect()
+        timings["kmv_hit_counts_indexed"] = time.perf_counter() - t
         t = time.perf_counter()
         reader.pagerank_df().count()
         timings["pagerank_artifact_build"] = time.perf_counter() - t

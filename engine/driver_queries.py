@@ -1853,6 +1853,18 @@ def _q_kmv_hit_counts(spark, sf_dir):
     return kmv_hit_counts(toks, _kmv_queries())
 
 
+def _q_kmv_hit_counts_indexed(spark, sf_dir):
+    """Artifact-served twin: estimate from the index's KMV sketch
+    artifact, exact from the posting-kernel count path — same oracle
+    as the recompute entry (identical hash/term space/doc set)."""
+    r = _index_reader(spark, sf_dir)
+    est = r.hit_counts_approx(FIXED_QUERIES)
+    exact = r.hit_counts(FIXED_QUERIES)
+    return est.join(exact, "query_id").select(
+        "query_id", "n_hits_est", F.col("n_hits").alias("n_hits_exact")
+    )
+
+
 def _q_fingerprint(spark, sf_dir):
     from .textops import doc_fingerprint
 
@@ -2591,6 +2603,7 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["hll_distinct_content"] = _q_hll_distinct
     out["cms_heavy_hitters"] = _q_cms_heavy_hitters
     out["kmv_hit_counts"] = _q_kmv_hit_counts
+    out["kmv_hit_counts_indexed"] = _q_kmv_hit_counts_indexed
     return _driver_order(out)
 
 
@@ -2958,4 +2971,5 @@ FROM d CROSS JOIN t
     from .sketch import kmv_hit_counts_sql
 
     out["kmv_hit_counts"] = f"WITH {base}, {kmv_hit_counts_sql(_kmv_queries())}"
+    out["kmv_hit_counts_indexed"] = out["kmv_hit_counts"]
     return _driver_order(out)

@@ -995,6 +995,28 @@ class SearchService:
             )
         return [[r["query_id"], r["n_hits"]] for r in df.collect()]
 
+    def hit_counts_approx(self, query: str) -> list[list]:
+        """Approximate total-hits header [query_id, n_hits_est] — the
+        track_total_hits=false answer. Index-bound: served from the KMV
+        sketch artifact (≤ q·k rows read, postings untouched).
+        Recompute fallback: per-term bottom-k over the tokenized
+        corpus (engine/sketch.kmv_hit_counts, estimate column only)."""
+        if self.reader is not None:
+            df = self.reader.hit_counts_approx({"q": query})
+        else:
+            from .build import tokens_df
+            from .sketch import kmv_hit_counts
+            from .tokenizer import tokenize
+
+            toks = tokens_df(
+                self.corpus.select("doc_id", "content"),
+                use_stem=self._use_stem,
+            )
+            df = kmv_hit_counts(
+                toks, {"q": tokenize(query, use_stem=self._use_stem)}
+            ).select("query_id", "n_hits_est")
+        return [[r["query_id"], r["n_hits_est"]] for r in df.collect()]
+
     def msearch(self, queries: list[str], k: int = 10) -> list[list]:
         """[query_id, rank, doc_id, score] for N queries — the ES
         _msearch analog. Index-backed: ONE Spark job for the whole
@@ -1187,6 +1209,10 @@ def create_app(service: SearchService):
     @app.route("/count")
     def count():
         return jsonify(service.hit_counts(_query()))
+
+    @app.route("/count_approx")
+    def count_approx():
+        return jsonify(service.hit_counts_approx(_query()))
 
     @app.route("/percolate", methods=["POST"])
     def percolate():

@@ -3027,6 +3027,68 @@ class IndexReader:
         )
         return _ranked(fused, "score", k)
 
+    def kmv_sketches_df(self, k: int = 64) -> DataFrame:
+        """(term, h) bottom-k KMV sketch rows per term — a tiny
+        index-dir artifact (≤ k rows per vocabulary term) materialized
+        lazily from the stage-1 tokens checkpoint, then read from
+        parquet ever after. Written sorted by term within each file so
+        the approximate-count probe's term isin prunes on parquet
+        row-group min/max stats. Like the other lazy artifacts this
+        reflects the corpus at build time: deletes require an artifact
+        rebuild (drop the kmv/ dir), matching the stale-stats Lucene
+        semantics the tombstone path documents."""
+        p = os.path.join(self.dir, "kmv")
+        if not os.path.exists(os.path.join(p, "_SUCCESS")):
+            from pyspark.sql import Window
+
+            from .textops import term_hash_col
+
+            toks = self.doc_tokens().select(
+                "doc_id", F.explode("terms").alias("term")
+            )
+            h = term_hash_col(F.col("doc_id").cast("string"))
+            w = Window.partitionBy("term").orderBy("h")
+            (
+                toks.select("term", h.alias("h"))
+                .withColumn("rn", F.row_number().over(w))
+                .where(F.col("rn") <= k)
+                .drop("rn")
+                .sortWithinPartitions("term", "h")
+                .write.mode("overwrite")
+                .parquet(p)
+            )
+        return self._artifact("kmv")
+
+    def hit_counts_approx(self, queries: dict[str, str], k: int = 64) -> DataFrame:
+        """(query_id, n_hits_est) — the track_total_hits=false header:
+        approximate total hits served from the KMV artifact alone.
+        Query time reads ≤ q·k sketch rows (term-pruned parquet scan)
+        and never touches the posting blocks — estimate cost is
+        independent of how many documents match. Every query gets a
+        row; estimates from sub-k unions are exact counts. Rank-safe
+        serving still uses hit_counts(); this is the cheap header."""
+        from .sketch import kmv_union_counts
+
+        qterms = {
+            qid: sorted(set(tokenize(text, use_stem=self.use_stem)))
+            for qid, text in sorted(queries.items())
+        }
+        qids = self.spark.createDataFrame(
+            [(q,) for q in sorted(qterms)], "query_id string"
+        )
+        pairs = [(qid, t) for qid, ts in qterms.items() for t in ts]
+        if not pairs:
+            return qids.select(
+                "query_id", F.lit(0.0).alias("n_hits_est")
+            )
+        qdf = self.spark.createDataFrame(
+            pairs, "query_id string, term string"
+        )
+        terms = sorted({t for _, t in pairs})
+        sk = self.kmv_sketches_df(k).where(F.col("term").isin(terms))
+        merged = sk.join(F.broadcast(qdf), "term").select("query_id", "h")
+        return kmv_union_counts(merged, qids, k)
+
     def pagerank_df(self) -> DataFrame:
         """(doc_id, pr) served from a parquet artifact UNDER the index
         dir — the scale-safe analog of the reference's pickled PageRank

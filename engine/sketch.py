@@ -195,33 +195,47 @@ def kmv_hit_counts(
     )
     terms = sorted({t for _, t in qt})
     sk = kmv_term_sketches(tokens, terms, k)
-    merged = sk.join(F.broadcast(qdf), "term").select("query_id", "h").distinct()
+    merged = sk.join(F.broadcast(qdf), "term").select("query_id", "h")
+    exact = (
+        tokens.join(F.broadcast(qdf), "term")
+        .groupBy("query_id")
+        .agg(F.count_distinct("doc_id").cast("long").alias("n_exact"))
+    )
+    return (
+        kmv_union_counts(merged, qids, k)
+        .join(exact, "query_id", "left")
+        .select(
+            "query_id",
+            "n_hits_est",
+            F.coalesce("n_exact", F.lit(0)).alias("n_hits_exact"),
+        )
+    )
+
+
+def kmv_union_counts(merged: DataFrame, qids: DataFrame, k: int = KMV_K) -> DataFrame:
+    """(query_id, n_hits_est) from a (query_id, h) frame of merged
+    sketch rows — the shared estimator of the recompute and
+    artifact-served paths (engine/index.py hit_counts_approx). Input
+    rows are deduped here (a doc matching several query terms
+    contributes its hash once)."""
+    from pyspark.sql import Window
+
     w = Window.partitionBy("query_id").orderBy("h")
     perq = (
-        merged.withColumn("rn", F.row_number().over(w))
+        merged.distinct()
+        .withColumn("rn", F.row_number().over(w))
         .groupBy("query_id")
         .agg(
             F.count("*").cast("long").alias("n_sk"),
             F.max(F.when(F.col("rn") == k, F.col("h"))).alias("theta"),
         )
     )
-    exact = (
-        tokens.join(F.broadcast(qdf), "term")
-        .groupBy("query_id")
-        .agg(F.count_distinct("doc_id").cast("long").alias("n_exact"))
-    )
     est = F.when(
         F.coalesce(F.col("n_sk"), F.lit(0)) < k,
         F.coalesce(F.col("n_sk"), F.lit(0)).cast("double"),
     ).otherwise(F.expr(f"({k - 1}.0 * {_H_MAX}) / theta"))
-    return (
-        qids.join(perq, "query_id", "left")
-        .join(exact, "query_id", "left")
-        .select(
-            "query_id",
-            F.round(est, ROUND).alias("n_hits_est"),
-            F.coalesce("n_exact", F.lit(0)).alias("n_hits_exact"),
-        )
+    return qids.join(perq, "query_id", "left").select(
+        "query_id", F.round(est, ROUND).alias("n_hits_est")
     )
 
 

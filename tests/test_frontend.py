@@ -274,6 +274,20 @@ def test_count_route(client, service, tiny_corpus):
     assert got[0][1] == want
 
 
+def test_count_approx_route(client):
+    """/count_approx serves the KMV estimate from the index's sketch
+    artifact. The fixture's 3-term union exceeds k=64 even at 200 docs,
+    so this exercises true estimation mode — assert the ~3/sqrt(k)
+    error band around the exact /count value."""
+    exact = client.get("/count", query_string={"query": QUERY}).get_json()
+    approx = client.get(
+        "/count_approx", query_string={"query": QUERY}
+    ).get_json()
+    assert len(approx) == 1 and approx[0][0] == "q"
+    n = float(exact[0][1])
+    assert n > 0 and abs(approx[0][1] - n) / n < 0.40
+
+
 def test_search_paged_route(client):
     p1 = client.get(
         "/search_paged", query_string={"query": QUERY, "size": "5", "from": "0"}

@@ -81,6 +81,33 @@ def test_kmv_hit_counts_accuracy(spark):
     assert out["q_all"]["n_hits_exact"] == 3000
 
 
+@pytest.mark.slow
+def test_kmv_artifact_matches_recompute(spark, tiny_corpus, tmp_path_factory):
+    """The index-served KMV estimate (sketch artifact, postings
+    untouched) must equal the recompute estimate on the same corpus —
+    same hash, same term space, same doc set ⇒ identical sketches."""
+    from engine.build import tokens_df
+    from engine.index import build_index
+    from engine.sketch import kmv_hit_counts
+
+    d = str(tmp_path_factory.mktemp("kmv_idx"))
+    reader = build_index(
+        spark, tiny_corpus, d, use_stem=False, n_shards=4, n_chunks=1
+    )
+    queries = {"q1": "index merge segment", "q2": "spark", "q3": "zzznope"}
+    got = {r["query_id"]: r["n_hits_est"]
+           for r in reader.hit_counts_approx(queries).collect()}
+    toks = tokens_df(tiny_corpus, use_stem=False)
+    from engine.tokenizer import tokenize
+    want = {r["query_id"]: r["n_hits_est"]
+            for r in kmv_hit_counts(
+                toks,
+                {q: tokenize(t, use_stem=False) for q, t in queries.items()},
+            ).collect()}
+    assert got == want
+    assert got["q3"] == 0.0
+
+
 def test_driver_entry_parity(spark):
     """Both sketch entries vs their DuckDB oracles at sf0.001 — exact
     values (register state is integer; estimates rounded identically)."""
