@@ -126,6 +126,17 @@ def main() -> None:
             {f"q{i}": s for i, s in enumerate(
                 [q, "posting list merge", "query scan", "distributed merge sort"]
             )}))
+        # round-4 session-5: KMV sketch artifact + approximate total
+        # hits (postings untouched at query time — the header cost is
+        # independent of match count)
+        t0 = time.perf_counter()
+        reader.kmv_sketches_df().count()
+        t["kmv_artifact_build"] = round(time.perf_counter() - t0, 3)
+        print(f"kmv_artifact_build: {t['kmv_artifact_build']} s", flush=True)
+        timed("hit_counts_approx_4q", lambda: reader.hit_counts_approx(
+            {f"q{i}": s for i, s in enumerate(
+                [q, "posting list merge", "query scan", "distributed merge sort"]
+            )}))
         # round-4 additions: query-string front door, field collapsing,
         # cursor paging, explain, two-phase rescore, field sort
         timed("qstring", lambda: reader.query_string_topk(
