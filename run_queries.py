@@ -107,6 +107,73 @@ def ann_recall(args) -> None:
     print("appended to BENCH/BASELINE.md")
 
 
+def sketch_error(args) -> None:
+    """Accuracy sweep for the sketch family (no index needed): HLL
+    relative error across register counts and cardinalities, KMV
+    hit-count relative error across k — the quantified version of the
+    ~1.04/sqrt(m) and ~1/sqrt(k) textbook bands, on deterministic
+    hash-derived data. Appends a table to BENCH/BASELINE.md like
+    --ann-recall does."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from engine.session import get_spark
+    from engine.sketch import hll_distinct, kmv_hit_counts
+
+    spark = get_spark("sketch_error", cores=args.cores)
+    rows: list[tuple[str, float, float, float]] = []
+    for n in (500, 5_000, 50_000):
+        df = spark.range(n).select(
+            F.concat(F.lit("v"), F.col("id").cast("string")).alias("v")
+        )
+        for p in (6, 8, 10, 12):
+            r = hll_distinct(df, "v", p).collect()[0]
+            rows.append((f"hll p={p} (m={1 << p})", float(n), r["est"],
+                         round(abs(r["est"] - n) / n, 4)))
+    # KMV: 30k docs, two terms each; queries spanning narrow -> wide
+    toks = spark.range(30_000).select(
+        F.col("id").alias("doc_id"),
+        F.array(
+            F.concat(F.lit("t"), (F.col("id") % 10).cast("string")),
+            F.concat(F.lit("u"), (F.col("id") % 7).cast("string")),
+        ).alias("ts"),
+    ).select("doc_id", F.explode("ts").alias("term"), F.lit(1).alias("tf"))
+    queries = {
+        "narrow_1t": ["t0"],                 # 3000 docs
+        "mid_2t": ["t0", "t1"],              # 6000 docs
+        "wide_3t": ["t0", "t1", "u0"],       # ~9860 docs (overlap)
+    }
+    for k in (16, 64, 256):
+        out = {r["query_id"]: r for r in
+               kmv_hit_counts(toks, queries, k).collect()}
+        for qid in sorted(queries):
+            r = out[qid]
+            ex = r["n_hits_exact"]
+            rows.append((f"kmv k={k} {qid}", float(ex), r["n_hits_est"],
+                         round(abs(r["n_hits_est"] - ex) / ex, 4)))
+    rep = {
+        "metric": "sketch_error",
+        "rows": [
+            {"variant": v, "exact": e, "est": s, "rel_err": re}
+            for v, e, s, re in rows
+        ],
+    }
+    print(json.dumps(rep))
+    repo = os.path.dirname(os.path.abspath(__file__))
+    stamp = time.strftime("%Y-%m-%d %H:%M")
+    with open(os.path.join(repo, "BENCH", "BASELINE.md"), "a") as f:
+        f.write(
+            f"\n## Sketch accuracy sweep (deterministic hash data, {stamp})\n\n"
+            "| variant | exact | estimate | rel. error |\n|---|---|---|---|\n"
+            + "".join(
+                f"| {v} | {int(e)} | {s} | {re:.4f} |\n"
+                for v, e, s, re in rows
+            )
+        )
+    print("appended to BENCH/BASELINE.md")
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--index")
@@ -123,6 +190,8 @@ def main() -> None:
                     help="score the run vs --golden: precision@k, MAP@40")
     ap.add_argument("--ann-recall", action="store_true",
                     help="measure ANN recall@k vs exact cosine (no index)")
+    ap.add_argument("--sketch-error", action="store_true",
+                    help="HLL/KMV accuracy sweep vs exact (no index)")
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.1",
                     help="testdata dir for --ann-recall embeddings")
     ap.add_argument("--n-queries", type=int, default=20,
@@ -131,6 +200,9 @@ def main() -> None:
 
     if args.ann_recall:
         ann_recall(args)
+        return
+    if args.sketch_error:
+        sketch_error(args)
         return
     if not args.index or not args.queries:
         ap.error("--index and --queries are required (unless --ann-recall)")
