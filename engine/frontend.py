@@ -995,6 +995,16 @@ class SearchService:
             )
         return [[r["query_id"], r["n_hits"]] for r in df.collect()]
 
+    def analyze(self, text: str, stem: bool | None = None) -> list[list]:
+        """Token-stream preview [token, position] — the ES _analyze
+        analog: regex word-split + stopword removal (+ Porter when the
+        bound index stems, or per the explicit ``stem`` override).
+        Pure driver-side function of the analyzer config; no Spark job."""
+        from .tokenizer import tokenize
+
+        use = self._use_stem if stem is None else stem
+        return [[t, i] for i, t in enumerate(tokenize(text, use_stem=use))]
+
     def hit_counts_approx(self, query: str) -> list[list]:
         """Approximate total-hits header [query_id, n_hits_est] — the
         track_total_hits=false answer. Index-bound: served from the KMV
@@ -1213,6 +1223,13 @@ def create_app(service: SearchService):
     @app.route("/count_approx")
     def count_approx():
         return jsonify(service.hit_counts_approx(_query()))
+
+    @app.route("/analyze")
+    def analyze():
+        text = request.args.get("text", "")
+        stem_arg = request.args.get("stem")
+        stem = None if stem_arg is None else stem_arg.lower() in ("1", "true")
+        return jsonify(service.analyze(text, stem))
 
     @app.route("/percolate", methods=["POST"])
     def percolate():

@@ -59,17 +59,7 @@ def hll_distinct(df: DataFrame, col: str, p: int = HLL_P) -> DataFrame:
     """
     m = 1 << p
     shift = HLL_BITS - p
-    h = term_hash_col(F.col(col))
-    bucket = F.shiftrightunsigned(h, shift).alias("bucket")
-    w = h.bitwiseAND(F.lit((1 << shift) - 1))
-    # rho = leading zeros of the shift-bit remainder + 1;
-    # floor(log2(w)) == length(bin(w)) - 1 exactly (no float log)
-    rho = F.when(w == 0, F.lit(shift + 1)).otherwise(
-        F.lit(shift) - (F.length(F.bin(w)) - F.lit(1))
-    )
-    regs = df.select(bucket, rho.alias("rho")).groupBy("bucket").agg(
-        F.max("rho").alias("M")
-    )
+    regs = hll_registers(df, col, p)
     # exact integer harmonic state: empty buckets contribute 2^(shift+1)
     state = regs.agg(
         F.count("*").cast("long").alias("used"),
@@ -284,6 +274,62 @@ SELECT qids.query_id,
        coalesce(ex.n_exact, 0)::BIGINT AS n_hits_exact
 FROM qids LEFT JOIN perq USING (query_id) LEFT JOIN ex USING (query_id)
 """
+
+
+# ---------------------------------------------------------- sketch merge
+
+def merge_kmv_sketches(*sketches: DataFrame, k: int = KMV_K) -> DataFrame:
+    """Merge per-term KMV sketches from several corpus segments:
+    union → keep the k smallest hashes per term. Because every segment
+    uses the same hash, merge(keep-k(A), keep-k(B)) ≡ keep-k(A ∪ B)
+    EXACTLY (a value in the merged bottom-k is below both segments'
+    thetas, so neither segment dropped it) — the property that lets a
+    1000-executor tree combine segment sketches without re-reading
+    postings, and lets add_documents/merge lifecycles maintain the
+    artifact incrementally. Exactness is pinned by
+    tests/test_sketch.py::test_kmv_merge_equals_rebuild."""
+    from functools import reduce
+
+    from pyspark.sql import Window
+
+    u = reduce(lambda a, b: a.unionByName(b), sketches)
+    w = Window.partitionBy("term").orderBy("h")
+    return (
+        u.distinct()
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .drop("rn")
+    )
+
+
+def merge_hll_registers(*register_frames: DataFrame) -> DataFrame:
+    """Merge HLL register frames ((bucket, M) as built inside
+    hll_distinct): bucket-wise max. max is idempotent/commutative/
+    associative, so any merge tree over any segmentation yields the
+    registers of the full corpus exactly."""
+    from functools import reduce
+
+    u = reduce(lambda a, b: a.unionByName(b), register_frames)
+    return u.groupBy("bucket").agg(F.max("M").alias("M"))
+
+
+def hll_registers(df: DataFrame, col: str, p: int = HLL_P) -> DataFrame:
+    """(bucket, M) register frame — the mergeable state hll_distinct
+    aggregates; exposed so segments can build/store registers
+    independently and combine via merge_hll_registers."""
+    m = 1 << p
+    shift = HLL_BITS - p
+    h = term_hash_col(F.col(col))
+    bucket = F.shiftrightunsigned(h, shift).alias("bucket")
+    w = h.bitwiseAND(F.lit((1 << shift) - 1))
+    # rho = leading zeros of the shift-bit remainder + 1;
+    # floor(log2(w)) == length(bin(w)) - 1 exactly (no float log)
+    rho = F.when(w == 0, F.lit(shift + 1)).otherwise(
+        F.lit(shift) - (F.length(F.bin(w)) - F.lit(1))
+    )
+    return df.select(bucket, rho.alias("rho")).groupBy("bucket").agg(
+        F.max("rho").alias("M")
+    )
 
 
 # ------------------------------------------------------------ count-min

@@ -288,6 +288,21 @@ def test_count_approx_route(client):
     assert n > 0 and abs(approx[0][1] - n) / n < 0.40
 
 
+def test_analyze_route(client):
+    """/analyze previews the analyzer chain: the fixture index is
+    stemmed, so the default follows it; stem=false shows raw filtered
+    tokens; stopwords vanish in both."""
+    got = client.get(
+        "/analyze", query_string={"text": "the Merging of indexes"}
+    ).get_json()
+    assert got == [["merg", 0], ["index", 1]]
+    raw = client.get(
+        "/analyze",
+        query_string={"text": "the Merging of indexes", "stem": "false"},
+    ).get_json()
+    assert raw == [["merging", 0], ["indexes", 1]]
+
+
 def test_search_paged_route(client):
     p1 = client.get(
         "/search_paged", query_string={"query": QUERY, "size": "5", "from": "0"}

@@ -81,6 +81,42 @@ def test_kmv_hit_counts_accuracy(spark):
     assert out["q_all"]["n_hits_exact"] == 3000
 
 
+def test_kmv_merge_equals_rebuild(spark):
+    """The mergeability pin: keep-k(keep-k(A) ∪ keep-k(B)) must equal
+    keep-k(A ∪ B) exactly — segment sketches combine without touching
+    the raw postings."""
+    from engine.sketch import kmv_term_sketches, merge_kmv_sketches
+
+    rows = [(d, f"t{d % 4}", 1) for d in range(5000)]
+    toks = spark.createDataFrame(rows, "doc_id long, term string, tf long")
+    a = toks.where("doc_id < 2500")
+    b = toks.where("doc_id >= 2500")
+    terms = [f"t{i}" for i in range(4)]
+    k = 32
+    full = {(r["term"], r["h"])
+            for r in kmv_term_sketches(toks, terms, k).collect()}
+    merged = {(r["term"], r["h"]) for r in merge_kmv_sketches(
+        kmv_term_sketches(a, terms, k),
+        kmv_term_sketches(b, terms, k), k=k).collect()}
+    assert merged == full and len(full) == 4 * k
+
+
+def test_hll_register_merge_equals_rebuild(spark):
+    """Bucket-wise max over segment registers == full-corpus registers."""
+    from pyspark.sql import functions as F
+
+    from engine.sketch import hll_registers, merge_hll_registers
+
+    df = spark.range(4000).select(
+        "id", F.concat(F.lit("v"), F.col("id").cast("string")).alias("v")
+    )
+    a, b = df.where("id % 2 = 0"), df.where("id % 2 = 1")
+    full = {(r["bucket"], r["M"]) for r in hll_registers(df, "v").collect()}
+    merged = {(r["bucket"], r["M"]) for r in merge_hll_registers(
+        hll_registers(a, "v"), hll_registers(b, "v")).collect()}
+    assert merged == full
+
+
 @pytest.mark.slow
 def test_kmv_artifact_matches_recompute(spark, tiny_corpus, tmp_path_factory):
     """The index-served KMV estimate (sketch artifact, postings
