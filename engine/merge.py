@@ -336,6 +336,33 @@ def merge_many(
         man["stage_times"]["docstore"] = round(time.perf_counter() - t0, 2)
         _write_manifest(out_dir, man)
 
+    # ---- kmv sketch artifact (lazy, engine/sketch.py): keep-k merge ----
+    # Carried iff EVERY input has materialized it (it is a lazy
+    # artifact, not a manifest stage). keep-k of the union of segment
+    # sketches equals the full-corpus sketch EXACTLY — the shared hash
+    # makes every merged bottom-k value one neither segment dropped
+    # (tests/test_sketch.py::test_kmv_merge_equals_rebuild) — so the
+    # merged index serves hit_counts_approx without a tokens artifact.
+    kmv_out = os.path.join(out_dir, "kmv")
+    if (
+        all(
+            os.path.exists(os.path.join(r.dir, "kmv", "_SUCCESS"))
+            for r in readers
+        )
+        and not os.path.exists(os.path.join(kmv_out, "_SUCCESS"))
+    ):
+        t0 = time.perf_counter()
+        from .sketch import merge_kmv_sketches
+
+        (
+            merge_kmv_sketches(*[r.kmv_sketches_df() for r in readers])
+            .sortWithinPartitions("term", "h")
+            .write.mode("overwrite")
+            .parquet(kmv_out)
+        )
+        man["stage_times"]["kmv"] = round(time.perf_counter() - t0, 2)
+        _write_manifest(out_dir, man)
+
     # ---- anchor_terms: RECOMPUTED — graph ranks follow global order ----
     if man["stages"].get("anchor_terms") != "done":
         t0 = time.perf_counter()

@@ -144,6 +144,46 @@ def test_kmv_artifact_matches_recompute(spark, tiny_corpus, tmp_path_factory):
     assert got["q3"] == 0.0
 
 
+@pytest.mark.slow
+def test_kmv_carried_through_segment_merge(spark, tmp_path_factory):
+    """merge_many carries the kmv artifact (keep-k union) when every
+    segment has materialized it; the merged index then serves
+    hit_counts_approx with values identical to a full rebuild's —
+    merged indexes have no tokens artifact, so this is the ONLY way
+    they get the approximate-count header."""
+    from pyspark.sql import functions as F
+
+    from engine.index import build_index
+    from engine.io import documents_as_corpus
+    from engine.merge import merge_many
+
+    corpus = documents_as_corpus(spark, SF_DIR).withColumn(
+        "content_sha256", F.sha2(F.col("content"), 256)
+    )
+    root = tmp_path_factory.mktemp("kmv_merge")
+    dirs = []
+    for par in (0, 1):
+        d = str(root / f"seg{par}")
+        r = build_index(
+            spark, corpus.where(F.col("doc_id") % 2 == par), d,
+            use_stem=False, n_shards=4, n_chunks=1,
+        )
+        r.kmv_sketches_df().count()  # materialize segment sketches
+        dirs.append(d)
+    merged = merge_many(spark, dirs, str(root / "merged"))
+    full = build_index(
+        spark, corpus, str(root / "full"),
+        use_stem=False, n_shards=4, n_chunks=1,
+    )
+    full.kmv_sketches_df().count()
+    queries = {"q1": "table scan fast", "q2": "query join window group"}
+    got = {r["query_id"]: r["n_hits_est"]
+           for r in merged.hit_counts_approx(queries).collect()}
+    want = {r["query_id"]: r["n_hits_est"]
+            for r in full.hit_counts_approx(queries).collect()}
+    assert got == want and got["q1"] > 0
+
+
 def test_driver_entry_parity(spark):
     """Both sketch entries vs their DuckDB oracles at sf0.001 — exact
     values (register state is integer; estimates rounded identically)."""
