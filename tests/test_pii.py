@@ -59,6 +59,46 @@ def test_url_domains(docs):
     assert out == {"docs.example.org": (1, 1), "cdn.example.org": (1, 1)}
 
 
+def test_redaction_idempotent_property():
+    """Property (pure-regex, engine-independent because the Java/RE2/
+    Python agreement on this syntax subset is pinned by the
+    cross-engine tests above): redact(redact(x)) == redact(x), and the
+    per-pattern counts of a redacted text are zero — replacement tags
+    must never re-match any PII pattern."""
+    import re
+
+    from hypothesis import given, settings, strategies as st
+
+    from engine.pii import (
+        EMAIL_RE, EMAIL_TAG, IPV4_RE, IPV4_TAG, PHONE_RE, PHONE_TAG,
+    )
+
+    def redact(s: str) -> str:
+        s = re.sub(EMAIL_RE, EMAIL_TAG, s)
+        s = re.sub(PHONE_RE, PHONE_TAG, s)
+        return re.sub(IPV4_RE, IPV4_TAG, s)
+
+    pii_bits = st.sampled_from([
+        "a.b+x@foo-bar.co.uk", "u@x.io", "10.0.0.1", "255.255.255.255",
+        "+1-555-0101", "+44-208-9460-958", "https://a.b.c/d",
+    ])
+    filler = st.text(
+        alphabet=st.characters(whitelist_categories=("L", "N", "P", "Z")),
+        max_size=30,
+    )
+    doc = st.lists(st.one_of(pii_bits, filler), max_size=8).map(" ".join)
+
+    @given(doc)
+    @settings(max_examples=200, deadline=None)
+    def check(s):
+        r = redact(s)
+        assert redact(r) == r
+        for pat in (EMAIL_RE, PHONE_RE, IPV4_RE):
+            assert not re.search(pat, r), (s, r, pat)
+
+    check()
+
+
 def test_injected_driver_parity(spark):
     """The two driver entries against their DuckDB oracles at sf0.001,
     exact values (the injector guarantees every regex path fires)."""
