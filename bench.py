@@ -235,6 +235,7 @@ def main() -> None:
             "dup_ngram_stats",
             "chunk_plan",
             "source_mix_weights",
+            "token_budget",
             "pii_redact",
             "url_domains",
             "hll_distinct_content",

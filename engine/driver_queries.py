@@ -1810,6 +1810,12 @@ def _q_hygiene_keep(spark, sf_dir):
     return hygiene_keep(_docs(spark, sf_dir))
 
 
+def _q_token_budget(spark, sf_dir):
+    from .textops import token_budget
+
+    return token_budget(_docs(spark, sf_dir))
+
+
 def _q_pii_redact(spark, sf_dir):
     from .pii import pii_redact, with_injected_pii
 
@@ -2598,6 +2604,7 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["chunk_plan"] = _q_chunk_plan
     out["source_mix_weights"] = _q_source_mix
     out["hygiene_keep"] = _q_hygiene_keep
+    out["token_budget"] = _q_token_budget
     out["pii_redact"] = _q_pii_redact
     out["url_domains"] = _q_url_domains
     out["hll_distinct_content"] = _q_hll_distinct
@@ -2958,6 +2965,9 @@ FROM d CROSS JOIN t
     out["hygiene_keep"] = hygiene_keep_sql()
     from .pii import pii_redact_sql, url_domains_sql
 
+    from .textops import token_budget_sql
+
+    out["token_budget"] = token_budget_sql()
     out["pii_redact"] = pii_redact_sql()
     out["url_domains"] = url_domains_sql()
     from .sketch import cms_heavy_hitters_sql, hll_distinct_sql

@@ -162,6 +162,60 @@ def quality_score(corpus: DataFrame) -> DataFrame:
     )
 
 
+# GPT-2-style byte-pair pre-tokenizer shape: contraction suffixes,
+# space-prefixed letter/digit runs, punct runs, leftover whitespace.
+# Verified byte-identical between Java regex and RE2 on the corpus
+# alphabet (tests/test_textops_budget.py); Unicode category tables
+# can differ between engines at exotic codepoints, so the ASCII punct
+# class is pinned explicitly.
+BPE_PIECE_RE = r"'s|'t|'re|'ve|'m|'ll|'d| ?\p{L}+| ?\p{N}+| ?[^\sA-Za-z0-9]+|\s+"
+
+
+def token_budget(corpus: DataFrame) -> DataFrame:
+    """(doc_id, n_ws, n_bpe, n_words) — the three token-count bases a
+    training pipeline budgets with: whitespace fields, GPT-2-ish BPE
+    pre-tokenizer pieces (whitespace-only pieces excluded — they carry
+    no token cost), and the engine's word-regex tokens. Pure
+    projection, zero shuffle; chunk_plan budgets in engine tokens,
+    this operator is the conversion table."""
+    c = F.coalesce(F.col("content"), F.lit(""))
+    trimmed = F.trim(c)
+    n_ws = F.when(F.length(trimmed) == 0, F.lit(0)).otherwise(
+        F.size(F.split(trimmed, r"\s+"))
+    )
+    pieces = F.regexp_extract_all(c, F.lit(BPE_PIECE_RE), 0)
+    n_bpe = F.size(F.filter(pieces, lambda x: F.trim(x) != ""))
+    return corpus.select(
+        "doc_id",
+        n_ws.cast("long").alias("n_ws"),
+        n_bpe.cast("long").alias("n_bpe"),
+        F.size(tokens_all_col(c)).cast("long").alias("n_words"),
+    )
+
+
+def token_budget_sql() -> str:
+    """DuckDB mirror of token_budget over the driver ``documents``."""
+    pat = BPE_PIECE_RE.replace("'", "''")
+    return f"""
+WITH c AS (SELECT doc_id, coalesce(text, '') AS content FROM documents)
+SELECT doc_id,
+       (CASE WHEN len(trim(content)) = 0 THEN 0
+             ELSE len(regexp_split_to_array(trim(content), '\\s+'))
+        END)::BIGINT AS n_ws,
+       len(list_filter(regexp_extract_all(content, '{pat}'),
+                       x -> trim(x) <> ''))::BIGINT AS n_bpe,
+       len(regexp_extract_all(lower(content), '{_re2_pat()}'))::BIGINT
+         AS n_words
+FROM c
+"""
+
+
+def _re2_pat() -> str:
+    from .tokenizer import TOKEN_PATTERN_RE2
+
+    return TOKEN_PATTERN_RE2.replace("'", "''")
+
+
 DUP_LINE_MAX = 0.3      # Gopher: drop when >30% of lines are repeats
 TOP_2GRAM_MAX = 0.2     # Gopher: drop when the top 2-gram covers >20%
 
