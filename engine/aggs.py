@@ -311,6 +311,136 @@ def filters_sql(named: dict[str, str]) -> str:
     return f"WITH {_tokd_cte()} SELECT * FROM ({union}) ORDER BY bucket"
 
 
+def _filter_conds(corpus_cols_unused, named: dict[str, str]):
+    """name → boolean Column over the content token set (False for
+    all-stopword queries, ES's empty-filter bucket)."""
+    conds = {}
+    for name in sorted(named):
+        terms = _qterms(named[name])
+        conds[name] = (
+            F.lit(False) if not terms
+            else F.arrays_overlap(
+                tokens_filtered_col(F.col("content")),
+                F.array(*[F.lit(t) for t in terms]),
+            )
+        )
+    return conds
+
+
+def adjacency_matrix_agg(corpus: DataFrame, named: dict[str, str]) -> DataFrame:
+    """ES ``adjacency_matrix`` agg: one bucket per filter plus one per
+    pair intersection (key "a&b", names sorted), empty buckets pruned
+    like ES. Still ONE corpus pass: every single and pairwise count is
+    a conditional sum inside a single aggregate — the exchange carries
+    one row regardless of filter count (O(f²) columns, f is small by
+    API design). DuckDB mirror: adjacency_matrix_sql."""
+    conds = _filter_conds(corpus, named)
+    names = sorted(named)
+    keys: list[str] = []
+    aggs = []
+    for a in names:
+        keys.append(a)
+        aggs.append(
+            F.sum(F.when(conds[a], 1).otherwise(0))
+            .cast("long").alias(f"n{len(keys) - 1}")
+        )
+    for i, a in enumerate(names):
+        for b in names[i + 1:]:
+            keys.append(f"{a}&{b}")
+            aggs.append(
+                F.sum(F.when(conds[a] & conds[b], 1).otherwise(0))
+                .cast("long").alias(f"n{len(keys) - 1}")
+            )
+    row = corpus.agg(*aggs)
+    stack = ", ".join(
+        f"'{k.replace(chr(39), '')}', n{j}" for j, k in enumerate(keys)
+    )
+    return (
+        row.selectExpr(f"stack({len(keys)}, {stack}) as (bucket, n_docs)")
+        .where(F.col("n_docs") > 0)
+        .orderBy("bucket")
+    )
+
+
+def adjacency_matrix_sql(named: dict[str, str]) -> str:
+    """DuckDB mirror of adjacency_matrix_agg."""
+    from .phrase import _phrase_list_sql, _tokd_cte
+
+    names = sorted(named)
+    sels = []
+
+    def _cond(name: str) -> str:
+        terms = _qterms(named[name])
+        if not terms:
+            return "false"
+        return f"list_has_any(toks, {_phrase_list_sql(terms)})"
+
+    for a in names:
+        sels.append(
+            f"SELECT '{a}' AS bucket, "
+            f"sum(CASE WHEN {_cond(a)} THEN 1 ELSE 0 END)::BIGINT AS n_docs "
+            "FROM tokd"
+        )
+    for i, a in enumerate(names):
+        for b in names[i + 1:]:
+            sels.append(
+                f"SELECT '{a}&{b}' AS bucket, "
+                f"sum(CASE WHEN ({_cond(a)}) AND ({_cond(b)}) THEN 1 ELSE 0 "
+                "END)::BIGINT AS n_docs FROM tokd"
+            )
+    union = " UNION ALL ".join(sels)
+    return (
+        f"WITH {_tokd_cte()} SELECT * FROM ({union}) "
+        "WHERE n_docs > 0 ORDER BY bucket"
+    )
+
+
+def value_count_agg(corpus: DataFrame, query: str, col: str) -> DataFrame:
+    """ES ``value_count``: number of non-null values of ``col`` over
+    the query's OR-match set — one conditional count, one row out."""
+    return _match(corpus, _qterms(query)).agg(
+        F.count(col).cast("long").alias("n_values")
+    )
+
+
+def value_count_sql(query: str, col: str) -> str:
+    from .phrase import _phrase_list_sql, _tokd_cte
+
+    terms = _qterms(query)
+    return f"""
+WITH {_tokd_cte()}
+SELECT count(d.{col})::BIGINT AS n_values
+FROM tokd t JOIN documents d USING (doc_id)
+WHERE list_has_any(t.toks, {_phrase_list_sql(terms)})
+"""
+
+
+def weighted_avg_agg(
+    corpus: DataFrame, query: str, value_col: str, weight_col
+) -> DataFrame:
+    """ES ``weighted_avg`` over the match set. Integer value/weight
+    columns keep both sums EXACT (cross-engine float discipline: the
+    single division is the only float op), rounded to 6dp."""
+    m = _match(corpus, _qterms(query))
+    w = F.col(weight_col) if isinstance(weight_col, str) else weight_col
+    num = F.sum((F.col(value_col) * w).cast("long"))
+    den = F.sum(w.cast("long"))
+    return m.agg(F.round(num / den, 6).alias("wavg"))
+
+
+def weighted_avg_sql(query: str, value_expr: str, weight_expr: str) -> str:
+    from .phrase import _phrase_list_sql, _tokd_cte
+
+    terms = _qterms(query)
+    return f"""
+WITH {_tokd_cte()}
+SELECT round(sum(({value_expr}) * ({weight_expr}))::BIGINT
+             / sum({weight_expr})::BIGINT::DOUBLE, 6) AS wavg
+FROM tokd t JOIN documents d USING (doc_id)
+WHERE list_has_any(t.toks, {_phrase_list_sql(terms)})
+"""
+
+
 # ---------------------------------------------------------- date histogram
 
 def date_histogram(

@@ -1046,6 +1046,33 @@ def _q_filters_agg(spark, sf_dir):
     return filters_agg(_docs(spark, sf_dir), FILTERS_NAMED)
 
 
+ADJ_NAMED = {"scan": "table scan", "merge": "merge sort",
+             "stream": "stream window"}
+
+
+def _q_adjacency_matrix(spark, sf_dir):
+    from .aggs import adjacency_matrix_agg
+
+    return adjacency_matrix_agg(_docs(spark, sf_dir), ADJ_NAMED)
+
+
+def _q_value_count(spark, sf_dir):
+    from .aggs import value_count_agg
+
+    return value_count_agg(
+        _docs_meta(spark, sf_dir), FIXED_QUERIES["q_table_scan"], "n_chars"
+    )
+
+
+def _q_weighted_avg(spark, sf_dir):
+    from .aggs import weighted_avg_agg
+
+    return weighted_avg_agg(
+        _docs_meta(spark, sf_dir), FIXED_QUERIES["q_table_scan"],
+        "n_chars", 1 + F.col("doc_id") % 7,
+    )
+
+
 def _q_date_histogram(spark, sf_dir):
     from .aggs import date_histogram
 
@@ -2604,6 +2631,9 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["chunk_plan"] = _q_chunk_plan
     out["source_mix_weights"] = _q_source_mix
     out["hygiene_keep"] = _q_hygiene_keep
+    out["adjacency_matrix_q"] = _q_adjacency_matrix
+    out["value_count_chars"] = _q_value_count
+    out["weighted_avg_chars"] = _q_weighted_avg
     out["token_budget"] = _q_token_budget
     out["pii_redact"] = _q_pii_redact
     out["url_domains"] = _q_url_domains
@@ -2965,6 +2995,15 @@ FROM d CROSS JOIN t
     out["hygiene_keep"] = hygiene_keep_sql()
     from .pii import pii_redact_sql, url_domains_sql
 
+    from .aggs import adjacency_matrix_sql, value_count_sql, weighted_avg_sql
+
+    out["adjacency_matrix_q"] = adjacency_matrix_sql(ADJ_NAMED)
+    out["value_count_chars"] = value_count_sql(
+        FIXED_QUERIES["q_table_scan"], "n_chars"
+    )
+    out["weighted_avg_chars"] = weighted_avg_sql(
+        FIXED_QUERIES["q_table_scan"], "d.n_chars", "1 + d.doc_id % 7"
+    )
     from .textops import token_budget_sql
 
     out["token_budget"] = token_budget_sql()
