@@ -248,6 +248,9 @@ def main() -> None:
             "composite_page2",
             "rare_terms_chars",
             "multi_terms_lang_source",
+            "adjacency_matrix_q",
+            "value_count_chars",
+            "weighted_avg_chars",
             "date_histogram_events",
             "sessionize_events",
             "stream_window_counts",
