@@ -126,7 +126,7 @@ def bm25f_topk(
     agg = scored.groupBy("doc_id").agg(F.sum("partial").alias("score"))
     if round_scores is not None:
         agg = agg.select("doc_id", F.round("score", round_scores).alias("score"))
-    return _ranked(agg, "score", k)
+    return _collect_unpersist(_ranked(agg, "score", k), toks)
 
 
 def dismax_topk(
@@ -210,7 +210,17 @@ def dismax_topk(
     agg = scored.groupBy("doc_id").agg(F.sum("partial").alias("score"))
     if round_scores is not None:
         agg = agg.select("doc_id", F.round("score", round_scores).alias("score"))
-    return _ranked(agg, "score", k)
+    return _collect_unpersist(_ranked(agg, "score", k), toks)
+
+
+def _collect_unpersist(ranked: DataFrame, cached: DataFrame) -> DataFrame:
+    """Materialize the k-row result, then unpersist the per-query token
+    cache — a returned LAZY frame would leak one cached DataFrame per
+    query in a long-lived serving process (round-4 ADVICE on
+    tfidf_cosine_topk; same discipline here and engine/synonyms.py)."""
+    rows = ranked.collect()
+    cached.unpersist()
+    return ranked.sparkSession.createDataFrame(rows, ranked.schema)
 
 
 def most_fields_topk(
@@ -233,6 +243,170 @@ def most_fields_topk(
         spark, corpus, query, k, most_fields=True,
         round_scores=round_scores,
     )
+
+
+def fielded_topk_from_index(
+    reader,
+    query: str,
+    k: int = 10,
+    *,
+    mode: str = "bm25f",
+    w_title: float = W_TITLE,
+    w_body: float = W_BODY,
+    tie_breaker: float = 0.3,
+    round_scores: int | None = None,
+) -> DataFrame:
+    """Index-served twin of the fielded trio — the production plan.
+
+    The recompute paths above tokenize the WHOLE corpus per query (the
+    one serving surface whose per-query cost was corpus-sized — round-4
+    VERDICT weak #1). This serves all three multi_match types from the
+    body posting blocks plus the stage-9 ``title_postings`` artifact
+    (same delta+varint block format, dl = title length), so per-query
+    cost is the queried terms' posting mass — the bm25_topk shape.
+
+    Per shard (shard = f(doc_id), so per-shard accumulation is globally
+    correct), the kernel decodes both fields' isin-pruned blocks per
+    term, aligns title postings onto the body run by searchsorted
+    (title ⊆ body prefix ⇒ body postings are a superset), and combines
+    per ``mode``:
+
+    - ``bm25f``:       tf̃ = w_t·tf_t/B_t + w_b·tf_b/B_b, ONE saturation
+    - ``dismax``:      idf·(max(sat_t, sat_b) + tie·min(...)) per field
+    - ``most_fields``: idf·(sat_t + sat_b)
+
+    with B/sat/idf/k1/b/TF_CAP exactly the recompute paths' (module
+    docstring). df comes from the dictionary artifact — on a tombstoned
+    index deleted docs still count in df until compaction, which is
+    Lucene's documented docFreq behavior (doc drops ARE masked). The
+    per-shard top-k cut keeps everything within the rounding half-step
+    of the shard's k-th score (the engine-wide eps discipline), so the
+    global _ranked cut is exact. Value-identical to the recompute twins
+    (same DuckDB oracles: bm25f_topk_sql / dismax_topk_sql /
+    most_fields_sql)."""
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    from collections import Counter as _Counter
+
+    from .ranking import _ranked
+
+    if reader.use_stem:
+        raise ValueError(
+            "fielded search is pinned to unstemmed fields; this index "
+            "was built with use_stem=True"
+        )
+    spark = reader.spark
+    qtf = _Counter(tokenize(query, use_stem=False))
+    if not qtf:
+        return spark.createDataFrame([], "rank int, doc_id long, score double")
+    terms = sorted(qtf)
+    n = float(reader.manifest["stats"]["n_docs"])
+    avgdl = float(reader.manifest["stats"]["avgdl"])
+    avg_tlen = reader.avg_tlen
+    dfs = {
+        r["term"]: float(r["df"])
+        for r in reader.dictionary()
+        .where(F.col("term").isin(terms))
+        .select("term", "df")
+        .collect()
+    }
+    idf_of = {
+        t: math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+        for t, df in dfs.items()
+    }
+    if not idf_of:
+        return spark.createDataFrame([], "rank int, doc_id long, score double")
+    qtf_of = {t: float(c) for t, c in qtf.items()}
+    body = reader.postings().where(F.col("term").isin(terms)).withColumn(
+        "fld", F.lit("b")
+    )
+    title = reader.title_postings().where(F.col("term").isin(terms)).withColumn(
+        "fld", F.lit("t")
+    )
+    blocks = body.unionByName(title)
+    tomb = reader._tomb_array()
+    tomb_b = spark.sparkContext.broadcast(tomb if tomb.size else None)
+    eps = 0.5 * 10.0 ** (-round_scores) if round_scores is not None else 0.0
+    k1, b, cap = BM25_K1, BM25_B, float(TF_CAP)
+
+    def _sat_np(tfw: np.ndarray) -> np.ndarray:
+        tfc = np.minimum(tfw, cap)
+        return tfc * (k1 + 1.0) / (k1 + tfc)
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        from .postings import decode_block
+
+        per_term: dict[str, dict[str, list]] = {}
+        for row in pdf.itertuples(index=False):
+            per_term.setdefault(row.term, {"b": [], "t": []})[row.fld].append(
+                decode_block(row)
+            )
+        acc_ids = np.empty(0, np.int64)
+        acc_sc = np.empty(0, np.float64)
+        drop = tomb_b.value
+        for t, sides in per_term.items():
+            w_idf = idf_of.get(t)
+            if w_idf is None or not sides["b"]:
+                continue
+            ids_b = np.concatenate([x[0] for x in sides["b"]])
+            tfs_b = np.concatenate([x[1] for x in sides["b"]]).astype(np.float64)
+            dls_b = np.concatenate([x[2] for x in sides["b"]]).astype(np.float64)
+            order = np.argsort(ids_b, kind="stable")
+            ids_b, tfs_b, dls_b = ids_b[order], tfs_b[order], dls_b[order]
+            tf_t = np.zeros(ids_b.size, dtype=np.float64)
+            tl_t = np.ones(ids_b.size, dtype=np.float64)  # dummy; masked
+            if sides["t"]:
+                ids_t = np.concatenate([x[0] for x in sides["t"]])
+                tfs_t = np.concatenate([x[1] for x in sides["t"]])
+                tls_t = np.concatenate([x[2] for x in sides["t"]])
+                pos = np.searchsorted(ids_b, ids_t)
+                pos_c = np.clip(pos, 0, ids_b.size - 1)
+                hit = ids_b[pos_c] == ids_t  # title ⊆ body; guard anyway
+                tf_t[pos_c[hit]] = tfs_t[hit]
+                tl_t[pos_c[hit]] = tls_t[hit]
+            b_body = (1.0 - b) + b * dls_b / avgdl
+            b_title = (1.0 - b) + b * tl_t / avg_tlen
+            if mode == "bm25f":
+                tfw = w_title * tf_t / b_title + w_body * tfs_b / b_body
+                partial = qtf_of[t] * w_idf * _sat_np(tfw)
+            else:
+                s_t = w_idf * _sat_np(tf_t / b_title)
+                s_b = w_idf * _sat_np(tfs_b / b_body)
+                if mode == "most_fields":
+                    comb = s_t + s_b
+                else:
+                    comb = np.maximum(s_t, s_b) + tie_breaker * np.minimum(
+                        s_t, s_b
+                    )
+                partial = qtf_of[t] * comb
+            if drop is not None:
+                dpos = np.minimum(np.searchsorted(drop, ids_b), drop.size - 1)
+                live = drop[dpos] != ids_b
+                ids_b, partial = ids_b[live], partial[live]
+            both = np.concatenate([acc_ids, ids_b])
+            scores = np.concatenate([acc_sc, partial])
+            uid, inv = np.unique(both, return_inverse=True)
+            out = np.zeros(uid.size, dtype=np.float64)
+            np.add.at(out, inv, scores)
+            acc_ids, acc_sc = uid, out
+        if acc_ids.size > k:
+            idx = np.argpartition(acc_sc, acc_sc.size - k)[acc_sc.size - k:]
+            kth = acc_sc[idx].min()
+            keep = acc_sc >= kth - eps
+            acc_ids, acc_sc = acc_ids[keep], acc_sc[keep]
+        return pd.DataFrame({"doc_id": acc_ids, "score": acc_sc})
+
+    per_shard = blocks.groupBy("shard").applyInPandas(
+        kernel, "doc_id long, score double"
+    )
+    if round_scores is not None:
+        per_shard = per_shard.select(
+            "doc_id", F.round("score", round_scores).alias("score")
+        )
+    return _ranked(per_shard, "score", k)
 
 
 def _bnorm(len_col, avg_col):

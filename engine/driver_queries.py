@@ -33,14 +33,92 @@ from .tokenizer import TOKEN_PATTERN_RE2, tokenize
 
 ROUND = 6
 
-# Driver-attestation window ordering (round-4 VERDICT item #1): the
-# driver records CORRECTNESS rows for at most ~50 registry entries per
-# round, taken in registry order. Entries never yet attested in any
-# CORRECTNESS_r*.json come FIRST, then entries last seen green in r2
-# (window rotated past them in r3); the long-standing r3-green entries
-# fill whatever window remains. Over r2+r3+r4 every entry is then
-# driver-green at least once.
+# Driver-attestation window ordering (round-5): the driver records
+# CORRECTNESS rows for ~50 registry entries per round, taken in
+# registry order; _driver_order puts never-attested entries first, in
+# _DRIVER_PRIORITY rank. The registry now holds MORE never-attested
+# entries than one window (79 virgin vs 50 slots after the round-5
+# additions), so the list below allocates the window by value:
+#
+#   1. the two whole-lifecycle conservation entries (reindex round-trip,
+#      Σdf==token-rows stats) — one green row each attests the build
+#      end-to-end (r4 VERDICT #5);
+#   2. every ROUND-5 structural twin (fielded ×3, agg ×16, PQ ×2) —
+#      these close the r4 weak items and must land green;
+#   3. the pre-training hygiene family + sketches (first-class graded
+#      components that have never had a driver row);
+#   4. the funcscore / search-API INDEXED halves — preferred over their
+#      recompute halves because both share one oracle SQL string: a
+#      green indexed row attests the oracle itself, and the local
+#      196-entry exact-value sweep (tests/test_driver_contract.py) pins
+#      recompute == oracle, so the recompute half is covered
+#      transitively;
+#   5. the two virgin entries with NO attested same-oracle sibling
+#      (date_histogram_events — events table, no indexed twin;
+#      composite_page1 — the no-cursor page).
+#
+# Every entry left OUTSIDE the window has a driver-attested sibling
+# sharing its exact oracle string (recompute halves, exp/linear decay
+# variants of the gauss-attested kernel, facet/federated/percolate
+# recompute twins) — documented in BENCH/BASELINE.md §r5.
 _DRIVER_PRIORITY = [
+    # -- 1: whole-lifecycle conservation --
+    "bm25_reindexed_indexed",
+    "index_stats_indexed",
+    # -- 2: round-5 structural twins --
+    "bm25f_topk_indexed",
+    "dismax_topk_indexed",
+    "most_fields_indexed",
+    "range_agg_chars_indexed",
+    "histogram_chars_indexed",
+    "extended_stats_indexed",
+    "value_count_indexed",
+    "weighted_avg_indexed",
+    "cardinality_indexed",
+    "percentiles_indexed",
+    "rare_terms_indexed",
+    "multi_terms_indexed",
+    "composite_page2_indexed",
+    "top_hits_indexed",
+    "filters_agg_indexed",
+    "adjacency_matrix_indexed",
+    "pq_topk",
+    "ivf_pq_topk",
+    # -- 3: hygiene family + sketches --
+    "gopher_repetition",
+    "line_dedup_stats",
+    "decontaminate",
+    "lm_score",
+    "dup_ngram_stats",
+    "chunk_plan",
+    "source_mix_weights",
+    "hygiene_keep",
+    "token_budget",
+    "pii_redact",
+    "url_domains",
+    "hll_distinct_content",
+    "cms_heavy_hitters",
+    "kmv_hit_counts_indexed",
+    # -- 4: funcscore / search-API indexed halves --
+    "function_score_indexed",
+    "field_value_factor_indexed",
+    "boosting_topk_indexed",
+    "msm_topk_indexed",
+    "qstring_boost_indexed",
+    "did_you_mean_indexed",
+    "mlt_text_indexed",
+    "fuzzy_match_indexed",
+    "phrase_prefix_indexed",
+    "span_near_indexed",
+    "regexp_topk_indexed",
+    # -- 5: no attested same-oracle sibling --
+    "date_histogram_events",
+    "composite_page1",
+]
+
+# r2-r4 window lists kept for the record (superseded by the r5 list
+# above; _attested_entries() makes rotation automatic either way).
+_DRIVER_PRIORITY_R4 = [
     # -- never driver-checked (26, per VERDICT r3 header) --
     "bm25_filtered_topk",
     "bm25_filtered_indexed",
@@ -795,6 +873,7 @@ def _index_reader(
     use_stem: bool = False,
     with_positions: bool = False,
     with_docstore: bool = False,
+    with_fields: bool = False,
 ):
     from .index import build_index
     from .io import documents_as_corpus
@@ -811,6 +890,7 @@ def _index_reader(
     return build_index(
         spark, corpus, out_dir, use_stem=use_stem, n_shards=8, n_chunks=1,
         with_positions=with_positions, with_docstore=with_docstore,
+        with_fields=with_fields,
     )
 
 
@@ -1161,6 +1241,144 @@ def _q_most_fields(spark, sf_dir):
     return most_fields_topk(
         spark, _docs(spark, sf_dir), FIXED_QUERIES["q_table_scan"], K,
         round_scores=ROUND,
+    )
+
+
+# ---------------------- round-5 index-served twins (fielded + aggs) --
+#
+# The r4 VERDICT's two plan weaknesses: BM25F/dis_max/most_fields and
+# the agg family were recompute-only (corpus scan per request). These
+# entries serve the SAME oracles from the physical index — fielded
+# scoring from the stage-9 title_postings artifact (engine/bm25f.
+# fielded_topk_from_index), aggs from posting-block match sets joined
+# onto doc_stats doc-values (engine/aggs.*_from_index). The driver
+# documents' `source` column lives in doc_stats as `repo`
+# (engine/io.documents_as_corpus) — ds_col/ds_cols remap it.
+
+def _fields_reader(spark, sf_dir):
+    return _index_reader(spark, sf_dir, with_fields=True)
+
+
+def _q_bm25f_indexed(spark, sf_dir):
+    return _fields_reader(spark, sf_dir).bm25f_topk(
+        FIXED_QUERIES["q_table_scan"], K, round_scores=ROUND
+    )
+
+
+def _q_dismax_indexed(spark, sf_dir):
+    return _fields_reader(spark, sf_dir).dismax_topk(
+        FIXED_QUERIES["q_table_scan"], K, round_scores=ROUND
+    )
+
+
+def _q_most_fields_indexed(spark, sf_dir):
+    return _fields_reader(spark, sf_dir).most_fields_topk(
+        FIXED_QUERIES["q_table_scan"], K, round_scores=ROUND
+    )
+
+
+def _q_range_agg_indexed(spark, sf_dir):
+    from .aggs import range_stats_from_index
+
+    return range_stats_from_index(
+        _index_reader(spark, sf_dir), AGG_QUERY, "n_chars", RANGE_BOUNDS
+    )
+
+
+def _q_histogram_indexed(spark, sf_dir):
+    from .aggs import histogram_from_index
+
+    return histogram_from_index(
+        _index_reader(spark, sf_dir), AGG_QUERY, "n_chars", HIST_INTERVAL
+    )
+
+
+def _q_extended_stats_indexed(spark, sf_dir):
+    from .aggs import extended_stats_from_index
+
+    return extended_stats_from_index(
+        _index_reader(spark, sf_dir), AGG_QUERY, "n_chars"
+    )
+
+
+def _q_value_count_indexed(spark, sf_dir):
+    from .aggs import value_count_from_index
+
+    return value_count_from_index(
+        _index_reader(spark, sf_dir), FIXED_QUERIES["q_table_scan"], "n_chars"
+    )
+
+
+def _q_weighted_avg_indexed(spark, sf_dir):
+    from .aggs import weighted_avg_from_index
+
+    return weighted_avg_from_index(
+        _index_reader(spark, sf_dir), FIXED_QUERIES["q_table_scan"],
+        "n_chars", 1 + F.col("doc_id") % 7,
+    )
+
+
+def _q_cardinality_indexed(spark, sf_dir):
+    from .aggs import cardinality_from_index
+
+    return cardinality_from_index(
+        _index_reader(spark, sf_dir), AGG_QUERY, "source", ds_col="repo"
+    )
+
+
+def _q_percentiles_indexed(spark, sf_dir):
+    from .aggs import percentiles_from_index
+
+    return percentiles_from_index(
+        _index_reader(spark, sf_dir), AGG_QUERY, "n_chars", PCTS
+    )
+
+
+def _q_rare_terms_indexed(spark, sf_dir):
+    from .aggs import rare_terms_from_index
+
+    return rare_terms_from_index(
+        _index_reader(spark, sf_dir), AGG_QUERY, "n_chars", RARE_MAX_DC
+    )
+
+
+def _q_multi_terms_indexed(spark, sf_dir):
+    from .aggs import multi_terms_from_index
+
+    return multi_terms_from_index(
+        _index_reader(spark, sf_dir), AGG_QUERY, COMPOSITE_KEYS, K,
+        ds_cols={"source": "repo"},
+    )
+
+
+def _q_composite_page2_indexed(spark, sf_dir):
+    from .aggs import composite_from_index
+
+    return composite_from_index(
+        _index_reader(spark, sf_dir), AGG_QUERY, COMPOSITE_KEYS,
+        COMPOSITE_SIZE, after=COMPOSITE_AFTER, ds_cols={"source": "repo"},
+    )
+
+
+def _q_top_hits_indexed(spark, sf_dir):
+    from .aggs import top_hits_from_index
+
+    return top_hits_from_index(
+        _index_reader(spark, sf_dir), AGG_QUERY, "lang", 3, 5
+    )
+
+
+def _q_filters_agg_indexed(spark, sf_dir):
+    from .aggs import filters_from_index
+
+    return filters_from_index(_index_reader(spark, sf_dir), FILTERS_NAMED)
+
+
+def _q_adjacency_matrix_indexed(spark, sf_dir):
+    from .aggs import adjacency_matrix_from_index
+
+    return adjacency_matrix_from_index(
+        _index_reader(spark, sf_dir), ADJ_NAMED
     )
 
 
@@ -2024,6 +2242,43 @@ def _q_ann_ivf_indexed(spark, sf_dir):
     return ivf_topk_indexed(spark, ivf_dir, query_vector(spark, sf_dir))
 
 
+def _q_pq_topk(spark, sf_dir):
+    """Full-scan ADC over pinned PQ codebooks — the bounded-memory ANN
+    score path driver-checked exactly (r4 VERDICT weak #3: the PQ
+    family had no queries() entry); trained-Lloyd's recall stays in
+    run_queries.py --ann-recall."""
+    from .sim import load_embeddings, pinned_pq_codebooks, pq_topk, query_vector
+
+    qv = query_vector(spark, sf_dir)
+    return pq_topk(
+        load_embeddings(spark, sf_dir), qv, 20,
+        codebooks=pinned_pq_codebooks(len(qv)),
+    )
+
+
+def _q_ivf_pq_topk(spark, sf_dir):
+    """IVF-PQ: cell-partitioned PQ codes built once per sf_dir (pinned
+    md5 cells + pinned PQ books), probes partition-prune, ADC scores
+    only the probed cells' codes."""
+    from .sim import (
+        build_ivf_pq,
+        ivf_pq_topk,
+        load_embeddings,
+        pinned_pq_codebooks,
+        query_vector,
+    )
+
+    key = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    ivfpq_dir = os.path.join(_DRIVER_CACHE, f"ivfpq_{key}")
+    qv = query_vector(spark, sf_dir)
+    if not os.path.exists(os.path.join(ivfpq_dir, "manifest.json")):
+        build_ivf_pq(
+            load_embeddings(spark, sf_dir), ivfpq_dir,
+            codebooks=pinned_pq_codebooks(len(qv)),
+        )
+    return ivf_pq_topk(spark, ivfpq_dir, qv, 20)
+
+
 def _q_fusion_pr(spark, sf_dir):
     from .ranking import fusion_pr_topk
 
@@ -2641,6 +2896,28 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["cms_heavy_hitters"] = _q_cms_heavy_hitters
     out["kmv_hit_counts"] = _q_kmv_hit_counts
     out["kmv_hit_counts_indexed"] = _q_kmv_hit_counts_indexed
+    # round-5 index-served twins: fielded scoring from title_postings
+    # (stage 9), aggs from posting-block match sets + doc_stats
+    # doc-values — same oracles as their recompute twins
+    out["bm25f_topk_indexed"] = _q_bm25f_indexed
+    out["dismax_topk_indexed"] = _q_dismax_indexed
+    out["most_fields_indexed"] = _q_most_fields_indexed
+    out["range_agg_chars_indexed"] = _q_range_agg_indexed
+    out["histogram_chars_indexed"] = _q_histogram_indexed
+    out["extended_stats_indexed"] = _q_extended_stats_indexed
+    out["value_count_indexed"] = _q_value_count_indexed
+    out["weighted_avg_indexed"] = _q_weighted_avg_indexed
+    out["cardinality_indexed"] = _q_cardinality_indexed
+    out["percentiles_indexed"] = _q_percentiles_indexed
+    out["rare_terms_indexed"] = _q_rare_terms_indexed
+    out["multi_terms_indexed"] = _q_multi_terms_indexed
+    out["composite_page2_indexed"] = _q_composite_page2_indexed
+    out["top_hits_indexed"] = _q_top_hits_indexed
+    out["filters_agg_indexed"] = _q_filters_agg_indexed
+    out["adjacency_matrix_indexed"] = _q_adjacency_matrix_indexed
+    # PQ family driver entries (pinned codebooks → exact DuckDB mirror)
+    out["pq_topk"] = _q_pq_topk
+    out["ivf_pq_topk"] = _q_ivf_pq_topk
     return _driver_order(out)
 
 
@@ -3021,4 +3298,26 @@ FROM d CROSS JOIN t
 
     out["kmv_hit_counts"] = f"WITH {base}, {kmv_hit_counts_sql(_kmv_queries())}"
     out["kmv_hit_counts_indexed"] = out["kmv_hit_counts"]
+    # round-5 index-served twins share their recompute twin's oracle
+    # (identical pinned semantics; only the physical plan differs)
+    out["bm25f_topk_indexed"] = out["bm25f_topk"]
+    out["dismax_topk_indexed"] = out["dismax_topk"]
+    out["most_fields_indexed"] = out["most_fields_topk"]
+    out["range_agg_chars_indexed"] = out["range_agg_chars"]
+    out["histogram_chars_indexed"] = out["histogram_chars"]
+    out["extended_stats_indexed"] = out["extended_stats_chars"]
+    out["value_count_indexed"] = out["value_count_chars"]
+    out["weighted_avg_indexed"] = out["weighted_avg_chars"]
+    out["cardinality_indexed"] = out["cardinality_source"]
+    out["percentiles_indexed"] = out["percentiles_chars"]
+    out["rare_terms_indexed"] = out["rare_terms_chars"]
+    out["multi_terms_indexed"] = out["multi_terms_lang_source"]
+    out["composite_page2_indexed"] = out["composite_page2"]
+    out["top_hits_indexed"] = out["top_hits_by_lang"]
+    out["filters_agg_indexed"] = out["filters_agg_counts"]
+    out["adjacency_matrix_indexed"] = out["adjacency_matrix_q"]
+    from .sim import pq_pinned_sql
+
+    out["pq_topk"] = pq_pinned_sql(20)
+    out["ivf_pq_topk"] = pq_pinned_sql(20, with_ivf=True)
     return _driver_order(out)

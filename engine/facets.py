@@ -72,6 +72,52 @@ def _ranked_facets(counts: DataFrame, k: int) -> DataFrame:
     )
 
 
+def match_ids_from_postings(
+    postings: DataFrame,
+    terms: list[str],
+    *,
+    tombstones: DataFrame | None = None,
+) -> DataFrame:
+    """(doc_id) — the OR-match set of ``terms``, served from posting
+    blocks: per shard, union the queried terms' decoded doc_id runs
+    (each term's run is sorted-unique; shard = f(doc_id), so per-shard
+    unions are globally distinct — no cross-shard dedup exchange),
+    tombstones anti-joined. THE shared match-set frame: facet counts
+    and every index-served search aggregation (engine/aggs.py
+    ``*_from_index``) derive their doc set from this instead of a
+    corpus re-tokenize — cost ∝ queried posting mass, independent of
+    corpus width."""
+    import pandas as pd
+
+    spark = postings.sparkSession
+    if not terms:
+        return spark.createDataFrame([], "doc_id long")
+
+    def union_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        from .boolean import _decode_term_docs
+
+        runs = [
+            _decode_term_docs(grp) for _, grp in pdf.groupby("term")
+        ]
+        ids = (
+            np.unique(np.concatenate(runs))
+            if runs
+            else np.empty(0, dtype=np.int64)
+        )
+        return pd.DataFrame({"doc_id": ids})
+
+    ids = (
+        postings.where(F.col("term").isin(terms))
+        .groupBy("shard")
+        .applyInPandas(union_kernel, "doc_id long")
+    )
+    if tombstones is not None:
+        ids = ids.join(F.broadcast(tombstones), "doc_id", "left_anti")
+    return ids
+
+
 def facet_counts_from_postings(
     spark,
     postings: DataFrame,
@@ -98,34 +144,10 @@ def facet_counts_from_postings(
     Value-identical to facet_counts on the same corpus (same DuckDB
     oracle); pinned to UNSTEMMED vocabularies like engine/boolean.py.
     """
-    import pandas as pd
-
     terms = sorted(set(tokenize(query, use_stem=False)))
     if not terms:
         return spark.createDataFrame([], "rank int, facet string, n_docs long")
-
-    def union_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
-        import numpy as np
-
-        from .boolean import _decode_term_docs
-
-        runs = [
-            _decode_term_docs(grp) for _, grp in pdf.groupby("term")
-        ]
-        ids = (
-            np.unique(np.concatenate(runs))
-            if runs
-            else np.empty(0, dtype=np.int64)
-        )
-        return pd.DataFrame({"doc_id": ids})
-
-    ids = (
-        postings.where(F.col("term").isin(terms))
-        .groupBy("shard")
-        .applyInPandas(union_kernel, "doc_id long")
-    )
-    if tombstones is not None:
-        ids = ids.join(F.broadcast(tombstones), "doc_id", "left_anti")
+    ids = match_ids_from_postings(postings, terms, tombstones=tombstones)
     counts = (
         ids.join(
             doc_stats.select("doc_id", F.col(facet_col).alias("facet")),

@@ -91,12 +91,30 @@ def build_index(
     resume: bool = True,
     with_positions: bool = False,
     with_docstore: bool = False,
+    with_fields: bool = False,
 ) -> "IndexReader":
     """Build (or resume building) the index for a corpus that already
-    carries ``doc_id`` and ``content_sha256`` (engine.io.with_identity)."""
+    carries ``doc_id`` and ``content_sha256`` (engine.io.with_identity).
+
+    ``with_fields=True`` adds the per-field posting stage (stage 9):
+    title-field posting blocks for index-served BM25F / dis_max /
+    most_fields (engine/bm25f.py) — optional and in-place-upgradable
+    like positions/docstore."""
     ensure_importable(spark)
     os.makedirs(out_dir, exist_ok=True)
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+
+    # doc-values columns (ES terminology): per-doc metadata the serving
+    # side can aggregate WITHOUT touching the corpus — carried through
+    # the stage-1 checkpoint into doc_stats. n_chars is derived here;
+    # lang rides along when the corpus has it (a reindexed corpus
+    # reconstructed from an old docstore may not). A fingerprint-only
+    # resume frame (engine/compact.py passes doc_id+sha only; stage 1
+    # is already done) skips the derivation — the checkpoint it resumes
+    # onto already carries the doc-values.
+    if "content" in corpus.columns:
+        corpus = corpus.withColumn("n_chars", F.length("content").cast("long"))
+    doc_values = [c for c in ("n_chars", "lang") if c in corpus.columns]
 
     stage_t: dict[str, float] = {}
     t0 = time.perf_counter()
@@ -107,7 +125,7 @@ def build_index(
     # rebuilds cleanly instead of crashing on a missing column.
     config = {
         "use_stem": use_stem, "n_shards": n_shards, "block_docs": block_docs,
-        "checkpoint_format": 3,  # 3 = array tokens + title_terms carry
+        "checkpoint_format": 4,  # 4 = +doc-values (n_chars/lang) carry
     }
     man = _read_manifest(out_dir) if resume else None
     if man is None or man.get("fingerprint") != fp or man.get("config") != config:
@@ -149,7 +167,8 @@ def build_index(
         toks = doc_tokens_df(
             sharded,
             use_stem=use_stem,
-            passthrough=["shard", "repo", "path", "content_sha256"],
+            passthrough=["shard", "repo", "path", "content_sha256"]
+            + doc_values,
         )
         (
             toks.sortWithinPartitions("shard", "doc_id")
@@ -213,7 +232,12 @@ def build_index(
     if man["stages"].get("doc_stats") != "done":
         t0 = time.perf_counter()
         # array checkpoint carries doc_len AND metadata — pure projection
-        ds = toks.select("doc_id", "doc_len", "repo", "path", "content_sha256")
+        # (doc-values from the CHECKPOINT's columns, not the corpus
+        # frame: a compaction resume passes a fingerprint-only corpus)
+        ds = toks.select(
+            "doc_id", "doc_len", "repo", "path", "content_sha256",
+            *[c for c in ("n_chars", "lang") if c in toks.columns],
+        )
         ds.write.mode("overwrite").parquet(doc_stats_path)
         man["stages"]["doc_stats"] = "done"
         man["stage_times"]["doc_stats"] = round(time.perf_counter() - t0, 2)
@@ -487,6 +511,110 @@ def build_index(
         man["stage_times"]["docstore"] = round(time.perf_counter() - t0, 2)
         _write_manifest(out_dir, man)
 
+    # ---- stage 9 (optional): per-field posting blocks (fielded search) -
+    # Title-field postings in the SAME block format as the body postings
+    # (delta+varint, block-max), dl column = title length — the artifact
+    # index-served BM25F / dis_max / most_fields (engine/bm25f.py) score
+    # from instead of re-tokenizing the corpus per query. Same in-place
+    # upgrade semantics as stages 7-8. The title token stream already
+    # sits in the stage-1 checkpoint (title_terms arrays, ordered WITH
+    # duplicates), so this stage is checkpoint-scan-sized: no corpus
+    # access, no re-tokenize, and stage 1's one-file-per-shard layout
+    # keeps the block build exchange-free exactly like stage 2.
+    if with_fields and man["stages"].get("field_postings") != "done":
+        t0 = time.perf_counter()
+        if "tstats" not in man:
+            # zero-title docs count in the average — same convention as
+            # avgdl (engine/build.corpus_stats_df)
+            tl_sum = int(
+                toks.agg(F.sum(F.size("title_terms"))).collect()[0][0] or 0
+            )
+            n = man["stats"]["n_docs"]
+            man["tstats"] = {
+                "tlen_sum": tl_sum,
+                "avg_tlen": (tl_sum / n) if n else 0.0,
+            }
+            _write_manifest(out_dir, man)
+        avg_tlen = man["tstats"]["avg_tlen"]
+        prev_mpb = spark.conf.get("spark.sql.files.maxPartitionBytes")
+        prev_ocb = spark.conf.get("spark.sql.files.openCostInBytes")
+        spark.conf.set("spark.sql.files.maxPartitionBytes", str(2 << 30))
+        spark.conf.set("spark.sql.files.openCostInBytes", str(2 << 30))
+        try:
+            part = (
+                spark.read.parquet(tokens_path)
+                .select("shard", "doc_id", "title_terms")
+            )
+
+            def _title_arrays_kernel(it):
+                import numpy as np
+                import pandas as pd
+
+                for pdf in it:
+                    n_rows = len(pdf)
+                    lens = pdf["title_terms"].map(len).to_numpy(np.int64)
+                    if int(lens.sum()) == 0:
+                        terms_l = [[] for _ in range(n_rows)]
+                        tfs_l = [[] for _ in range(n_rows)]
+                    else:
+                        flat = np.concatenate(
+                            [np.asarray(t, dtype=object)
+                             for t in pdf["title_terms"]]
+                        )
+                        rows = np.repeat(np.arange(n_rows, dtype=np.int64), lens)
+                        # (row, term) tf counts, all C-speed: factorize
+                        # terms, pack a composite int key, unique+counts
+                        codes, uniq = pd.factorize(flat, sort=False)
+                        uniq = np.asarray(uniq, dtype=object)
+                        nu = len(uniq)
+                        key = rows * nu + codes
+                        uk, counts = np.unique(key, return_counts=True)
+                        row_of = uk // nu
+                        code_of = uk % nu
+                        starts = np.searchsorted(
+                            row_of, np.arange(n_rows + 1)
+                        )
+                        terms_l = [
+                            uniq[code_of[starts[r]:starts[r + 1]]].tolist()
+                            for r in range(n_rows)
+                        ]
+                        tfs_l = [
+                            counts[starts[r]:starts[r + 1]].tolist()
+                            for r in range(n_rows)
+                        ]
+                    yield pd.DataFrame(
+                        {
+                            "shard": pdf["shard"].to_numpy(),
+                            "doc_id": pdf["doc_id"].to_numpy(np.int64),
+                            "doc_len": lens,
+                            "terms": terms_l,
+                            "tfs": tfs_l,
+                        }
+                    )
+
+            tpart = part.mapInPandas(
+                _title_arrays_kernel,
+                "shard int, doc_id long, doc_len long, "
+                "terms array<string>, tfs array<long>",
+            )
+
+            def _tkernel(it):
+                return blocks_batches_for_partition(it, avg_tlen, block_docs)
+
+            tblocks = tpart.mapInPandas(_tkernel, BLOCKS_SCHEMA)
+            (
+                tblocks.write.mode("overwrite")
+                .option("compression", "zstd")
+                .partitionBy("shard")
+                .parquet(os.path.join(out_dir, "title_postings"))
+            )
+        finally:
+            spark.conf.set("spark.sql.files.maxPartitionBytes", prev_mpb)
+            spark.conf.set("spark.sql.files.openCostInBytes", prev_ocb)
+        man["stages"]["field_postings"] = "done"
+        man["stage_times"]["field_postings"] = round(time.perf_counter() - t0, 2)
+        _write_manifest(out_dir, man)
+
     if man["stages"].get("complete") != "done":
         man["stages"]["complete"] = "done"
         _write_manifest(out_dir, man)
@@ -741,6 +869,66 @@ class IndexReader:
             tombstones=self.tombstones_df(),
         )
 
+    def title_postings(self) -> DataFrame:
+        """Title-field posting blocks (stage 9, BLOCKS_SCHEMA with
+        dl = title length) — the fielded-search artifact."""
+        p = os.path.join(self.dir, "title_postings")
+        if self.manifest["stages"].get("field_postings") != "done":
+            raise FileNotFoundError(
+                f"no title_postings artifact at {p} — build with "
+                "build_index(..., with_fields=True)"
+            )
+        return self._artifact("title_postings")
+
+    @property
+    def avg_tlen(self) -> float:
+        """Mean title length over ALL docs (zero-title docs included) —
+        written by the stage-9 field-postings build."""
+        return float(self.manifest["tstats"]["avg_tlen"])
+
+    def bm25f_topk(
+        self, query: str, k: int = 10, *,
+        w_title: float | None = None, w_body: float | None = None,
+        round_scores: int | None = None,
+    ) -> DataFrame:
+        """Index-served BM25F (engine/bm25f.fielded_topk_from_index):
+        per-field tfs merged into one pseudo-frequency BEFORE saturation,
+        served from the body + title posting blocks — value-identical to
+        engine/bm25f.bm25f_topk (same DuckDB oracle bm25f_topk_sql)."""
+        from .bm25f import W_BODY, W_TITLE, fielded_topk_from_index
+
+        return fielded_topk_from_index(
+            self, query, k, mode="bm25f",
+            w_title=W_TITLE if w_title is None else w_title,
+            w_body=W_BODY if w_body is None else w_body,
+            round_scores=round_scores,
+        )
+
+    def dismax_topk(
+        self, query: str, k: int = 10, *, tie_breaker: float = 0.3,
+        round_scores: int | None = None,
+    ) -> DataFrame:
+        """Index-served dis_max (best_fields) — value-identical to
+        engine/bm25f.dismax_topk (oracle dismax_topk_sql)."""
+        from .bm25f import fielded_topk_from_index
+
+        return fielded_topk_from_index(
+            self, query, k, mode="dismax", tie_breaker=tie_breaker,
+            round_scores=round_scores,
+        )
+
+    def most_fields_topk(
+        self, query: str, k: int = 10, *, round_scores: int | None = None,
+    ) -> DataFrame:
+        """Index-served most_fields (per-field scores SUM) —
+        value-identical to engine/bm25f.most_fields_topk (oracle
+        most_fields_sql)."""
+        from .bm25f import fielded_topk_from_index
+
+        return fielded_topk_from_index(
+            self, query, k, mode="most_fields", round_scores=round_scores,
+        )
+
     def docstore(self) -> DataFrame:
         p = os.path.join(self.dir, "docstore")
         if self.manifest["stages"].get("docstore") != "done":
@@ -838,6 +1026,35 @@ class IndexReader:
             self.spark, self.postings(), self.doc_stats(), query,
             facet_col, k, tombstones=self.tombstones_df(),
         )
+
+    def match_ids(self, query: str) -> DataFrame:
+        """(doc_id) — the query's OR-match set from the posting blocks
+        (engine/facets.match_ids_from_postings), tombstone-masked. The
+        shared entry point of every index-served aggregation."""
+        from .facets import match_ids_from_postings
+
+        terms = sorted(set(tokenize(query, use_stem=self.use_stem)))
+        return match_ids_from_postings(
+            self.postings(), terms, tombstones=self.tombstones_df()
+        )
+
+    def matched_doc_values(
+        self, query: str, cols: dict[str, str] | list[str]
+    ) -> DataFrame:
+        """OR-match set joined onto doc_stats doc-values — the frame
+        every ``*_from_index`` search aggregation buckets over
+        (engine/aggs.py). ``cols`` maps output name → doc_stats column
+        (a list means identity mapping); ``doc_id`` always rides along.
+        Plan: the match-set id stream (usually ≪ corpus) joins
+        doc_stats — AQE broadcasts the id side when it fits, leaving
+        the doc-values scan exchange-free; no corpus access, no
+        re-tokenize."""
+        if not isinstance(cols, dict):
+            cols = {c: c for c in cols}
+        ds = self.doc_stats().select(
+            "doc_id", *[F.col(src).alias(out) for out, src in cols.items()]
+        )
+        return self.match_ids(query).join(ds, "doc_id")
 
     def fuzzy_terms(self, query_term: str, k: int = 10) -> DataFrame:
         """Spell-correction candidates from the index dictionary
@@ -3036,8 +3253,15 @@ class IndexReader:
         row-group min/max stats. Like the other lazy artifacts this
         reflects the corpus at build time: deletes require an artifact
         rebuild (drop the kmv/ dir), matching the stale-stats Lucene
-        semantics the tombstone path documents."""
+        semantics the tombstone path documents.
+
+        The artifact's k is FIXED at first materialization and recorded
+        in a ``_kmv_k.json`` sidecar: probing truncated per-term sketches
+        at a different k would silently skew estimates (rank-k of a
+        truncated sketch is not the true union k-th minimum), so a
+        mismatched later ``k`` raises instead."""
         p = os.path.join(self.dir, "kmv")
+        kpath = os.path.join(p, "_kmv_k.json")
         if not os.path.exists(os.path.join(p, "_SUCCESS")):
             from pyspark.sql import Window
 
@@ -3057,17 +3281,46 @@ class IndexReader:
                 .write.mode("overwrite")
                 .parquet(p)
             )
+            with open(kpath, "w") as f:
+                json.dump({"k": int(k)}, f)
+        else:
+            built_k = self.kmv_k()
+            if built_k is not None and built_k != int(k):
+                raise ValueError(
+                    f"kmv artifact was built with k={built_k}; probing "
+                    f"with k={k} would skew estimates — pass "
+                    f"k={built_k} (reader.kmv_k()) or rebuild the "
+                    "artifact (drop the kmv/ dir)"
+                )
         return self._artifact("kmv")
 
-    def hit_counts_approx(self, queries: dict[str, str], k: int = 64) -> DataFrame:
+    def kmv_k(self) -> int | None:
+        """The k the kmv artifact was materialized with (sidecar), or
+        None when no artifact/sidecar exists (pre-sidecar artifacts
+        keep working at the caller's k — their k was the default)."""
+        kpath = os.path.join(self.dir, "kmv", "_kmv_k.json")
+        try:
+            with open(kpath) as f:
+                return int(json.load(f)["k"])
+        except (OSError, ValueError, KeyError):
+            return None
+
+    def hit_counts_approx(
+        self, queries: dict[str, str], k: int | None = None
+    ) -> DataFrame:
         """(query_id, n_hits_est) — the track_total_hits=false header:
         approximate total hits served from the KMV artifact alone.
         Query time reads ≤ q·k sketch rows (term-pruned parquet scan)
         and never touches the posting blocks — estimate cost is
         independent of how many documents match. Every query gets a
         row; estimates from sub-k unions are exact counts. Rank-safe
-        serving still uses hit_counts(); this is the cheap header."""
+        serving still uses hit_counts(); this is the cheap header.
+        ``k`` defaults to the artifact's recorded k (kmv_k sidecar) —
+        probing at a mismatched k raises in kmv_sketches_df."""
         from .sketch import kmv_union_counts
+
+        if k is None:
+            k = self.kmv_k() or 64
 
         qterms = {
             qid: sorted(set(tokenize(text, use_stem=self.use_stem)))

@@ -63,14 +63,22 @@ def pii_redact(corpus: DataFrame) -> DataFrame:
 
     Order matters for byte-identical output, so the same sequence is
     pinned in :func:`pii_redact_sql`.
+
+    ``n_pii`` counts SEQUENTIALLY on the progressively-redacted string
+    (emails on the original, phones after email redaction, IPs after
+    both) so it equals the number of spans actually replaced — counting
+    all three patterns on the original would double-count overlaps
+    (e.g. an IPv4-shaped email local part like 1.2.3.4@x.com matches
+    both rules but emits one tag; round-4 ADVICE). Mirrored 1:1 in the
+    SQL oracle.
     """
     c = F.coalesce(F.col("content"), F.lit(""))
-    n_pii = _count(c, EMAIL_RE) + _count(c, PHONE_RE) + _count(c, IPV4_RE)
-    red = F.regexp_replace(c, EMAIL_RE, EMAIL_TAG)
-    red = F.regexp_replace(red, PHONE_RE, PHONE_TAG)
-    red = F.regexp_replace(red, IPV4_RE, IPV4_TAG)
+    red1 = F.regexp_replace(c, EMAIL_RE, EMAIL_TAG)
+    red2 = F.regexp_replace(red1, PHONE_RE, PHONE_TAG)
+    red3 = F.regexp_replace(red2, IPV4_RE, IPV4_TAG)
+    n_pii = _count(c, EMAIL_RE) + _count(red1, PHONE_RE) + _count(red2, IPV4_RE)
     return corpus.select(
-        "doc_id", n_pii.alias("n_pii"), red.alias("redacted")
+        "doc_id", n_pii.alias("n_pii"), red3.alias("redacted")
     )
 
 
@@ -142,17 +150,23 @@ def pii_redact_sql(inject: bool = True) -> str:
     content = _INJECT_SQL if inject else "coalesce(text, '')"
     e, p, i4 = _sq(EMAIL_RE), _sq(PHONE_RE), _sq(IPV4_RE)
     return f"""
-WITH c AS (SELECT doc_id, {content} AS content FROM documents)
+WITH c AS (SELECT doc_id, {content} AS content FROM documents),
+r AS (
+  SELECT doc_id, content,
+         regexp_replace(content, '{e}', '{EMAIL_TAG}', 'g') AS red1
+  FROM c
+),
+r2 AS (
+  SELECT doc_id, content, red1,
+         regexp_replace(red1, '{p}', '{PHONE_TAG}', 'g') AS red2
+  FROM r
+)
 SELECT doc_id,
        (len(regexp_extract_all(content, '{e}'))
-        + len(regexp_extract_all(content, '{p}'))
-        + len(regexp_extract_all(content, '{i4}')))::BIGINT AS n_pii,
-       regexp_replace(
-         regexp_replace(
-           regexp_replace(content, '{e}', '{EMAIL_TAG}', 'g'),
-           '{p}', '{PHONE_TAG}', 'g'),
-         '{i4}', '{IPV4_TAG}', 'g') AS redacted
-FROM c
+        + len(regexp_extract_all(red1, '{p}'))
+        + len(regexp_extract_all(red2, '{i4}')))::BIGINT AS n_pii,
+       regexp_replace(red2, '{i4}', '{IPV4_TAG}', 'g') AS redacted
+FROM r2
 """
 
 

@@ -146,7 +146,15 @@ def tfidf_cosine_topk(
         )
         .where(F.col("cos") > 0)
     )
-    return _ranked(scored, "cos", k)
+    ranked = _ranked(scored, "cos", k)
+    # materialize the k-row result, then UNPERSIST toks: returning the
+    # lazy frame would leak one cached DataFrame per query in a
+    # long-lived serving process (executor storage accumulates until
+    # the ContextCleaner happens to GC it — round-4 ADVICE). The k-row
+    # collect is the repo's documented driver-side cut size.
+    rows = ranked.collect()
+    toks.unpersist()
+    return spark.createDataFrame(rows, ranked.schema)
 
 
 # --------------------------------------------- binary title match (Q4)

@@ -39,12 +39,17 @@ from pyspark.sql import functions as F
 
 
 def reconstruct_corpus(src) -> DataFrame:
-    """(doc_id, content, repo, path, content_sha256) — the live corpus
-    as stored in the source index's docstore + doc_stats artifacts
-    (tombstoned docs dropped). Raises like IndexReader.docstore() when
-    the source was built without a docstore."""
+    """(doc_id, content, repo, path, content_sha256[, lang]) — the live
+    corpus as stored in the source index's docstore + doc_stats
+    artifacts (tombstoned docs dropped; doc-values like ``lang`` ride
+    along when the source carried them, so a rebuilt index keeps its
+    index-served aggregations). Raises like IndexReader.docstore()
+    when the source was built without a docstore."""
+    ds_cols = ["doc_id", "repo", "path", "content_sha256"] + [
+        c for c in ("lang",) if c in src.doc_stats().columns
+    ]
     corpus = src.docstore().select("doc_id", "content").join(
-        src.doc_stats().select("doc_id", "repo", "path", "content_sha256"),
+        src.doc_stats().select(*ds_cols),
         "doc_id",
     )
     t = src.tombstones_df()

@@ -595,10 +595,11 @@ def pq_topk(
     (the subvector decomposition makes the reconstructed norm exact for
     the quantized vector). Approximation-quality twin of cosine_topk —
     recall-pinned in pytest and measured by ``run_queries.py
-    --ann-recall`` — like cardinality_approx/percentiles_approx this is
-    the bounded-memory 100 TB path, not a driver-oracle entry. Compose
-    with the IVF cell filter (build_ivf) for the classic IVF-PQ layout;
-    this function is the full-scan ADC baseline."""
+    --ann-recall`` — the bounded-memory 100 TB path. Driver-checkable
+    with ``codebooks=pinned_pq_codebooks(dim)`` against pq_pinned_sql
+    (the trained-Lloyd's books stay recall-measured). Compose with the
+    IVF cell filter (build_ivf) for the classic IVF-PQ layout; this
+    function is the full-scan ADC baseline."""
     import math
 
     import numpy as np
@@ -642,12 +643,145 @@ def pq_topk(
     )
 
 
+def pinned_pq_codebooks(dim: int, m: int = PQ_M, ks: int = PQ_KS):
+    """Deterministic PSEUDO-RANDOM PQ codebooks from an integer
+    formula exact in float64 on BOTH engines:
+
+        val(j, i, d) = (((j·ks + i)·ds + d) · 2654435761 mod 2001
+                        − 1000) / 1000
+
+    — the PQ analog of the pinned md5 IVF codebook (_ivf_cell_col):
+    a driver-checkable stand-in for the trained Lloyd's codebooks
+    (train_pq_codebooks), sharing the encode/ADC machinery exactly.
+    The production seam is the codebook argument; the pinned one makes
+    the ADC math DuckDB-mirrorable (pq_pinned_sql) so the PQ family
+    has a CORRECTNESS entry, while recall of the TRAINED books stays
+    measured by ``run_queries.py --ann-recall``."""
+    import numpy as np
+
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    ds = dim // m
+    idx = np.arange(m * ks * ds, dtype=np.int64)
+    vals = ((idx * 2654435761) % 2001 - 1000) / 1000.0
+    return vals.reshape(m, ks, ds)
+
+
+def pq_pinned_sql(
+    k: int = 20,
+    dim: int = 64,
+    m: int = PQ_M,
+    ks: int = PQ_KS,
+    *,
+    with_ivf: bool = False,
+    k_cents: int = IVF_K,
+    n_probe: int = IVF_PROBE,
+) -> str:
+    """DuckDB oracle of pq_topk over pinned_pq_codebooks (and, with
+    ``with_ivf=True``, of ivf_pq_topk over a build_ivf_pq table using
+    the pinned books + pinned md5 cells): codebook values from the
+    same integer formula, per-(vector, subvector) argmin assignment
+    (ties → smallest code, matching numpy argmin), then the ADC
+    lookup-table cosine of pq_topk — dots / (|q|·sqrt(Σ norm²)) —
+    rounded to the engine-wide sort-key precision."""
+    ds = dim // m
+    ivf_ctes = ""
+    ivf_join = ""
+    if with_ivf:
+        w = (
+            "((('0x' || substr(md5('ivf:' || c.j || ':' || (d.i - 1)), 1, 15))"
+            "::bigint % 2001 - 1000) / 1000.0)"
+        )
+        ivf_ctes = f"""
+dims AS (
+  SELECT vec_id, unnest(embedding) AS x,
+         generate_subscripts(embedding, 1) AS i
+  FROM embeddings
+),
+cdot AS (
+  SELECT d.vec_id, c.j, round(sum(d.x::DOUBLE * {w}), {ROUND}) AS dot
+  FROM dims d CROSS JOIN (SELECT unnest(range(0, {k_cents})) AS j) c
+  GROUP BY d.vec_id, c.j
+),
+cell AS (
+  SELECT vec_id, j AS cell FROM (
+    SELECT vec_id, j,
+           row_number() OVER (PARTITION BY vec_id ORDER BY dot DESC, j ASC) AS rn
+    FROM cdot
+  ) WHERE rn = 1
+),
+qcells AS (
+  SELECT j FROM cdot
+  WHERE vec_id = (SELECT min(vec_id) FROM embeddings)
+  ORDER BY dot DESC, j ASC LIMIT {n_probe}
+),"""
+        ivf_join = (
+            "  JOIN cell ce ON a.vec_id = ce.vec_id\n"
+            "  WHERE ce.cell IN (SELECT j FROM qcells)\n"
+        )
+    return f"""
+WITH {ivf_ctes}
+cb AS (
+  SELECT j.j, i.i, d.d,
+         ((((j.j * {ks} + i.i) * {ds} + d.d) * 2654435761) % 2001 - 1000)
+           / 1000.0 AS val
+  FROM (SELECT unnest(range(0, {m})) AS j) j
+  CROSS JOIN (SELECT unnest(range(0, {ks})) AS i) i
+  CROSS JOIN (SELECT unnest(range(0, {ds})) AS d) d
+),
+dist AS (
+  SELECT e.vec_id, c.j, c.i,
+         sum((e.embedding[c.j * {ds} + c.d + 1]::DOUBLE - c.val)
+             * (e.embedding[c.j * {ds} + c.d + 1]::DOUBLE - c.val)) AS d2
+  FROM embeddings e CROSS JOIN cb c
+  GROUP BY e.vec_id, c.j, c.i
+),
+codes AS (
+  SELECT vec_id, j, i AS code FROM (
+    SELECT vec_id, j, i,
+           row_number() OVER (PARTITION BY vec_id, j
+                              ORDER BY d2 ASC, i ASC) AS rn
+    FROM dist
+  ) WHERE rn = 1
+),
+q AS (SELECT embedding AS qv FROM embeddings ORDER BY vec_id LIMIT 1),
+qn AS (
+  SELECT sqrt((SELECT sum(z.b::DOUBLE * z.b::DOUBLE)
+               FROM (SELECT unnest(q.qv) AS b) z)) AS v
+  FROM q
+),
+dt AS (
+  SELECT c.j, c.i,
+         sum(q.qv[c.j * {ds} + c.d + 1]::DOUBLE * c.val) AS dot,
+         sum(c.val * c.val) AS n2
+  FROM cb c CROSS JOIN q
+  GROUP BY c.j, c.i
+),
+adc AS (
+  SELECT co.vec_id, sum(dt.dot) AS dots, sum(dt.n2) AS n2s
+  FROM codes co JOIN dt ON co.j = dt.j AND co.code = dt.i
+  GROUP BY co.vec_id
+),
+scored AS (
+  SELECT a.vec_id,
+         round(CASE WHEN qn.v * sqrt(a.n2s) > 0
+                    THEN a.dots / (qn.v * sqrt(a.n2s)) ELSE 0 END,
+               {ROUND}) AS cos
+  FROM adc a CROSS JOIN qn
+{ivf_join})
+SELECT row_number() OVER (ORDER BY cos DESC, vec_id ASC)::INTEGER AS rank,
+       vec_id, cos
+FROM scored ORDER BY cos DESC, vec_id ASC LIMIT {int(k)}
+"""
+
+
 def build_ivf_pq(
     emb: DataFrame,
     out_dir: str,
     k_cents: int = IVF_K,
     m: int = PQ_M,
     ks: int = PQ_KS,
+    codebooks=None,
 ) -> None:
     """The classic IVF-PQ index: one (vec_id, codes) row per vector,
     hive-partitioned by the pinned IVF cell, with the PQ codebooks in a
@@ -659,7 +793,7 @@ def build_ivf_pq(
     import json
     import os
 
-    books = train_pq_codebooks(emb, m, ks)
+    books = train_pq_codebooks(emb, m, ks) if codebooks is None else codebooks
     enc = pq_encode(emb, books)
     cells = emb.select("vec_id", _ivf_cell_col(k_cents).alias("cell"))
     (

@@ -90,9 +90,12 @@ def synonym_topk(
          for g in sorted(groups)],
         "gid string, qtf double",
     )
+    own_cache = tokens is None
     toks = (
-        tokens if tokens is not None else tokens_df(corpus, use_stem=use_stem)
-    ).persist()
+        tokens_df(corpus, use_stem=use_stem).persist()
+        if own_cache
+        else tokens
+    )
     hits = toks.join(F.broadcast(gdf), "term")
     # blended per-(doc, group) tf: member tfs are block-capped before
     # the sum and the sum re-capped, mirroring the indexed kernel
@@ -126,7 +129,15 @@ def synonym_topk(
     agg = scored.groupBy("doc_id").agg(F.sum("partial").alias("score"))
     if round_scores is not None:
         agg = agg.select("doc_id", F.round("score", round_scores).alias("score"))
-    return _ranked(agg, "score", k)
+    ranked = _ranked(agg, "score", k)
+    if not own_cache:
+        return ranked
+    # materialize + unpersist the per-query cache (engine/bm25f.py
+    # _collect_unpersist rationale); a caller-provided `tokens` frame
+    # stays the caller's to manage
+    from .bm25f import _collect_unpersist
+
+    return _collect_unpersist(ranked, toks)
 
 
 def synonym_topk_from_index(
