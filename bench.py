@@ -178,6 +178,14 @@ def main() -> None:
         finally:
             shutil.rmtree(ivf_dir, ignore_errors=True)
 
+        # per-field postings artifact (round 5, stage 9): built on the
+        # cached UNSTEMMED driver index (fielded semantics are pinned
+        # unstemmed); first run builds, later runs manifest-load — same
+        # build-vs-query split as the federated halves
+        t = time.perf_counter()
+        _dq._index_reader(spark, sf_dir, with_fields=True)
+        timings["fields_artifact_build_or_load"] = time.perf_counter() - t
+
         # training-data-pipeline + ranking breadth (one representative
         # op per family; value-parity for these is the driver's
         # CORRECTNESS check — here we time them)
@@ -254,6 +262,27 @@ def main() -> None:
             "date_histogram_events",
             "sessionize_events",
             "stream_window_counts",
+            # round-5 index-served twins: fielded scoring from the
+            # title_postings artifact; aggs from posting-block match
+            # sets + doc_stats doc-values; pinned-codebook PQ
+            "bm25f_topk_indexed",
+            "dismax_topk_indexed",
+            "most_fields_indexed",
+            "range_agg_chars_indexed",
+            "histogram_chars_indexed",
+            "extended_stats_indexed",
+            "value_count_indexed",
+            "weighted_avg_indexed",
+            "cardinality_indexed",
+            "percentiles_indexed",
+            "rare_terms_indexed",
+            "multi_terms_indexed",
+            "composite_page2_indexed",
+            "top_hits_indexed",
+            "filters_agg_indexed",
+            "adjacency_matrix_indexed",
+            "pq_topk",
+            "ivf_pq_topk",
         ):
             t = time.perf_counter()
             dq.spark_queries()[name](spark, sf_dir).count()

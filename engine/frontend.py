@@ -512,14 +512,33 @@ class SearchService:
             for r in df.collect()
         ]
 
+    def _fields_ready(self) -> bool:
+        """Index-served fielded scoring available: an UNSTEMMED reader
+        with the stage-9 title_postings artifact is bound."""
+        return (
+            self.reader is not None
+            and not self.reader.use_stem
+            and self.reader.manifest["stages"].get("field_postings") == "done"
+        )
+
+    def _aggs_reader_ready(self, *ds_cols: str) -> bool:
+        """Index-served aggregations available: an unstemmed reader
+        whose doc_stats carries the needed doc-values columns."""
+        return (
+            self.reader is not None
+            and not self.reader.use_stem
+            and all(c in self.reader.doc_stats().columns for c in ds_cols)
+        )
+
     def search_bm25f(self, query: str, k: int = 10) -> list[tuple]:
         """BM25F fielded ranking (engine/bm25f.py: title + body field
-        frequencies combined before saturation) — recompute path (the
-        fielded pseudo-frequency needs per-field tfs the posting blocks
-        don't carry; the fusion routes are the index-served fielded
-        alternative)."""
+        frequencies combined before saturation) — served from the
+        stage-9 title_postings artifact when the bound index has one
+        (round 5), else recompute."""
         from .bm25f import bm25f_topk
 
+        if self._fields_ready():
+            return self._with_meta(self.reader.bm25f_topk(query, k), "score")
         return self._with_meta(
             bm25f_topk(self.spark, self.corpus, query, k), "score"
         )
@@ -575,13 +594,17 @@ class SearchService:
     def aggs_range(
         self, query: str, boundaries: list[int] | None = None
     ) -> list[list]:
-        """Range+stats buckets over content length (ES range agg)."""
-        from .aggs import range_stats_agg
+        """Range+stats buckets over content length (ES range agg) —
+        index-served from posting-block match sets + doc_stats
+        doc-values when the bound index carries them (round 5), else
+        recompute."""
+        from .aggs import range_stats_agg, range_stats_from_index
 
-        df = range_stats_agg(
-            self._agg_corpus(), query, "n_chars",
-            boundaries or [0, 200, 400, 800, 1600],
-        )
+        bounds = boundaries or [0, 200, 400, 800, 1600]
+        if self._aggs_reader_ready("n_chars"):
+            df = range_stats_from_index(self.reader, query, "n_chars", bounds)
+        else:
+            df = range_stats_agg(self._agg_corpus(), query, "n_chars", bounds)
         return [
             [r["bucket_lo"], r["n_docs"], r["min_v"], r["max_v"],
              r["sum_v"], r["avg_v"]]
@@ -593,10 +616,17 @@ class SearchService:
     ) -> list:
         """[n_docs, n_distinct] over the match set; approx=True uses
         the HyperLogLog++ scale path."""
-        from .aggs import cardinality_agg, cardinality_approx
+        from .aggs import (
+            cardinality_agg,
+            cardinality_approx,
+            cardinality_from_index,
+        )
 
-        fn = cardinality_approx if approx else cardinality_agg
-        rows = fn(self._agg_corpus(), query, field).collect()
+        if not approx and self._aggs_reader_ready(field):
+            rows = cardinality_from_index(self.reader, query, field).collect()
+        else:
+            fn = cardinality_approx if approx else cardinality_agg
+            rows = fn(self._agg_corpus(), query, field).collect()
         if not rows:
             return [0, 0]
         return [rows[0]["n_docs"], rows[0]["n_distinct"]]
@@ -604,22 +634,31 @@ class SearchService:
     def aggs_percentiles(
         self, query: str, pcts: list[float] | None = None
     ) -> list[list]:
-        """[pct, value] percentiles of content length over the match set."""
-        from .aggs import percentiles_agg
+        """[pct, value] percentiles of content length over the match set
+        — index-served when the bound index carries n_chars doc-values."""
+        from .aggs import percentiles_agg, percentiles_from_index
 
-        df = percentiles_agg(
-            self._agg_corpus(), query, "n_chars",
-            pcts or [0.25, 0.5, 0.75, 0.95],
-        )
+        ps = pcts or [0.25, 0.5, 0.75, 0.95]
+        if self._aggs_reader_ready("n_chars"):
+            df = percentiles_from_index(self.reader, query, "n_chars", ps)
+        else:
+            df = percentiles_agg(self._agg_corpus(), query, "n_chars", ps)
         return [[r["pct"], r["value"]] for r in df.collect()]
 
     def aggs_top_hits(
         self, query: str, group: str = "lang", n_hits: int = 3, k_groups: int = 5
     ) -> list[list]:
-        """Top buckets with their best docs (ES terms + top_hits)."""
-        from .aggs import top_hits_agg
+        """Top buckets with their best docs (ES terms + top_hits) —
+        tf sums decoded straight from the posting blocks when the bound
+        index carries the group's doc-values."""
+        from .aggs import top_hits_agg, top_hits_from_index
 
-        df = top_hits_agg(self._agg_corpus(), query, group, n_hits, k_groups)
+        if self._aggs_reader_ready(group):
+            df = top_hits_from_index(self.reader, query, group, n_hits, k_groups)
+        else:
+            df = top_hits_agg(
+                self._agg_corpus(), query, group, n_hits, k_groups
+            )
         return [
             [r["facet"], r["n_docs"], r["hit_rank"], r["doc_id"], r["tf_sum"]]
             for r in df.collect()
@@ -636,9 +675,13 @@ class SearchService:
         ]
 
     def search_dismax(self, query: str, k: int = 10) -> list[tuple]:
-        """Lucene dis_max over (title, body) — engine/bm25f.dismax_topk."""
+        """Lucene dis_max over (title, body) — index-served from the
+        title_postings artifact when available, else
+        engine/bm25f.dismax_topk recompute."""
         from .bm25f import dismax_topk
 
+        if self._fields_ready():
+            return self._with_meta(self.reader.dismax_topk(query, k), "score")
         return self._with_meta(
             dismax_topk(self.spark, self.corpus, query, k), "score"
         )

@@ -11,11 +11,17 @@ K = 10
 
 
 def _check_rank_identity(spark, tiny_corpus, tiny_docs, queries, use_stem):
+    # per-query checks are independent — pipeline the Spark jobs
+    # through a thread pool (identical assertion set; same wall-clock
+    # move as the driver-contract sweep)
+    from concurrent.futures import ThreadPoolExecutor
+
     from engine.build import tokens_df
 
     oracle = OracleIndex(tiny_docs, use_stem=use_stem)
     toks = tokens_df(tiny_corpus, use_stem=use_stem).cache()
-    for q in queries:
+
+    def check(q):
         got = bm25_topk_exhaustive(
             spark, tiny_corpus, q["text"], K, use_stem=use_stem, tokens=toks
         ).collect()
@@ -26,6 +32,9 @@ def _check_rank_identity(spark, tiny_corpus, tiny_docs, queries, use_stem):
         for r, (_, s) in zip(got, want):
             assert abs(r["score"] - s) <= 1e-6, f"query {q['query_id']} score drift"
         assert [r["rank"] for r in got] == list(range(1, len(got) + 1))
+
+    with ThreadPoolExecutor(max_workers=8) as ex:
+        list(ex.map(check, queries))
     toks.unpersist()
 
 

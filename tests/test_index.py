@@ -65,17 +65,26 @@ def test_dictionary_matches_oracle(reader, tiny_docs):
 
 @pytest.mark.slow
 def test_wand_rank_identical_to_oracle(reader, tiny_docs, queries):
+    # per-(query, prune) checks are independent — thread-pool the Spark
+    # jobs (identical assertion set; the driver-contract sweep's move)
+    from concurrent.futures import ThreadPoolExecutor
+
     oracle = OracleIndex(tiny_docs, use_stem=True)
-    for q in queries:
+
+    def check(case):
+        q, prune = case
         want = oracle.bm25_topk(q["text"], K)
-        for prune in (True, False):
-            got = reader.bm25_topk(q["text"], K, prune=prune).collect()
-            got_ids = [r["doc_id"] for r in got]
-            assert got_ids == [d for d, _ in want], (
-                f"q{q['query_id']} prune={prune}: {got_ids} vs {want}"
-            )
-            for r, (_, s) in zip(got, want):
-                assert abs(r["score"] - s) <= 1e-6
+        got = reader.bm25_topk(q["text"], K, prune=prune).collect()
+        got_ids = [r["doc_id"] for r in got]
+        assert got_ids == [d for d, _ in want], (
+            f"q{q['query_id']} prune={prune}: {got_ids} vs {want}"
+        )
+        for r, (_, s) in zip(got, want):
+            assert abs(r["score"] - s) <= 1e-6
+
+    cases = [(q, prune) for q in queries for prune in (True, False)]
+    with ThreadPoolExecutor(max_workers=8) as ex:
+        list(ex.map(check, cases))
 
 
 def test_metadata_join(reader):

@@ -375,3 +375,40 @@ def test_recompute_fielded_leaves_no_cached_frames(spark, sf1_corpus):
     tfidf_cosine_topk(spark, sf1_corpus, "table scan", 5).collect()
     after = sc._jsc.getPersistentRDDs().size()
     assert after <= before
+
+
+# ------------------------------------------ frontend dispatch parity
+
+def test_frontend_fielded_and_agg_dispatch(spark, fields_reader, sf1_corpus):
+    """A service bound to an unstemmed fields-enabled index serves
+    bm25f/dismax and the agg routes FROM THE INDEX, value-identical to
+    the recompute-only service on the same corpus."""
+    from engine.frontend import SearchService
+
+    with_idx = SearchService(spark, sf1_corpus, index_dir=fields_reader.dir)
+    recompute = SearchService(spark, sf1_corpus)
+    assert with_idx._fields_ready() and with_idx._aggs_reader_ready("n_chars")
+    assert not recompute._fields_ready()
+
+    def _approx(a, b):
+        # routes don't round scores; the two physical plans sum term
+        # partials in different orders, so allow the last ulp on floats
+        assert len(a) == len(b)
+        for ra, rb in zip(a, b):
+            assert len(ra) == len(rb)
+            for x, y in zip(ra, rb):
+                if isinstance(x, float) and isinstance(y, float):
+                    assert x == pytest.approx(y, rel=1e-9, abs=1e-9)
+                else:
+                    assert x == y
+
+    q = "table scan fast"
+    _approx(with_idx.search_bm25f(q, 5), recompute.search_bm25f(q, 5))
+    _approx(with_idx.search_dismax(q, 5), recompute.search_dismax(q, 5))
+    _approx(with_idx.aggs_range(q), recompute.aggs_range(q))
+    _approx(with_idx.aggs_percentiles(q), recompute.aggs_percentiles(q))
+    assert with_idx.aggs_top_hits(q) == recompute.aggs_top_hits(q)
+    # cardinality over repo (always a doc_stats column)
+    assert with_idx.aggs_cardinality(q, "repo") == recompute.aggs_cardinality(
+        q, "repo"
+    )
