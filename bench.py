@@ -281,6 +281,7 @@ def main() -> None:
             "top_hits_indexed",
             "filters_agg_indexed",
             "adjacency_matrix_indexed",
+            "significant_terms_indexed",
             "pq_topk",
             "ivf_pq_topk",
         ):

@@ -1339,3 +1339,62 @@ def adjacency_matrix_from_index(reader, named: dict[str, str]) -> DataFrame:
         .where(F.col("n_docs") > 0)
         .orderBy("bucket")
     )
+
+
+def significant_terms_from_index(
+    reader, query: str, k: int = 15, min_fg_df: int = 2,
+    round_scores: int = ROUND,
+) -> DataFrame:
+    """Index-served significant_terms: the BACKGROUND dfs come free
+    from the dictionary artifact (bg_df IS the term's document
+    frequency; bg_n from the manifest), so the only per-request work is
+    the FOREGROUND side — match-set ids from the posting blocks joined
+    to the tokens checkpoint's per-doc (already-distinct) term arrays,
+    one explode + one term-keyed count. Cost ∝ match set × avg doc
+    vocabulary, never a corpus re-tokenize; the recompute twin paid two
+    corpus-wide term aggregations per request. On a tombstoned index
+    bg keeps deleted docs until compaction (the Lucene docFreq
+    convention the fielded serving documents); fg is live-masked.
+    Same oracle as significant_terms."""
+    _require_unstemmed(reader)
+    spark = reader.spark
+    terms = _qterms(query)
+    schema = "rank int, term string, fg_df long, bg_df long, score double"
+    if not terms:
+        return spark.createDataFrame([], schema)
+    m_ids = reader.match_ids(query)
+    fg_n = m_ids.agg(F.count("*").alias("fg_n"))
+    fg = (
+        reader.doc_tokens()
+        .select("doc_id", "terms")
+        .join(m_ids, "doc_id")
+        .select(F.explode("terms").alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").alias("fg_df"))
+        .where(F.col("fg_df") >= int(min_fg_df))
+        .where(~F.col("term").isin(terms))
+    )
+    bg_n = float(reader.manifest["stats"]["n_docs"])
+    bg = reader.dictionary().select("term", F.col("df").alias("bg_df"))
+    scored = (
+        fg.join(bg, "term")
+        .crossJoin(F.broadcast(fg_n))
+        .select(
+            "term",
+            "fg_df",
+            "bg_df",
+            F.round(
+                (F.col("fg_df").cast("double") / F.col("fg_n"))
+                * F.log(
+                    (F.col("fg_df") * F.lit(bg_n)).cast("double")
+                    / (F.col("bg_df") * F.col("fg_n")).cast("double")
+                ),
+                round_scores,
+            ).alias("score"),
+        )
+    )
+    topk = scored.orderBy(F.desc("score"), F.asc("term")).limit(k)
+    w = Window.orderBy(F.desc("score"), F.asc("term"))
+    return topk.withColumn("rank", F.row_number().over(w)).select(
+        "rank", "term", "fg_df", "bg_df", "score"
+    )

@@ -1382,6 +1382,14 @@ def _q_adjacency_matrix_indexed(spark, sf_dir):
     )
 
 
+def _q_significant_terms_indexed(spark, sf_dir):
+    from .aggs import significant_terms_from_index
+
+    return significant_terms_from_index(
+        _index_reader(spark, sf_dir), AGG_QUERY, 15, 2
+    )
+
+
 # funcscore family pinned parameters (see engine/funcscore.py; the
 # gauss origin/scale bracket the driver documents' n_chars range)
 FS_ORIGIN, FS_SCALE, FS_DECAY = 300.0, 150.0, 0.5
@@ -2915,6 +2923,7 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["top_hits_indexed"] = _q_top_hits_indexed
     out["filters_agg_indexed"] = _q_filters_agg_indexed
     out["adjacency_matrix_indexed"] = _q_adjacency_matrix_indexed
+    out["significant_terms_indexed"] = _q_significant_terms_indexed
     # PQ family driver entries (pinned codebooks → exact DuckDB mirror)
     out["pq_topk"] = _q_pq_topk
     out["ivf_pq_topk"] = _q_ivf_pq_topk
@@ -3316,6 +3325,7 @@ FROM d CROSS JOIN t
     out["top_hits_indexed"] = out["top_hits_by_lang"]
     out["filters_agg_indexed"] = out["filters_agg_counts"]
     out["adjacency_matrix_indexed"] = out["adjacency_matrix_q"]
+    out["significant_terms_indexed"] = out["significant_terms_q"]
     from .sim import pq_pinned_sql
 
     out["pq_topk"] = pq_pinned_sql(20)

@@ -2580,7 +2580,17 @@ class IndexReader:
         kind) with kind 'linear' (pr/max) or 'log1p'
         (log1p(v)/log1p(max)). Returns the ranked top-k DataFrame, or
         None when the TA bound cannot certify exactness (caller falls
-        back to the exhaustive path)."""
+        back to the exhaustive path).
+
+        Note on the adaptive disable state (_fusion_ta_off /
+        _fusion_ta_fails): consecutive certification misses turn TA off
+        for a variant on THIS reader instance, so per-query LATENCY is
+        history-dependent — an identical query may take the TA path on
+        one reader and the exhaustive path on another. VALUES are
+        identical on both paths by construction (test-pinned); only the
+        physical plan adapts. A serving fleet wanting reproducible
+        latency can pin the dispatch by constructing fresh readers or
+        pre-seeding the counters."""
         import math
 
         import numpy as np

@@ -103,10 +103,18 @@ def main() -> None:
             # sketch family at 1.2 M docs (round-5: every 100 TB claim
             # gets an up-scale row — r4 VERDICT #7); kmv + the agg
             # twins are index-backed and measured in bench_serving.py
+            # projection-only ops forced through a checksum aggregate —
+            # a bare count() row-counts off parquet metadata without
+            # evaluating the regexp columns (measured 0.2 s "for" 1.2 M
+            # redactions, i.e. nothing ran)
             "hll_distinct": _hll,
             "cms_heavy_hitters": _cms,
-            "pii_redact": lambda: pii_redact(corpus),
-            "token_budget": lambda: token_budget(corpus),
+            "pii_redact": lambda: pii_redact(corpus).agg(
+                F.sum("n_pii"), F.sum(F.length("redacted"))
+            ),
+            "token_budget": lambda: token_budget(corpus).agg(
+                F.sum("n_ws"), F.sum("n_bpe"), F.sum("n_words")
+            ),
             "decontaminate": lambda: decontaminate(corpus),
             "lm_score": lambda: lm_score(corpus),
             "dup_ngram_stats": lambda: dup_ngram_stats(corpus),

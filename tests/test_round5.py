@@ -412,3 +412,17 @@ def test_frontend_fielded_and_agg_dispatch(spark, fields_reader, sf1_corpus):
     assert with_idx.aggs_cardinality(q, "repo") == recompute.aggs_cardinality(
         q, "repo"
     )
+
+
+def test_significant_terms_from_index_matches_oracle(
+    spark, fields_reader, sf1_duck
+):
+    from engine.aggs import significant_terms_from_index, significant_terms_sql
+
+    got = significant_terms_from_index(
+        fields_reader, AGG_Q, 15, 2
+    ).toPandas()
+    want = sf1_duck.sql(significant_terms_sql(AGG_Q, 15, 2)).df()
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True), want, check_dtype=False
+    )
