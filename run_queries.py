@@ -47,6 +47,14 @@ def ann_recall(args) -> None:
     pq_enc = pq_encode(emb, pq_books).cache()
     pq_books32 = train_pq_codebooks(emb, 32, 16)
     pq_enc32 = pq_encode(emb, pq_books32).cache()
+    # the pinned-codebook stand-in the DRIVER entries check (round 5):
+    # its recall belongs in this table so the correctness entry's
+    # approximation quality is measured, not just its determinism
+    from engine.sim import pinned_pq_codebooks
+
+    dim = len(emb.select("embedding").first()["embedding"])
+    pq_books_pin = pinned_pq_codebooks(dim)
+    pq_enc_pin = pq_encode(emb, pq_books_pin).cache()
     import tempfile
 
     from engine.sim import build_ivf_pq, ivf_pq_topk
@@ -70,6 +78,8 @@ def ann_recall(args) -> None:
             e, qv, args.k, codebooks=pq_books, encoded=pq_enc),
         "pq m=32 ks=16 (128-bit ADC)": lambda e, qv: pq_topk(
             e, qv, args.k, codebooks=pq_books32, encoded=pq_enc32),
+        "pq pinned codebook (driver entry)": lambda e, qv: pq_topk(
+            e, qv, args.k, codebooks=pq_books_pin, encoded=pq_enc_pin),
         "ivf-pq n_probe=4 (64-bit, pruned)": lambda e, qv: ivf_pq_topk(
             e.sparkSession, ivfpq_dir, qv, args.k, n_probe=4),
     }

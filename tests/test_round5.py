@@ -426,3 +426,43 @@ def test_significant_terms_from_index_matches_oracle(
     pd.testing.assert_frame_equal(
         got.reset_index(drop=True), want, check_dtype=False
     )
+
+
+# ------------------------------------------------- edge queries, new paths
+
+def test_fielded_indexed_edge_queries(spark, fields_reader):
+    """All-stopword / unknown-term / empty queries return valid empty
+    (or small) frames on the index-served fielded paths — no throw."""
+    for q in ["the and of", "zzzunknownterm", "", "!!! ..."]:
+        for fn in (
+            fields_reader.bm25f_topk,
+            fields_reader.dismax_topk,
+            fields_reader.most_fields_topk,
+        ):
+            out = fn(q, 5, round_scores=6)
+            assert out.columns == ["rank", "doc_id", "score"]
+            assert out.count() == 0
+
+
+def test_agg_indexed_edge_queries(spark, fields_reader):
+    from engine.aggs import (
+        histogram_from_index,
+        range_stats_from_index,
+        top_hits_from_index,
+    )
+
+    for q in ["the and of", ""]:
+        assert range_stats_from_index(
+            fields_reader, q, "n_chars", [0, 100]
+        ).count() == 0
+        assert histogram_from_index(fields_reader, q, "n_chars", 100).count() == 0
+        assert top_hits_from_index(fields_reader, q, "lang").count() == 0
+    # unknown term: empty match set, zero-row buckets (not a throw)
+    assert range_stats_from_index(
+        fields_reader, "zzzunknownterm", "n_chars", [0, 100]
+    ).count() == 0
+
+
+def test_match_ids_unknown_and_empty(fields_reader):
+    assert fields_reader.match_ids("zzzunknownterm").count() == 0
+    assert fields_reader.match_ids("").count() == 0
