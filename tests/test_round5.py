@@ -466,3 +466,19 @@ def test_agg_indexed_edge_queries(spark, fields_reader):
 def test_match_ids_unknown_and_empty(fields_reader):
     assert fields_reader.match_ids("zzzunknownterm").count() == 0
     assert fields_reader.match_ids("").count() == 0
+
+
+def test_agg_twin_plan_reads_no_corpus(fields_reader):
+    """The index-served agg frame must read ONLY the postings and
+    doc_stats artifacts — no documents/corpus parquet anywhere in the
+    physical plan (the whole point of the round-5 twins: request cost
+    is posting-mass + match-set, not corpus width)."""
+    m = fields_reader.matched_doc_values("table scan", ["n_chars", "lang"])
+    plan = m._jdf.queryExecution().executedPlan().toString()
+    assert "doc_stats" in plan and "postings" in plan
+    assert "documents.parquet" not in plan and "/documents" not in plan
+    # and the fielded kernel likewise: body + title blocks only
+    f = fields_reader.bm25f_topk("table scan", 5)
+    fplan = f._jdf.queryExecution().executedPlan().toString()
+    assert "title_postings" in fplan
+    assert "documents.parquet" not in fplan
