@@ -309,6 +309,9 @@ def main() -> None:
             "significant_terms_indexed",
             "pq_topk",
             "ivf_pq_topk",
+            "rrf_hybrid_topk",
+            "rrf_hybrid_indexed",
+            "ann_filtered_topk",
         ):
             t = time.perf_counter()
             dq.spark_queries()[name](spark, sf_dir).count()

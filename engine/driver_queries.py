@@ -1390,6 +1390,66 @@ def _q_significant_terms_indexed(spark, sf_dir):
     )
 
 
+# ------------------- hybrid lexical+vector retrieval (engine/hybrid.py)
+
+def rrf_hybrid_sql(
+    query: str, k: int = 10, *, n_deep: int = 50, rrf_k: int = 60
+) -> str:
+    """DuckDB mirror of engine/hybrid.rrf_hybrid_topk: the engine's
+    own BM25 oracle SQL and cosine oracle SQL as the two rank lists,
+    fused with the fixed-order RRF sum (bm25 addend + cosine addend,
+    matching the Spark expression bit-for-bit before the 6dp round)."""
+    from .sim import cosine_topk_sql
+
+    b = _bm25_sql(query, n_deep)
+    c = cosine_topk_sql(n_deep)
+    return f"""
+WITH b AS (SELECT * FROM ({b}) _b),
+c AS (SELECT * FROM ({c}) _c),
+fused AS (
+  SELECT coalesce(b.doc_id, c.vec_id) AS doc_id,
+         round(coalesce(1.0 / ({int(rrf_k)} + b.rank), 0.0)
+               + coalesce(1.0 / ({int(rrf_k)} + c.rank), 0.0),
+               {ROUND}) AS rrf
+  FROM b FULL OUTER JOIN c ON b.doc_id = c.vec_id
+)
+SELECT row_number() OVER (ORDER BY rrf DESC, doc_id ASC)::INTEGER AS rank,
+       doc_id, rrf
+FROM fused ORDER BY rrf DESC, doc_id ASC LIMIT {int(k)}
+"""
+
+
+def _q_rrf_hybrid(spark, sf_dir):
+    from .hybrid import rrf_hybrid_topk
+    from .sim import load_embeddings, query_vector
+
+    return rrf_hybrid_topk(
+        spark, _corpus(spark, sf_dir), load_embeddings(spark, sf_dir),
+        FIXED_QUERIES["q_table_scan"], query_vector(spark, sf_dir), K,
+    )
+
+
+def _q_rrf_hybrid_indexed(spark, sf_dir):
+    from .hybrid import rrf_hybrid_from_index
+    from .sim import load_embeddings, query_vector
+
+    return rrf_hybrid_from_index(
+        _index_reader(spark, sf_dir), load_embeddings(spark, sf_dir),
+        FIXED_QUERIES["q_table_scan"], query_vector(spark, sf_dir), K,
+    )
+
+
+def _q_ann_filtered(spark, sf_dir):
+    from .hybrid import cosine_filtered_topk
+    from .sim import load_embeddings, query_vector
+
+    meta = _docs_meta(spark, sf_dir).select("doc_id", "lang")
+    return cosine_filtered_topk(
+        load_embeddings(spark, sf_dir), meta, query_vector(spark, sf_dir),
+        20, lang="en",
+    )
+
+
 # funcscore family pinned parameters (see engine/funcscore.py; the
 # gauss origin/scale bracket the driver documents' n_chars range)
 FS_ORIGIN, FS_SCALE, FS_DECAY = 300.0, 150.0, 0.5
@@ -2927,6 +2987,10 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # PQ family driver entries (pinned codebooks → exact DuckDB mirror)
     out["pq_topk"] = _q_pq_topk
     out["ivf_pq_topk"] = _q_ivf_pq_topk
+    # hybrid lexical+vector retrieval (engine/hybrid.py)
+    out["rrf_hybrid_topk"] = _q_rrf_hybrid
+    out["rrf_hybrid_indexed"] = _q_rrf_hybrid_indexed
+    out["ann_filtered_topk"] = _q_ann_filtered
     return _driver_order(out)
 
 
@@ -3330,4 +3394,9 @@ FROM d CROSS JOIN t
 
     out["pq_topk"] = pq_pinned_sql(20)
     out["ivf_pq_topk"] = pq_pinned_sql(20, with_ivf=True)
+    from .sim import cosine_filtered_sql
+
+    out["rrf_hybrid_topk"] = rrf_hybrid_sql(FIXED_QUERIES["q_table_scan"], K)
+    out["rrf_hybrid_indexed"] = out["rrf_hybrid_topk"]
+    out["ann_filtered_topk"] = cosine_filtered_sql(20, lang="en")
     return _driver_order(out)

@@ -83,9 +83,11 @@ class SearchService:
         pageviews: DataFrame | None = None,
         pagerank_dir: str | None = None,
         federated_dirs: list[str] | None = None,
+        embeddings: DataFrame | None = None,
     ) -> None:
         self.spark = spark
         self.corpus = corpus
+        self.embeddings = embeddings
         self.reader = IndexReader(spark, index_dir) if index_dir else None
         if federated_dirs:
             from .federated import FederatedReader
@@ -685,6 +687,48 @@ class SearchService:
         return self._with_meta(
             dismax_topk(self.spark, self.corpus, query, k), "score"
         )
+
+    def search_hybrid(
+        self, query: str, qvec: list[float], k: int = 10
+    ) -> list[tuple]:
+        """RRF hybrid lexical+vector search (engine/hybrid.py) —
+        index-served BM25 list when a reader is bound, else the
+        exhaustive recompute; requires an ``embeddings`` frame bound at
+        construction (vec_id == doc_id)."""
+        from .hybrid import rrf_hybrid_from_index, rrf_hybrid_topk
+
+        if self.embeddings is None:
+            raise ValueError(
+                "search_hybrid needs SearchService(..., embeddings=...)"
+            )
+        if self.reader is not None and not self.reader.use_stem:
+            df = rrf_hybrid_from_index(
+                self.reader, self.embeddings, query, qvec, k
+            )
+        else:
+            df = rrf_hybrid_topk(
+                self.spark, self.corpus, self.embeddings, query, qvec, k,
+                use_stem=self._use_stem,
+            )
+        return self._with_meta(df, "rrf")
+
+    def search_knn_filtered(
+        self, qvec: list[float], k: int = 20, *, lang: str | None = None,
+        repo: str | None = None,
+    ) -> list[list]:
+        """Metadata-PRE-filtered kNN (engine/hybrid.py): exactly k docs
+        passing the filter, exact cosine."""
+        from .hybrid import cosine_filtered_topk
+
+        if self.embeddings is None:
+            raise ValueError(
+                "search_knn_filtered needs SearchService(..., embeddings=...)"
+            )
+        meta = self.corpus.select("doc_id", "lang", "repo")
+        df = cosine_filtered_topk(
+            self.embeddings, meta, qvec, k, lang=lang, repo=repo
+        )
+        return [[r["rank"], r["vec_id"], r["cos"]] for r in df.collect()]
 
     def search_function_score(
         self, query: str, k: int = 10, *,
@@ -1397,6 +1441,26 @@ def create_app(service: SearchService):
     @app.route("/search_regexp")
     def search_regexp():
         return jsonify(service.search_regexp(request.args.get("pattern", "")))
+
+    @app.route("/search_hybrid", methods=["POST"])
+    def search_hybrid():
+        body = request.get_json(silent=True) or {}
+        return jsonify(
+            service.search_hybrid(
+                body.get("query", ""), body.get("qvec", []),
+                int(body.get("k", 10)),
+            )
+        )
+
+    @app.route("/search_knn", methods=["POST"])
+    def search_knn():
+        body = request.get_json(silent=True) or {}
+        return jsonify(
+            service.search_knn_filtered(
+                body.get("qvec", []), int(body.get("k", 20)),
+                lang=body.get("lang"), repo=body.get("repo"),
+            )
+        )
 
     @app.route("/get_pagerank", methods=["POST"])
     def get_pagerank():

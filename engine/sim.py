@@ -102,6 +102,48 @@ FROM scored ORDER BY cos DESC, vec_id ASC LIMIT {k}
 """
 
 
+def cosine_filtered_sql(k: int = 20, *, lang: str | None = None,
+                        repo_source: str | None = None) -> str:
+    """DuckDB mirror of engine/hybrid.cosine_filtered_topk over the
+    driver tables: PRE-filter the vector set by the documents
+    metadata (vec_id == doc_id), then the exact cosine of
+    cosine_topk_sql. ``repo_source`` filters the documents `source`
+    column (the corpus adapter's `repo`)."""
+    conds = []
+    if lang is not None:
+        conds.append(f"d.lang = '{lang.replace(chr(39), chr(39) * 2)}'")
+    if repo_source is not None:
+        conds.append(
+            f"d.source = '{repo_source.replace(chr(39), chr(39) * 2)}'"
+        )
+    where = " AND ".join(conds) or "true"
+    return f"""
+WITH keep AS (
+  SELECT d.doc_id AS vec_id FROM documents d WHERE {where}
+),
+q AS (
+  SELECT embedding AS qv FROM embeddings
+  ORDER BY vec_id LIMIT 1
+),
+scored AS (
+  SELECT e.vec_id,
+         round(
+           (SELECT sum(x.a::DOUBLE * x.b::DOUBLE)
+            FROM (SELECT unnest(e.embedding) AS a, unnest(q.qv) AS b) x)
+           / (sqrt((SELECT sum(y.a::DOUBLE * y.a::DOUBLE)
+                    FROM (SELECT unnest(e.embedding) AS a) y))
+              * sqrt((SELECT sum(z.b::DOUBLE * z.b::DOUBLE)
+                      FROM (SELECT unnest(q.qv) AS b) z))),
+           {ROUND}) AS cos
+  FROM embeddings e CROSS JOIN q
+  WHERE e.vec_id IN (SELECT vec_id FROM keep)
+)
+SELECT row_number() OVER (ORDER BY cos DESC, vec_id ASC)::INTEGER AS rank,
+       vec_id, cos
+FROM scored ORDER BY cos DESC, vec_id ASC LIMIT {int(k)}
+"""
+
+
 def _plane_weight_col(plane: int, dim_col):
     """Deterministic pseudo-random weight in [-1,1] for (plane, dim)."""
     key = F.concat(F.lit(f"{plane}:"), dim_col.cast("string"))

@@ -482,3 +482,83 @@ def test_agg_twin_plan_reads_no_corpus(fields_reader):
     fplan = f._jdf.queryExecution().executedPlan().toString()
     assert "title_postings" in fplan
     assert "documents.parquet" not in fplan
+
+
+# ------------------------------------------------ hybrid retrieval (RRF)
+
+def test_rrf_hybrid_matches_oracle(spark, fields_reader, sf1_corpus, sf1_duck):
+    from engine.driver_queries import rrf_hybrid_sql
+    from engine.hybrid import rrf_hybrid_from_index, rrf_hybrid_topk
+    from engine.sim import load_embeddings, query_vector
+
+    emb = load_embeddings(spark, SF1)
+    qv = query_vector(spark, SF1)
+    q = "table scan fast"
+    want = sf1_duck.sql(rrf_hybrid_sql(q, 10)).df()
+    got = rrf_hybrid_topk(spark, sf1_corpus, emb, q, qv, 10).toPandas()
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    got_i = rrf_hybrid_from_index(fields_reader, emb, q, qv, 10).toPandas()
+    pd.testing.assert_frame_equal(got_i, want, check_dtype=False)
+
+
+def test_rrf_union_and_bounds(spark, fields_reader, sf1_corpus):
+    """RRF output ⊆ union of the two top-N lists; per-doc score is
+    bounded by 2/(rrf_k+1); a doc in BOTH lists outranks one with the
+    same single-list rank alone."""
+    from engine.hybrid import RRF_K, rrf_hybrid_topk
+    from engine.query import bm25_topk_exhaustive
+    from engine.sim import cosine_topk, load_embeddings, query_vector
+
+    emb = load_embeddings(spark, SF1)
+    qv = query_vector(spark, SF1)
+    q = "table scan fast"
+    fused = rrf_hybrid_topk(spark, sf1_corpus, emb, q, qv, 10).collect()
+    b_ids = {r["doc_id"] for r in bm25_topk_exhaustive(
+        spark, sf1_corpus, q, 50, use_stem=False, round_scores=6).collect()}
+    c_ids = {r["vec_id"] for r in cosine_topk(emb, qv, 50).collect()}
+    assert {r["doc_id"] for r in fused} <= (b_ids | c_ids)
+    assert all(0 < r["rrf"] <= 2.0 / (RRF_K + 1) + 1e-9 for r in fused)
+
+
+def test_cosine_filtered_prefilter_semantics(spark, sf1_duck):
+    """PRE-filter returns exactly k matching docs, and every returned
+    doc passes the predicate (post-filtering a global top-k would
+    return fewer)."""
+    from engine.hybrid import cosine_filtered_topk
+    from engine.io import read_documents
+    from engine.sim import cosine_filtered_sql, load_embeddings, query_vector
+
+    emb = load_embeddings(spark, SF1)
+    qv = query_vector(spark, SF1)
+    meta = read_documents(spark, SF1).select("doc_id", "lang")
+    got = cosine_filtered_topk(emb, meta, qv, 20, lang="de").toPandas()
+    want = sf1_duck.sql(cosine_filtered_sql(20, lang="de")).df()
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    de_ids = {r["doc_id"] for r in meta.where(F.col("lang") == "de").collect()}
+    assert len(got) == 20 and set(got["vec_id"]) <= de_ids
+
+
+def test_hybrid_routes(spark, fields_reader, sf1_corpus):
+    """/search_hybrid and /search_knn end-to-end through the Flask app
+    with an embeddings-bound, fields-enabled service."""
+    flask = pytest.importorskip("flask")  # noqa: F841
+    from engine.frontend import SearchService, create_app
+    from engine.sim import load_embeddings, query_vector
+
+    svc = SearchService(
+        spark, sf1_corpus, index_dir=fields_reader.dir,
+        embeddings=load_embeddings(spark, SF1),
+    )
+    app = create_app(svc)
+    app.config["TESTING"] = True
+    c = app.test_client()
+    qv = query_vector(spark, SF1)
+    r = c.post("/search_hybrid", json={"query": "table scan fast", "qvec": qv})
+    assert r.status_code == 200 and len(r.get_json()) == 10
+    r = c.post("/search_knn", json={"qvec": qv, "lang": "en", "k": 5})
+    body = r.get_json()
+    assert r.status_code == 200 and len(body) == 5
+    # unbound embeddings raise a clear error
+    bare = SearchService(spark, sf1_corpus)
+    with pytest.raises(ValueError, match="embeddings"):
+        bare.search_hybrid("x", qv)
