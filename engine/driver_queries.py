@@ -114,6 +114,11 @@ _DRIVER_PRIORITY = [
     # -- 5: no attested same-oracle sibling --
     "date_histogram_events",
     "composite_page1",
+    # hybrid retrieval (round 5, brand-new oracles — unlike the
+    # registration-order fillers these have NO attested sibling)
+    "rrf_hybrid_topk",
+    "ann_filtered_topk",
+    "rrf_hybrid_indexed",
 ]
 
 # r2-r4 window lists kept for the record (superseded by the r5 list
